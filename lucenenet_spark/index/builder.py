@@ -1,0 +1,253 @@
+"""Inverted-index construction as a PySpark DataFrame pipeline.
+
+The write path (reference trace: IndexWriter.AddDocument ->
+DocumentsWriterPerThread -> FreqProxTermsWriter -> flush; SURVEY.md §3.1)
+collapses into one declarative job:
+
+    corpus --mapInPandas(tokenize)--> tokens(doc_id, term, pos)
+           --groupBy(doc_id, term)--> postings rows (tf, positions)
+           --join doclens----------> postings + denormalized (dl, norm_byte)
+    tokens --groupBy(doc_id)-------> doclens (field length -> SmallFloat byte)
+    postings --groupBy(term)-------> term_stats (df, ttf)
+
+Scale design (10^12 docs):
+- `groupBy(doc_id, term)` groups are bounded by document length — never
+  skewed, regardless of term frequency distribution.
+- `term_stats` uses only count/sum aggregates, so Spark's partial (map-side)
+  aggregation absorbs heavy terms; we never `collect_list` an entire term's
+  postings into one task (the skew trap the reference avoids with
+  per-thread segment writers + merges).
+- Norms (`norm_byte`) are denormalized into posting rows at build time:
+  queries then score without a postings⋈doclens join (Lucene reads norms
+  from a per-segment sidecar file — .nvd — which is the same denorm idea).
+- The persisted postings table is range-partitioned and sorted by `term`, so
+  a term lookup becomes parquet min/max pruning + predicate pushdown — the
+  Spark analogue of the BlockTree term dictionary seek
+  (reference: src/Lucene.Net/Codecs/BlockTreeTermsWriter.cs:57-64).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+from lucenenet_spark.index.smallfloat import byte315_to_float, encode_norm
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+def _tokenizer_map(analyzer: StandardAnalyzer, id_col: str, text_col: str):
+    """Build the mapInPandas function: corpus batches -> flat token rows.
+
+    Vectorized per Arrow batch (flat numpy arrays — the DWPT analogue,
+    reference Index/DocumentsWriterPerThread.cs, is the Spark partition)."""
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            row_idx, terms, positions, _ = analyzer.tokenize_batch(pdf[text_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy()[row_idx],
+                    "term": terms,
+                    "pos": positions,
+                }
+            )
+
+    return tokenize
+
+
+@dataclass
+class InvertedIndex:
+    """A built index: three DataFrames + global collection statistics.
+
+    Collection stats are GLOBAL (summed across all partitions before any
+    scoring), which is what makes distributed BM25 exact — mirrors
+    TermContext.Build accumulating df/ttf across segments
+    (reference: src/Lucene.Net/Index/TermContext.cs:90,141-144)."""
+
+    postings: DataFrame  # term, doc_id, tf, positions[], dl, norm_byte
+    doclens: DataFrame  # doc_id, dl, norm_byte
+    term_stats: DataFrame  # term, df, ttf
+    max_doc: int
+    sum_ttf: int
+    analyzer: StandardAnalyzer = field(default_factory=StandardAnalyzer)
+
+    @property
+    def avgdl(self) -> float:
+        """float32(sumTotalTermFreq / (double) maxDoc) — BM25Similarity.cs
+        AvgFieldLength."""
+        if self.sum_ttf <= 0:
+            return 1.0
+        return float(np.float32(self.sum_ttf / float(self.max_doc)))
+
+    @property
+    def avgdl_double(self) -> float:
+        """Unquantized avgdl for the double-precision scoring mode."""
+        if self.sum_ttf <= 0:
+            return 1.0
+        return self.sum_ttf / float(self.max_doc)
+
+    def cache(self) -> "InvertedIndex":
+        self.postings.cache()
+        self.doclens.cache()
+        self.term_stats.cache()
+        return self
+
+    # ------------------------------------------------------------------
+    def save(self, path: str, num_term_partitions: int = 8) -> None:
+        """Persist as parquet laid out for query-time pruning.
+
+        postings sorted by (term, doc_id) inside term-range partitions →
+        parquet row-group min/max stats give term seek (BlockTree analogue);
+        doc_id sort keeps posting lists sequential for merge-join scans."""
+        (
+            self.postings.repartitionByRange(num_term_partitions, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "postings"))
+        )
+        self.doclens.repartitionByRange(max(1, num_term_partitions // 2), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "doclens"))
+        self.term_stats.repartitionByRange(num_term_partitions, "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        with open(os.path.join(path, "stats.json"), "w") as f:
+            json.dump({"max_doc": self.max_doc, "sum_ttf": self.sum_ttf}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, analyzer: StandardAnalyzer | None = None):
+        with open(os.path.join(path, "stats.json")) as f:
+            stats = json.load(f)
+        return cls(
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            doclens=spark.read.parquet(os.path.join(path, "doclens")),
+            term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+            max_doc=stats["max_doc"],
+            sum_ttf=stats["sum_ttf"],
+            analyzer=analyzer or StandardAnalyzer(),
+        )
+
+
+_ENCODE_NORM_UDF = F.pandas_udf(
+    lambda dl: pd.Series(encode_norm(dl.to_numpy()).astype(np.int32)), T.IntegerType()
+)
+
+
+def build_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: StandardAnalyzer | None = None,
+    with_positions: bool = True,
+) -> InvertedIndex:
+    """Tokenize + invert a corpus DataFrame into an InvertedIndex.
+
+    `with_positions=False` mirrors IndexOptions.DOCS_AND_FREQS (drops the
+    positions array; phrase queries then unavailable) — FieldInfo.cs:316-356.
+    """
+    analyzer = analyzer or StandardAnalyzer()
+    tokens = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias(text_col)
+    ).mapInPandas(_tokenizer_map(analyzer, "doc_id", text_col), TOKENS_SCHEMA)
+
+    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    postings = tokens.groupBy("doc_id", "term").agg(*aggs)
+
+    doclens = (
+        corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")), "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0)).cast("int").alias("dl"))
+        .withColumn("norm_byte", _ENCODE_NORM_UDF(F.col("dl")))
+    )
+
+    postings = postings.join(doclens, "doc_id").select(
+        "term", "doc_id", "tf", *(["positions"] if with_positions else []), "dl", "norm_byte"
+    )
+
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
+
+    max_doc = corpus.count()
+    sum_ttf_row = doclens.agg(F.sum("dl")).collect()[0][0]
+    sum_ttf = int(sum_ttf_row or 0)
+    return InvertedIndex(
+        postings=postings,
+        doclens=doclens,
+        term_stats=term_stats,
+        max_doc=max_doc,
+        sum_ttf=sum_ttf,
+        analyzer=analyzer,
+    )
+
+
+def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | None = None) -> DataFrame:
+    """Assign deterministic dense doc_ids = rank of `order_col` (0-based).
+
+    Reference docIDs are arrival-order per segment + segment docBase
+    (DocumentsWriterPerThread.cs:278; ReaderUtil.SubIndex); for
+    cluster-size-invariant results ours is a pure function of the data:
+    dense rank of a stable key.
+
+    Scalable two-phase (no global window, no single-partition shuffle):
+    range-partition + sort by the key, count rows per partition (tiny
+    driver-side collect), then add each partition's cumulative offset to its
+    local row index. repartitionByRange guarantees partition i holds keys
+    strictly below partition i+1, so offset+local == global dense rank.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = T.StructType(
+        [f for f in parted.schema.fields if f.name != "_pid"]
+        + [T.StructField("doc_id", T.LongType(), False)]
+    )
+    out_cols = [f.name for f in schema.fields]
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            base = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(local, local + len(pdf), dtype=np.int64) + base
+            local += len(pdf)
+            yield pdf[out_cols]
+
+    return parted.mapInPandas(add_ids, schema)
+
+
+def decoded_doclen(norm_byte_col):
+    """Approximate doc length back from the quantized norm byte:
+    decode(b) = 1/f(b)^2 (BM25Similarity NORM_TABLE)."""
+    table = byte315_to_float(np.arange(256, dtype=np.uint8)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        vals = (1.0 / (table * table)).tolist()
+    arr = F.array(*[F.lit(float(v)) for v in vals])
+    return F.element_at(arr, norm_byte_col + 1)

@@ -1,0 +1,127 @@
+"""Pure-Python single-node reference implementation (the differential oracle).
+
+A tiny, slow, obviously-correct implementation of the exact same contract the
+Spark engine implements — tokenize → postings → global stats → float32 BM25
+with SmallFloat-315 quantized norms → top-k (score DESC, doc_id ASC).
+
+Used by tests the way the reference uses CheckHits
+(src/Lucene.Net.TestFramework/Search/CheckHits.cs): the distributed engine's
+doc-id sets must be identical and scores equal as float32 (tolerance 1e-6
+relative, mirroring EXPLAIN_SCORE_TOLERANCE_DELTA at CheckHits.cs:41).
+
+Float semantics follow BM25Similarity.cs exactly:
+  idf       float32( ln(1 + (N - df + .5)/(df + .5)) )
+  avgdl     float32( sum_ttf / (double) maxDoc )
+  cache[b]  k1*((1-b) + b*NORM_TABLE[b]/avgdl)           (float32 ops)
+  weightVal float32(idf*boost*tlb) * float32(k1+1)
+  score     weightVal*freq/(freq + cache[norm_byte])     (float32 ops)
+  boolean   sum of clause scores in double, cast float32 (DisjunctionSumScorer)
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+from lucenenet_spark.index.smallfloat import bm25_norm_cache, encode_norm
+
+f32 = np.float32
+
+
+class PyIndex:
+    def __init__(self, docs: dict[int, str], analyzer: StandardAnalyzer | None = None,
+                 k1: float = 1.2, b: float = 0.75):
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.k1, self.b = k1, b
+        self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)  # term -> doc -> positions
+        self.doclen: dict[int, int] = {}
+        for doc_id, text in docs.items():
+            toks = self.analyzer.tokenize_text(text)
+            self.doclen[doc_id] = len(toks)
+            for term, pos in toks:
+                self.postings[term].setdefault(doc_id, []).append(pos)
+        self.max_doc = len(docs)
+        self.sum_ttf = sum(self.doclen.values())
+        self.norm_byte = {
+            d: int(encode_norm(np.array([l], dtype=np.int64))[0]) for d, l in self.doclen.items()
+        }
+        self.avgdl = f32(self.sum_ttf / float(self.max_doc)) if self.sum_ttf > 0 else f32(1.0)
+        self.cache = bm25_norm_cache(float(self.avgdl), k1, b)
+
+    # ---------------------------------------------------------------- stats
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def idf(self, term: str) -> np.float32:
+        d = self.df(term)
+        return f32(math.log(1 + (self.max_doc - d + 0.5) / (d + 0.5)))
+
+    def _weight_value(self, idf_sum: np.float32, boost: float, tlb: float) -> np.float32:
+        w = f32(f32(f32(idf_sum) * f32(boost)) * f32(tlb))
+        return f32(w * f32(f32(self.k1) + f32(1.0)))
+
+    def _score(self, wv: np.float32, freq: int, doc_id: int) -> np.float32:
+        fr = f32(freq)
+        norm = self.cache[self.norm_byte[doc_id]]
+        return f32(f32(f32(wv * fr)) / f32(fr + norm))
+
+    # ---------------------------------------------------------------- queries
+    def term_scores(self, term: str, boost: float = 1.0, tlb: float = 1.0) -> dict[int, float]:
+        wv = self._weight_value(self.idf(term), boost, tlb)
+        return {
+            d: float(self._score(wv, len(ps), d)) for d, ps in self.postings.get(term, {}).items()
+        }
+
+    def phrase_scores(self, terms: list[str], positions: list[int] | None = None,
+                      boost: float = 1.0, tlb: float = 1.0) -> dict[int, float]:
+        positions = positions if positions is not None else list(range(len(terms)))
+        idf_sum = f32(0.0)
+        for t in terms:
+            idf_sum = f32(idf_sum + self.idf(t))
+        wv = self._weight_value(idf_sum, boost, tlb)
+        docsets = [set(self.postings.get(t, {})) for t in terms]
+        out: dict[int, float] = {}
+        for d in set.intersection(*docsets) if docsets else set():
+            sets = [
+                {p - r for p in self.postings[t][d]} for t, r in zip(terms, positions)
+            ]
+            freq = len(set.intersection(*sets))
+            if freq > 0:
+                out[d] = float(self._score(wv, freq, d))
+        return out
+
+    def boolean(
+        self,
+        musts: list[dict[int, float]] = (),
+        shoulds: list[dict[int, float]] = (),
+        not_docs: set[int] = frozenset(),
+        minimum_should_match: int = 0,
+    ) -> dict[int, float]:
+        """Double accumulate + float cast (BooleanScorer2/DisjunctionSumScorer)."""
+        if musts:
+            docs = set.intersection(*[set(m) for m in musts])
+        else:
+            docs = set().union(*[set(s) for s in shoulds])
+        out = {}
+        for d in docs:
+            if d in not_docs:
+                continue
+            n_should = sum(1 for s in shoulds if d in s)
+            if minimum_should_match > 0 and n_should < minimum_should_match:
+                continue
+            acc = 0.0
+            for m in musts:
+                acc += m[d]
+            for s in shoulds:
+                if d in s:
+                    acc += s[d]
+            out[d] = float(f32(acc))
+        return out
+
+    @staticmethod
+    def topk(scores: dict[int, float], k: int = 10) -> list[tuple[int, float]]:
+        """score DESC, doc_id ASC (HitQueue.cs:88)."""
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

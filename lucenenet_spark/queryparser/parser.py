@@ -1,0 +1,167 @@
+"""Classic query-parser subset: term, "phrase", +/-, AND/OR/NOT, boosts,
+wildcards, fuzzy, ranges.
+
+Covers the grammar subset exercised by the reference benchmark query sets
+(src/Lucene.Net.Benchmark/ByTask/Feeds/ReutersQueryMaker.cs:37-51,
+EnwikiQueryMaker.cs:40-66) of the full JavaCC grammar
+(src/Lucene.Net.QueryParser/Classic/QueryParser.cs; token kinds at
+Classic/QueryParserConstants.cs:37-85).
+
+Text leaves are analyzed with the SAME analyzer as indexing
+(Util/QueryBuilder.cs:89-170): one surviving token → TermQuery, several →
+BooleanQuery with the default operator, quoted → PhraseQuery whose
+positions honor stopword holes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+from lucenenet_spark.search.queries import (
+    BooleanClause,
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+        (?P<plus>\+) | (?P<minus>-) |
+        (?P<quoted>"(?P<qtext>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<range>\[(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\]) |
+        (?P<star>\*) |
+        (?P<word>[^\s()+\-"]+)
+    )""",
+    re.VERBOSE,
+)
+
+_BOOST = re.compile(r"^(?P<body>.*?)\^(?P<boost>[0-9.]+)$")
+_FUZZY = re.compile(r"^(?P<body>.*?)~(?P<edits>[0-9.]*)$")
+
+
+class QueryParser:
+    def __init__(self, default_operator: str = "OR", analyzer: StandardAnalyzer | None = None):
+        assert default_operator in ("OR", "AND")
+        self.default_occur = Occur.SHOULD if default_operator == "OR" else Occur.MUST
+        self.analyzer = analyzer or StandardAnalyzer()
+
+    def parse(self, s: str) -> Query:
+        clauses: list[BooleanClause] = []
+        pending: Occur | None = None
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN.match(s, pos)
+            if not m or m.end() == pos:
+                break
+            pos = m.end()
+            if m.group("lparen"):
+                depth, j = 1, pos
+                while j < len(s) and depth:
+                    depth += {"(": 1, ")": -1}.get(s[j], 0)
+                    j += 1
+                inner = self.parse(s[pos : j - 1])
+                boost = 1.0
+                bm = re.match(r"\^([0-9.]+)", s[j:])
+                if bm:
+                    boost = float(bm.group(1))
+                    j += bm.end()
+                pos = j
+                clauses.append(BooleanClause(_boosted(inner, boost), pending or self.default_occur))
+                pending = None
+            elif m.group("and"):
+                if clauses:
+                    clauses[-1] = BooleanClause(clauses[-1].query, Occur.MUST)
+                pending = Occur.MUST
+            elif m.group("or"):
+                if clauses and clauses[-1].occur is Occur.MUST and pending is None:
+                    pass
+                pending = Occur.SHOULD
+            elif m.group("not"):
+                pending = Occur.MUST_NOT
+            elif m.group("plus"):
+                pending = Occur.MUST
+            elif m.group("minus"):
+                pending = Occur.MUST_NOT
+            elif m.group("quoted") is not None:
+                slop = int(m.group("slop") or 0)
+                boost = 1.0
+                q = self._phrase(m.group("qtext"), slop, boost)
+                if q is not None:
+                    clauses.append(BooleanClause(q, pending or self.default_occur))
+                pending = None
+            elif m.group("range"):
+                q = TermRangeQuery(lower=m.group("rlo"), upper=m.group("rhi"))
+                clauses.append(BooleanClause(q, pending or self.default_occur))
+                pending = None
+            elif m.group("star"):
+                clauses.append(BooleanClause(MatchAllDocsQuery(), pending or self.default_occur))
+                pending = None
+            elif m.group("word"):
+                q = self._word(m.group("word"))
+                if q is not None:
+                    clauses.append(BooleanClause(q, pending or self.default_occur))
+                pending = None
+        if not clauses:
+            return MatchAllDocsQuery()
+        return rewrite(BooleanQuery(clauses=tuple(clauses)))
+
+    # ------------------------------------------------------------------
+    def _word(self, w: str) -> Query | None:
+        boost = 1.0
+        bm = _BOOST.match(w)
+        if bm:
+            w, boost = bm.group("body"), float(bm.group("boost"))
+        fm = _FUZZY.match(w)
+        if fm and "*" not in w and "?" not in w:
+            body = fm.group("body")
+            edits = fm.group("edits")
+            max_edits = 2 if edits in ("", None) else int(float(edits))
+            terms = self.analyzer.terms(body)
+            if not terms:
+                return None
+            return FuzzyQuery(terms[0], max_edits=max_edits, boost=boost)
+        if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+            return PrefixQuery(w[:-1].lower(), boost=boost)
+        if "*" in w or "?" in w:
+            return WildcardQuery(w.lower(), boost=boost)
+        toks = self.analyzer.terms(w)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(toks[0], boost=boost)
+        return BooleanQuery(
+            clauses=tuple(BooleanClause(TermQuery(t), self.default_occur) for t in toks),
+            boost=boost,
+        )
+
+    def _phrase(self, text: str, slop: int, boost: float) -> Query | None:
+        toks = self.analyzer.tokenize_text(text)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(toks[0][0], boost=boost)
+        return PhraseQuery(
+            terms=tuple(t for t, _ in toks),
+            positions=tuple(p for _, p in toks),
+            slop=slop,
+            boost=boost,
+        )
+
+
+def _boosted(q: Query, boost: float) -> Query:
+    if boost == 1.0:
+        return q
+    import dataclasses
+
+    return dataclasses.replace(q, boost=q.boost * boost)

@@ -1,0 +1,426 @@
+"""Query planner + executor: compiles the Query AST to DataFrame pipelines.
+
+This is the engine's analogue of CreateNormalizedWeight + Scorer execution
+(reference: src/Lucene.Net/Search/IndexSearcher.cs:328,740-781):
+
+- stats binding: df/ttf for the query's terms are looked up once, globally
+  (TermContext.Build, Index/TermContext.cs:90) — a tiny pushdown scan of the
+  sorted term_stats table, the Spark analogue of a BlockTree term seek;
+- leaf scorers: postings scans with a vectorized BM25 score column;
+- boolean composition: AND = inner join on doc_id (ConjunctionScorer's
+  leapfrog merge-join, Search/ConjunctionScorer.cs), OR = union + hash
+  aggregate (DisjunctionSumScorer / bulk BooleanScorer bucket table,
+  Search/BooleanScorer.cs:61-78), MUST_NOT = left anti join
+  (ReqExclScorer), MUST+SHOULD = left outer join + coalesce
+  (ReqOptSumScorer), minimumShouldMatch = HAVING count >= n
+  (MinShouldMatchSumScorer);
+- top-k: ORDER BY score DESC, doc_id ASC LIMIT k — Spark executes this as
+  TakeOrdered (per-partition heap + single driver merge), exactly the
+  reference's leaf-slice parallel search + HitQueue merge
+  (IndexSearcher.cs:528-580; tie-break per HitQueue.cs:88).
+
+Two scoring modes:
+- "lucene": bit-parity BM25 — float32 arithmetic at every step the C#
+  float path takes, quantized SmallFloat-315 norms via the 256-entry cache
+  (BM25Similarity.cs ComputeWeight/BM25DocScorer).
+- "double": same formula in float64 on exact doc lengths (no quantization);
+  used for SQL-oracle differential checks (DuckDB computes the identical
+  double expression).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.index.builder import InvertedIndex
+from lucenenet_spark.index.smallfloat import bm25_norm_cache
+from lucenenet_spark.search.queries import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MultiTermQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+K1 = 1.2
+B = 0.75
+
+
+def _f32(x) -> np.float32:
+    return np.float32(x)
+
+
+class IndexSearcher:
+    def __init__(self, index: InvertedIndex, mode: str = "lucene", k1: float = K1, b: float = B):
+        assert mode in ("lucene", "double")
+        self.index = index
+        self.mode = mode
+        self.k1 = k1
+        self.b = b
+        if mode == "lucene":
+            cache = bm25_norm_cache(index.avgdl, k1, b)
+            # 256-entry literal array: the BM25 norm cache evaluated JVM-side
+            self._cache_col = F.array(*[F.lit(float(v)) for v in cache])
+
+    # ---------------------------------------------------------------- public
+    def search(self, query: Query, k: int = 10) -> DataFrame:
+        """Top-k: score DESC, doc_id ASC (TopScoreDocCollector.cs:30-34)."""
+        scored = self.scored(query)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def count(self, query: Query) -> int:
+        """TotalHitCountCollector equivalent."""
+        return self.docset(query).count()
+
+    def scored(self, query: Query) -> DataFrame:
+        """DataFrame[doc_id, score] of all matching docs."""
+        return self._scored(rewrite(query), tlb=1.0)
+
+    def docset(self, query: Query) -> DataFrame:
+        """Non-scoring matching-doc set (Filter equivalent)."""
+        return self._docset(rewrite(query))
+
+    # ------------------------------------------------------------- stats
+    def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (df, ttf) per query term — TermContext.Build analogue.
+        Pushdown filter on the term-sorted stats table; O(|terms|) rows."""
+        uniq = sorted(set(terms))
+        rows = self.index.term_stats.filter(F.col("term").isin(uniq)).collect()
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def _idf(self, df: int) -> float:
+        """BM25Similarity.Idf: (float)log(1 + (N - df + .5)/(df + .5))."""
+        n = self.index.max_doc
+        val = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return float(_f32(val)) if self.mode == "lucene" else val
+
+    def _weight_value(self, idf_sum: float, query_boost: float, tlb: float) -> float:
+        """weightValue = idf * queryBoost * topLevelBoost * (k1 + 1)
+        (BM25Stats.Normalize + BM25DocScorer ctor), float32 in lucene mode."""
+        if self.mode == "lucene":
+            w = _f32(_f32(_f32(idf_sum) * _f32(query_boost)) * _f32(tlb))
+            return float(_f32(w * _f32(_f32(self.k1) + _f32(1.0))))
+        return idf_sum * query_boost * tlb * (self.k1 + 1.0)
+
+    def _norm_col(self):
+        """Per-doc length normalization k1*((1-b) + b*dl/avgdl):
+        quantized cache lookup in lucene mode (BM25DocScorer.Score),
+        exact double expression in double mode."""
+        if self.mode == "lucene":
+            return F.element_at(self._cache_col, F.col("norm_byte") + F.lit(1))
+        avgdl = self.index.avgdl_double
+        return F.lit(self.k1) * (
+            F.lit(1.0 - self.b) + F.lit(self.b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+
+    def _score_col(self, weight_value: float, freq_col):
+        """score = weightValue * freq / (freq + norm)  (BM25DocScorer.Score),
+        float32 at each op in lucene mode."""
+        norm = self._norm_col()
+        if self.mode == "lucene":
+            freq = freq_col.cast("float")
+            num = (F.lit(weight_value).cast("float") * freq).cast("float")
+            den = (freq + norm.cast("float")).cast("float")
+            return (num / den).cast("float").cast("double")
+        freq = freq_col.cast("double")
+        return F.lit(weight_value) * freq / (freq + norm)
+
+    # ------------------------------------------------------------- scorers
+    def _scored(self, q: Query, tlb: float) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self._scored_term(q, tlb)
+        if isinstance(q, PhraseQuery):
+            return self._scored_phrase(q, tlb)
+        if isinstance(q, BooleanQuery):
+            return self._scored_boolean(q, tlb)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._scored_dismax(q, tlb)
+        if isinstance(q, MatchAllDocsQuery):
+            return self._const_score(self.index.doclens.select("doc_id"), q.boost * tlb)
+        if isinstance(q, ConstantScoreQuery):
+            return self._const_score(self._docset(q.query), q.boost * tlb)
+        if isinstance(q, FuzzyQuery):
+            return self._scored(self._rewrite_fuzzy(q), tlb)
+        if isinstance(q, MultiTermQuery):
+            # CONSTANT_SCORE rewrite branch (MultiTermQuery.cs:95-147)
+            return self._const_score(self._docset(q), q.boost * tlb)
+        if isinstance(q, BoostQuery):
+            return self._scored(q.query, tlb * q.boost)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _const_score(self, docset: DataFrame, boost: float) -> DataFrame:
+        val = float(_f32(boost)) if self.mode == "lucene" else float(boost)
+        return docset.select("doc_id", F.lit(val).alias("score"))
+
+    def _scored_term(self, q: TermQuery, tlb: float) -> DataFrame:
+        stats = self._term_stats([q.term])
+        df_, _ = stats.get(q.term, (0, 0))
+        wv = self._weight_value(self._idf(df_), q.boost, tlb)
+        p = self.index.postings.filter(F.col("term") == q.term)
+        return p.select("doc_id", self._score_col(wv, F.col("tf")).alias("score"))
+
+    def _scored_terms_or(self, term_boosts: dict[str, float], tlb: float) -> DataFrame:
+        """Single-scan disjunction over many terms (MultiTermQuery scoring
+        rewrite / flat OR): one postings scan with a per-term weight map —
+        the planner's bulk BooleanScorer."""
+        stats = self._term_stats(list(term_boosts))
+        weights = {
+            t: self._weight_value(self._idf(stats.get(t, (0, 0))[0]), tb, tlb)
+            for t, tb in term_boosts.items()
+        }
+        mapping = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(w))])
+        p = self.index.postings.filter(F.col("term").isin(list(term_boosts)))
+        per_term = p.select(
+            "doc_id",
+            self._score_col_dynamic(mapping[F.col("term")], F.col("tf")).alias("score"),
+        )
+        out = per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        if self.mode == "lucene":
+            out = out.select("doc_id", F.col("score").cast("float").cast("double").alias("score"))
+        return out
+
+    def _score_col_dynamic(self, weight_col, freq_col):
+        """Like _score_col but with a per-row (per-term) weight column."""
+        norm = self._norm_col()
+        if self.mode == "lucene":
+            freq = freq_col.cast("float")
+            num = (weight_col.cast("float") * freq).cast("float")
+            den = (freq + norm.cast("float")).cast("float")
+            return (num / den).cast("float").cast("double")
+        freq = freq_col.cast("double")
+        return weight_col.cast("double") * freq / (freq + norm)
+
+    # ------------------------------------------------------------- phrase
+    def _scored_phrase(self, q: PhraseQuery, tlb: float) -> DataFrame:
+        """ExactPhraseScorer (Search/ExactPhraseScorer.cs): N-way inner join
+        of the phrase terms' postings on doc_id, then phrase frequency =
+        |∩_i (positions_i - rel_i)| via array_intersect — all JVM-side.
+
+        Weight uses the summed idf of the phrase terms
+        (BM25Similarity.IdfExplain(TermStatistics[]), float32 accumulation).
+        """
+        if q.slop > 0:
+            return self._scored_sloppy_phrase(q, tlb)
+        terms = list(q.terms)
+        rel = q.resolved_positions()
+        stats = self._term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_scored()
+        if self.mode == "lucene":
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                idf_sum = _f32(idf_sum + _f32(self._idf(stats[t][0])))
+            idf_sum = float(idf_sum)
+        else:
+            idf_sum = sum(self._idf(stats[t][0]) for t in terms)
+        wv = self._weight_value(idf_sum, q.boost, tlb)
+
+        def _shift(rr: int):
+            return F.transform("positions", lambda x: x - F.lit(rr))
+
+        parts = []
+        for i, (t, r) in enumerate(zip(terms, rel)):
+            p = self.index.postings.filter(F.col("term") == t).select(
+                F.col("doc_id"),
+                _shift(int(r)).alias(f"adj_{i}"),
+                *(["dl", "norm_byte"] if i == 0 else []),
+            )
+            parts.append(p)
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+        inter = reduce(
+            lambda acc, i: F.array_intersect(acc, F.col(f"adj_{i}")),
+            range(1, len(terms)),
+            F.col("adj_0"),
+        )
+        joined = joined.withColumn("phrase_freq", F.size(inter)).filter(F.col("phrase_freq") > 0)
+        return joined.select("doc_id", self._score_col(wv, F.col("phrase_freq")).alias("score"))
+
+    def _scored_sloppy_phrase(self, q: PhraseQuery, tlb: float) -> DataFrame:
+        raise NotImplementedError("sloppy phrase (slop>0) lands post-v0")
+
+    def _empty_scored(self) -> DataFrame:
+        return (
+            self.index.doclens.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+        )
+
+    # ------------------------------------------------------------- boolean
+    def _scored_boolean(self, q: BooleanQuery, tlb: float) -> DataFrame:
+        tlb = tlb * q.boost
+        musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
+        shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
+        nots = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]
+        if not musts and not shoulds:
+            raise ValueError("pure-negation BooleanQuery matches nothing (as in Lucene)")
+
+        # Flat OR of plain unboosted? — keep general: score each clause.
+        req: DataFrame | None = None
+        if musts:
+            scored = [
+                self._scored(m, tlb).select("doc_id", F.col("score").alias(f"_s{i}"))
+                for i, m in enumerate(musts)
+            ]
+            req = reduce(lambda a, b: a.join(b, "doc_id"), scored)
+            ssum = reduce(lambda a, c: a + c, [F.col(f"_s{i}") for i in range(len(musts))])
+            req = req.select("doc_id", ssum.alias("score"))
+
+        opt: DataFrame | None = None
+        if shoulds:
+            scored = [self._scored(s, tlb) for s in shoulds]
+            union = reduce(lambda a, b: a.unionByName(b), scored)
+            opt = union.groupBy("doc_id").agg(
+                F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_should")
+            )
+
+        msm = q.minimum_should_match
+        if req is not None and opt is not None:
+            # ReqOptSumScorer: left outer + coalesce(opt, 0)
+            out = req.join(opt.withColumnRenamed("score", "opt_score"), "doc_id", "left")
+            if msm > 0:
+                out = out.filter(F.coalesce(F.col("n_should"), F.lit(0)) >= msm)
+            out = out.select(
+                "doc_id", (F.col("score") + F.coalesce(F.col("opt_score"), F.lit(0.0))).alias("score")
+            )
+        elif req is not None:
+            out = req
+        else:
+            assert opt is not None
+            if msm > 0:
+                opt = opt.filter(F.col("n_should") >= msm)  # MinShouldMatchSumScorer
+            out = opt.select("doc_id", "score")
+
+        for n in nots:
+            out = out.join(self._docset(n), "doc_id", "left_anti")  # ReqExclScorer
+
+        if self.mode == "lucene":
+            # boolean scorers accumulate in double, return float
+            out = out.select("doc_id", F.col("score").cast("float").cast("double").alias("score"))
+        return out
+
+    def _scored_dismax(self, q: DisjunctionMaxQuery, tlb: float) -> DataFrame:
+        tlb = tlb * q.boost
+        scored = [self._scored(s, tlb) for s in q.queries]
+        union = reduce(lambda a, b: a.unionByName(b), scored)
+        agg = union.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        score = F.col("mx") + F.lit(q.tie_breaker) * (F.col("sm") - F.col("mx"))
+        if self.mode == "lucene":
+            score = score.cast("float").cast("double")
+        return agg.select("doc_id", score.alias("score"))
+
+    # ------------------------------------------------------------- docsets
+    def _docset(self, q: Query) -> DataFrame:
+        q = rewrite(q)
+        if isinstance(q, TermQuery):
+            return self.index.postings.filter(F.col("term") == q.term).select("doc_id")
+        if isinstance(q, MultiTermQuery) and not isinstance(q, FuzzyQuery):
+            pred = self._term_predicate(q)
+            return self.index.postings.filter(pred).select("doc_id").distinct()
+        if isinstance(q, FuzzyQuery):
+            return self._docset(self._rewrite_fuzzy(q))
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.doclens.select("doc_id")
+        if isinstance(q, ConstantScoreQuery):
+            return self._docset(q.query)
+        if isinstance(q, BooleanQuery):
+            musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
+            shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
+            nots = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]
+            out = None
+            if musts:
+                out = reduce(lambda a, b: a.join(b, "doc_id"), [self._docset(m) for m in musts])
+            if shoulds:
+                union = reduce(lambda a, b: a.unionByName(b), [self._docset(s) for s in shoulds])
+                if q.minimum_should_match > 1:
+                    union = (
+                        union.groupBy("doc_id")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .filter(F.col("n") >= q.minimum_should_match)
+                        .select("doc_id")
+                    )
+                else:
+                    union = union.distinct()
+                out = union if out is None else out.join(union, "doc_id", "left_semi")
+            if out is None:
+                raise ValueError("pure-negation BooleanQuery matches nothing")
+            for n in nots:
+                out = out.join(self._docset(n), "doc_id", "left_anti")
+            return out.distinct()
+        # fall back: anything scorable
+        return self._scored(q, 1.0).select("doc_id")
+
+    def _term_predicate(self, q: MultiTermQuery):
+        """Compile a MultiTermQuery to a term-dictionary predicate —
+        our automaton-intersection analogue (pushed to the parquet scan)."""
+        col = F.col("term")
+        if isinstance(q, PrefixQuery):
+            return col.startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
+            pat = re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
+            return col.rlike(f"^{pat}$")
+        if isinstance(q, RegexpQuery):
+            return col.rlike(f"^(?:{q.regexp})$")  # Lucene regexps are anchored
+        if isinstance(q, TermRangeQuery):
+            conds = []
+            if q.lower is not None:
+                conds.append(col >= q.lower if q.include_lower else col > q.lower)
+            if q.upper is not None:
+                conds.append(col <= q.upper if q.include_upper else col < q.upper)
+            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+        raise TypeError(f"no term predicate for {q!r}")
+
+    def _rewrite_fuzzy(self, q: FuzzyQuery) -> Query:
+        """FuzzyQuery → top-terms boosted OR (FuzzyTermsEnum + TopTermsRewrite;
+        boost = 1 - edits/min-term-length, FuzzyTermsEnum.cs).
+
+        The candidate set comes from a pushdown scan of the term dictionary
+        with JVM-side levenshtein + length-window pruning; only the
+        ≤max_expansions winners are collected to the driver.
+        """
+        t = q.term
+        pred = (F.length("term") >= len(t) - q.max_edits) & (
+            F.length("term") <= len(t) + q.max_edits
+        )
+        if q.prefix_length > 0:
+            pred = pred & F.col("term").startswith(t[: q.prefix_length])
+        cand = (
+            self.index.term_stats.filter(pred)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("dist") <= q.max_edits)
+            .select("term", "dist")
+            .collect()
+        )
+        scored = []
+        for r in cand:
+            term, dist = r["term"], int(r["dist"])
+            boost = 1.0 if dist == 0 else 1.0 - dist / min(len(term), len(t))
+            scored.append((boost, term))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top = scored[: q.max_expansions]
+        if not top:
+            return TermQuery(t + "\x00_nomatch", boost=q.boost)
+        from lucenenet_spark.search.queries import BooleanClause
+
+        return BooleanQuery(
+            clauses=tuple(
+                BooleanClause(TermQuery(term, boost=boost), Occur.SHOULD) for boost, term in top
+            ),
+            boost=q.boost,
+        )
