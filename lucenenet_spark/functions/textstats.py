@@ -1,0 +1,69 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+fingerprinting — all built-in-function Column expressions (whole-stage
+codegen; zero Python in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+
+_STOP_LIST = sorted(ENGLISH_STOP_WORDS)
+
+
+def _raw_tokens(text_col):
+    return F.split(text_col, " ")
+
+
+def _stop_count(toks_col):
+    return F.size(F.filter(toks_col, lambda t: t.isin(*_STOP_LIST)))
+
+
+def token_counts(docs: DataFrame, index) -> DataFrame:
+    """(doc_id, n_tokens, n_terms, n_unique_terms): raw whitespace tokens,
+    analyzed emitted terms (stop-filtered), distinct terms."""
+    uniq = index.postings.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_terms")
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(_raw_tokens(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .join(index.doclens.select("doc_id", F.col("dl").cast("long").alias("n_terms")), "doc_id")
+        .join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_terms",
+            F.coalesce("n_unique_terms", F.lit(0)).cast("long").alias("n_unique_terms"),
+        )
+    )
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio_q): stopword-density quality signal,
+    ratio quantized to floor(r*10000+0.5)."""
+    toks = _raw_tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    ratio = _stop_count(toks).cast("double") / n_tokens
+    ratio_q = F.floor(ratio * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"), ratio_q.alias("stop_ratio_q"))
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def language_id(docs: DataFrame, threshold: float = 0.02) -> DataFrame:
+    """(doc_id, lang_pred): English stopword-density heuristic — stands in
+    for an n-gram language model; the Spark plumbing (pure Column ops,
+    broadcastable model constants) is the part that matters at scale."""
+    toks = _raw_tokens(F.col("text"))
+    ratio = _stop_count(toks).cast("double") / F.size(toks)
+    pred = F.when((F.size(toks) > 0) & (ratio >= threshold), "en").otherwise("unknown")
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 content hash (dedup/identity key)."""
+    return docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint"))

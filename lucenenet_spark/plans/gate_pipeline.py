@@ -1,0 +1,225 @@
+"""Gate registry part 2: large-scale training-data pipeline operators over
+the `documents` / `embeddings` tables — dedup (exact, MinHash-LSH, n-gram
+Jaccard), text analysis (token counts, quality, language-ID, fingerprints),
+and embedding similarity search.
+
+Determinism notes:
+- All hash-based ops use md5 (identical hex output in Spark and DuckDB);
+  MinHash permutations are simulated as lexicographic-min of
+  md5(term || '#' || i) — a uniform hash family that both engines compute
+  bit-identically, avoiding engine-specific hash() functions.
+- Ratios/cosines are quantized to bigints (floor(x*10000+0.5)) before
+  comparison, and thresshold filters are applied on the quantized value so
+  both sides select identical row sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.functions import dedup as fdedup
+from lucenenet_spark.functions import similarity as fsim
+from lucenenet_spark.functions import textstats as ftext
+from lucenenet_spark.plans.gate import SQL_PRELUDE, _STOPS, _docs_table, gate, get_engine
+
+_MINHASH_N = 8
+_MINHASH_BANDS = 4  # rows per band = 2
+
+
+# ==========================================================================
+# Deduplication
+# ==========================================================================
+@gate(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (DuplicateFilter analogue,
+    reference Lucene.Net.Sandbox/Queries/DuplicateFilter.cs). Map-side
+    partial agg; at 100 TB this is a single shuffle on the 128-bit digest."""
+    return fdedup.exact_duplicates(_docs_table(spark, sf_dir))
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_MINHASH_N)
+    )
+    bands = ", ".join(
+        f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(_MINHASH_BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bucket FROM sigb" for b in range(_MINHASH_BANDS)
+    )
+    return (
+        SQL_PRELUDE
+        + f""",
+shx AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shx
+  GROUP BY doc_id
+),
+sigb AS (SELECT doc_id, {bands} FROM sig),
+bands AS ({band_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+    )
+
+
+@gate("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates (shingle→minhash→band→
+    bucket-join). Signature = per-doc min over md5(shingle#i) for 8 hash
+    families over 3-gram shingles; 4 bands × 2 rows. Bucket join is the
+    only all-to-all shuffle, and it only moves (band, bucket) keys."""
+    return fdedup.minhash_lsh_pairs(
+        fdedup.shingles(_docs_table(spark, sf_dir), n=3).withColumnRenamed("shingle", "term"),
+        n_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+    )
+
+
+@gate(
+    "dedup_ngram_jaccard",
+    SQL_PRELUDE + """,
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) AS BIGINT) AS jacc_q
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) AS BIGINT) >= 8000
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard near-dup pairs ≥ 0.8."""
+    return fdedup.ngram_jaccard_pairs(_docs_table(spark, sf_dir), n=3, threshold_q=8000)
+
+
+# ==========================================================================
+# Text analysis
+# ==========================================================================
+@gate(
+    "token_counts",
+    SQL_PRELUDE + """
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       dl.dl AS n_terms,
+       CAST(coalesce(u.n, 0) AS BIGINT) AS n_unique_terms
+FROM documents d
+JOIN dl USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(DISTINCT term) AS n FROM tokf GROUP BY doc_id) u USING (doc_id)
+""",
+)
+def token_counts(spark, sf_dir):
+    """Token counting: raw whitespace tokens, analyzed terms, distinct terms."""
+    idx, _, docs = get_engine(spark, sf_dir)
+    return ftext.token_counts(docs, idx)
+
+
+@gate(
+    "quality_stats",
+    f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN ({_STOPS}))) AS BIGINT) AS n_stop
+  FROM raw
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(n_stop AS DOUBLE) / n_tokens * 10000 + 0.5) AS BIGINT) AS stop_ratio_q
+FROM st WHERE n_tokens > 0
+""",
+)
+def quality_stats(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio signals."""
+    return ftext.quality_stats(_docs_table(spark, sf_dir))
+
+
+@gate(
+    "language_id",
+    f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+                 AND CAST(len(list_filter(toks, t -> t IN ({_STOPS}))) AS DOUBLE)
+                     / len(toks) >= 0.02
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM raw
+""",
+)
+def language_id(spark, sf_dir):
+    """Heuristic language-ID: English stopword density (n-gram LM stub)."""
+    return ftext.language_id(_docs_table(spark, sf_dir))
+
+
+@gate(
+    "doc_fingerprint",
+    """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting (content-hash identity)."""
+    return ftext.doc_fingerprints(_docs_table(spark, sf_dir))
+
+
+# ==========================================================================
+# Embedding similarity search
+# ==========================================================================
+@gate(
+    "cosine_topk",
+    """
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+q AS (SELECT i, v FROM e WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS n2
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sum(v * v) AS n2 FROM q)
+SELECT d.vec_id,
+       CAST(floor(d.dot / sqrt(d.n2 * qn.n2) * 10000 + 0.5) AS BIGINT) AS cos_q
+FROM d, qn
+ORDER BY cos_q DESC, d.vec_id ASC LIMIT 10
+""",
+)
+def cosine_topk_gate(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over array<float> embeddings."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return fsim.cosine_topk(emb, query_vec_id=0, k=10)
