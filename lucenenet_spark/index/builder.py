@@ -47,6 +47,8 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("pos", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("norm_byte", T.IntegerType(), False),
     ]
 )
 
@@ -55,16 +57,24 @@ def _tokenizer_map(analyzer: StandardAnalyzer, id_col: str, text_col: str):
     """Build the mapInPandas function: corpus batches -> flat token rows.
 
     Vectorized per Arrow batch (flat numpy arrays — the DWPT analogue,
-    reference Index/DocumentsWriterPerThread.cs, is the Spark partition)."""
+    reference Index/DocumentsWriterPerThread.cs, is the Spark partition).
+    The document's field length and its SmallFloat-quantized norm byte are
+    computed batch-side and carried on every token row, so the downstream
+    plan needs exactly ONE shuffle (groupBy doc_id, term) and no
+    postings⋈doclens join — the Spark analogue of Lucene writing norms at
+    flush time (NormsConsumerPerField.cs:56)."""
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            row_idx, terms, positions, _ = analyzer.tokenize_batch(pdf[text_col])
+            row_idx, terms, positions, field_lens = analyzer.tokenize_batch(pdf[text_col])
+            norm_bytes = encode_norm(field_lens).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy()[row_idx],
                     "term": terms,
                     "pos": positions,
+                    "dl": field_lens[row_idx],
+                    "norm_byte": norm_bytes[row_idx],
                 }
             )
 
@@ -144,22 +154,25 @@ class InvertedIndex:
         )
 
 
-_ENCODE_NORM_UDF = F.pandas_udf(
-    lambda dl: pd.Series(encode_norm(dl.to_numpy()).astype(np.int32)), T.IntegerType()
-)
-
-
 def build_index(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer: StandardAnalyzer | None = None,
     with_positions: bool = True,
+    persist: bool = True,
 ) -> InvertedIndex:
     """Tokenize + invert a corpus DataFrame into an InvertedIndex.
 
+    One mapInPandas (tokenize, vectorized) + ONE shuffle
+    (groupBy doc_id, term). Norms ride along from the tokenizer, so there
+    is no postings⋈doclens join; term_stats re-aggregates postings with
+    map-side partial count/sum (heavy terms never collect in one task).
+
     `with_positions=False` mirrors IndexOptions.DOCS_AND_FREQS (drops the
     positions array; phrase queries then unavailable) — FieldInfo.cs:316-356.
+    `persist` caches postings (MEMORY_AND_DISK) since three downstream
+    tables derive from it.
     """
     analyzer = analyzer or StandardAnalyzer()
     tokens = corpus.select(
@@ -169,32 +182,44 @@ def build_index(
     aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    postings = tokens.groupBy("doc_id", "term").agg(*aggs)
+    aggs += [F.first("dl").alias("dl"), F.first("norm_byte").alias("norm_byte")]
+    postings = tokens.groupBy("doc_id", "term").agg(*aggs).select(
+        "term", "doc_id", "tf", *(["positions"] if with_positions else []), "dl", "norm_byte"
+    )
+    if persist:
+        postings = postings.persist()
 
+    # empty docs still get a doclens row: dl=0, norm encodes 1/sqrt(0)=inf
+    zero_norm = int(encode_norm(np.array([0], dtype=np.int64))[0])
     doclens = (
         corpus.select(F.col(id_col).cast("long").alias("doc_id"))
-        .join(postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")), "doc_id", "left")
-        .select("doc_id", F.coalesce("dl", F.lit(0)).cast("int").alias("dl"))
-        .withColumn("norm_byte", _ENCODE_NORM_UDF(F.col("dl")))
-    )
-
-    postings = postings.join(doclens, "doc_id").select(
-        "term", "doc_id", "tf", *(["positions"] if with_positions else []), "dl", "norm_byte"
+        .join(
+            postings.groupBy("doc_id").agg(
+                F.first("dl").alias("dl"), F.first("norm_byte").alias("norm_byte")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("dl", F.lit(0)).cast("int").alias("dl"),
+            F.coalesce("norm_byte", F.lit(zero_norm)).cast("int").alias("norm_byte"),
+        )
     )
 
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
     )
 
-    max_doc = corpus.count()
-    sum_ttf_row = doclens.agg(F.sum("dl")).collect()[0][0]
-    sum_ttf = int(sum_ttf_row or 0)
+    totals = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sttf")
+    ).collect()[0]
     return InvertedIndex(
         postings=postings,
         doclens=doclens,
         term_stats=term_stats,
-        max_doc=max_doc,
-        sum_ttf=sum_ttf,
+        max_doc=int(totals["n"]),
+        sum_ttf=int(totals["sttf"] or 0),
         analyzer=analyzer,
     )
 

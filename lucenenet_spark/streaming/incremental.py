@@ -1,0 +1,120 @@
+"""Near-real-time incremental indexing via Structured Streaming.
+
+The reference's NRT model (SURVEY.md §2.8): flushed-but-uncommitted segments
+become visible to new searchers via DirectoryReader.OpenIfChanged /
+SearcherManager.MaybeRefresh (src/Lucene.Net/Search/SearcherManager.cs,
+Index/StandardDirectoryReader.cs); ControlledRealTimeReopenThread bounds the
+visibility latency. Lucene has NO watermarks/event-time windows — the
+streaming surface is exactly "append docs, refresh searcher".
+
+Spark mapping: a Structured Streaming query with foreachBatch appends each
+micro-batch as a segment through the same SegmentedIndexWriter machinery
+(micro-batch == flush; checkpointLocation == commit point; trigger interval
+== ControlledRealTimeReopenThread's targetMaxStaleSec). `refresh()` returns
+a searcher over all committed segments — MaybeRefresh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+from lucenenet_spark.index.builder import InvertedIndex, build_index
+from lucenenet_spark.search.searcher import IndexSearcher
+
+
+class IncrementalIndexer:
+    """Append-only NRT index: each process_batch() call flushes one segment.
+
+    Use directly (unit tests / manual micro-batching) or as a foreachBatch
+    sink:
+
+        indexer = IncrementalIndexer(out_dir)
+        (stream.writeStream
+              .foreachBatch(indexer.process_batch)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True)
+              .start())
+    """
+
+    def __init__(self, out_dir: str, analyzer: StandardAnalyzer | None = None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.out_dir = out_dir
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.text_col = text_col
+        self.id_col = id_col
+        os.makedirs(out_dir, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "segments.json")
+
+    def _load_manifest(self) -> dict[str, dict]:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _commit_manifest(self, m: dict[str, dict]) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic — segments_N rename
+
+    # ------------------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: flush the micro-batch as segment seg_<id>.
+
+        Idempotent per batch_id (foreachBatch may replay a batch after
+        failure): an already-committed segment id is skipped — this plus
+        the streaming checkpoint gives exactly-once index contents."""
+        key = f"seg_{batch_id:08d}"
+        manifest = self._load_manifest()
+        if manifest.get(key, {}).get("status") == "committed":
+            return
+        t0 = time.time()
+        idx = build_index(
+            batch_df, text_col=self.text_col, id_col=self.id_col, analyzer=self.analyzer,
+            persist=False,
+        )
+        seg_dir = os.path.join(self.out_dir, "segments", key)
+        idx.postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+        idx.doclens.write.mode("overwrite").parquet(os.path.join(seg_dir, "doclens"))
+        manifest[key] = {
+            "status": "committed",
+            "docs": idx.max_doc,
+            "sum_ttf": idx.sum_ttf,
+            "wall_sec": round(time.time() - t0, 4),
+        }
+        self._commit_manifest(manifest)
+
+    # ------------------------------------------------------------------
+    def refresh(self, spark: SparkSession) -> IndexSearcher | None:
+        """SearcherManager.MaybeRefresh: a searcher over all committed
+        segments (None if nothing committed yet). Stats are recomputed
+        globally across segments, so scores stay exact as the index grows —
+        the property TermContext.Build gives the reference."""
+        manifest = self._load_manifest()
+        keys = sorted(k for k, v in manifest.items() if v["status"] == "committed")
+        if not keys:
+            return None
+        seg_root = os.path.join(self.out_dir, "segments")
+        postings = spark.read.parquet(*[os.path.join(seg_root, k, "postings") for k in keys])
+        doclens = spark.read.parquet(*[os.path.join(seg_root, k, "doclens") for k in keys])
+        term_stats = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+        )
+        idx = InvertedIndex(
+            postings=postings,
+            doclens=doclens,
+            term_stats=term_stats,
+            max_doc=sum(manifest[k]["docs"] for k in keys),
+            sum_ttf=sum(manifest[k]["sum_ttf"] for k in keys),
+            analyzer=self.analyzer,
+        )
+        return IndexSearcher(idx)
