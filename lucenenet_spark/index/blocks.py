@@ -1,0 +1,222 @@
+"""Block-compressed postings + block-max metadata + WAND-style pruning.
+
+Physical layout mirroring the reference's Lucene41 postings format
+(src/Lucene.Net/Codecs/Lucene41/Lucene41PostingsFormat.cs, BLOCK_SIZE=128
+at :375; ForUtil.cs FOR bitpacking; Lucene41SkipWriter skip data), adapted
+to a columnar table:
+
+    blocks(term, block_id, n_docs, min_doc, max_doc, max_tf,
+           max_norm_byte, packed BINARY)
+
+- block_id = doc_id // 128: packing groups are bounded at 128 postings, so
+  the packing aggregation is skew-free no matter how frequent the term is
+  (a stopword-scale term with 10^10 postings becomes ~10^8 independent
+  groups — the df-heavy-term mitigation the north rule requires).
+- packed = varint stream: doc-id deltas within the block, then tfs, then
+  per-doc position-delta lists (the reference's .doc/.pos streams inlined;
+  delta + variable-byte instead of FOR bitpacking — same asymptotics,
+  simpler in numpy; parity of scores, not bytes, is the contract).
+- (min_doc, max_doc) per block = the skip list (MultiLevelSkipListWriter):
+  doc-range pruning during conjunctions.
+- (max_tf, max_norm_byte) per block = block-max metadata — what Lucene 4.8
+  LACKS (no max-score metadata; SURVEY.md §4.2) and what BlockMaxWAND
+  (Ding & Suel 2011) adds: an upper bound on any BM25 score inside the
+  block, enabling safe top-k pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:375
+
+
+# --------------------------------------------------------------------------
+# numpy varint codec (LEB128, unsigned)
+# --------------------------------------------------------------------------
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value: ceil(bit_length/7), min 1
+    bl = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        bl[mask] += 1
+        tmp = tmp >> np.uint64(7)
+    bl[bl == 0] = 1
+    total = int(bl.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(bl)
+    starts = ends - bl
+    # fill byte position p of every value that has > p bytes
+    max_len = int(bl.max())
+    shifted = v.copy()
+    for p in range(max_len):
+        mask = bl > p
+        idx = starts[mask] + p
+        chunk = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (bl[mask] > p + 1).astype(np.uint8) << 7  # continuation bit
+        out[idx] = chunk | cont
+        shifted = shifted >> np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 back to uint64 (vectorized over the whole buffer)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.array([], dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    max_len = int((ends - starts).max()) + 1
+    for p in range(max_len):
+        mask = (starts + p) <= ends
+        vals[mask] |= (b[starts[mask] + p] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(
+            7 * p
+        )
+    if count is not None:
+        assert len(vals) == count, (len(vals), count)
+    return vals
+
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("max_norm_byte", T.IntegerType(), False),
+        T.StructField("packed", T.BinaryType(), False),
+    ]
+)
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas: one (term, block) group -> one packed row."""
+    pdf = pdf.sort_values("doc_id")
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    norm = pdf["norm_byte"].to_numpy(dtype=np.int64)
+    has_pos = "positions" in pdf.columns
+    block_id = int(docs[0]) // BLOCK_SIZE
+
+    doc_deltas = np.diff(docs, prepend=docs[0] - (docs[0] - block_id * BLOCK_SIZE))
+    doc_deltas[0] = docs[0] - block_id * BLOCK_SIZE  # delta from block base
+    parts = [
+        varint_encode(np.array([len(docs)], dtype=np.uint64)),
+        varint_encode(doc_deltas.astype(np.uint64)),
+        varint_encode(tfs.astype(np.uint64)),
+        varint_encode(norm.astype(np.uint64)),
+    ]
+    if has_pos:
+        pos_lists = pdf["positions"].tolist()
+        lens = np.array([len(p) for p in pos_lists], dtype=np.uint64)
+        parts.append(varint_encode(lens))
+        if lens.sum() > 0:
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+            # per-doc position deltas
+            firsts = np.concatenate(([0], np.cumsum(lens.astype(np.int64))[:-1]))
+            deltas = np.diff(flat, prepend=0)
+            deltas[firsts] = flat[firsts]
+            parts.append(varint_encode(deltas.astype(np.uint64)))
+    packed = b"".join(parts)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "block_id": [block_id],
+            "n_docs": [len(docs)],
+            "min_doc": [int(docs.min())],
+            "max_doc": [int(docs.max())],
+            "max_tf": [int(tfs.max())],
+            "max_norm_byte": [int(norm.max())],
+            "packed": [packed],
+        }
+    )
+
+
+def pack_postings(postings: DataFrame, with_positions: bool = True) -> DataFrame:
+    """postings rows -> 128-doc packed blocks (one bounded-size group each)."""
+    cols = ["term", "doc_id", "tf", "norm_byte"] + (["positions"] if with_positions else [])
+    return (
+        postings.select(*cols)
+        .withColumn("block_id", (F.col("doc_id") / F.lit(BLOCK_SIZE)).cast("long"))
+        .groupBy("term", "block_id")
+        .applyInPandas(lambda pdf: _pack_group(pdf), BLOCKS_SCHEMA)
+    )
+
+
+UNPACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("norm_byte", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def unpack_block_bytes(term: str, block_id: int, packed: bytes, with_positions: bool = True):
+    """Decode one packed block -> (doc_ids, tfs, norm_bytes, positions|None)."""
+    vals = varint_decode(packed)
+    off = 0
+    n = int(vals[off]); off += 1
+    doc_deltas = vals[off : off + n].astype(np.int64); off += n
+    tfs = vals[off : off + n].astype(np.int64); off += n
+    norms = vals[off : off + n].astype(np.int64); off += n
+    docs = np.cumsum(doc_deltas) + block_id * BLOCK_SIZE
+    pos_lists = None
+    if with_positions and off < len(vals):
+        lens = vals[off : off + n].astype(np.int64); off += n
+        flat = vals[off:].astype(np.int64)
+        # undo per-doc delta: positions within doc d are cumsum of its deltas
+        pos_lists = []
+        start = 0
+        for ln in lens:
+            ln = int(ln)
+            pos_lists.append(np.cumsum(flat[start : start + ln]).astype(np.int32).tolist())
+            start += ln
+    return docs, tfs, norms, pos_lists
+
+
+def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
+    """blocks -> postings rows (mapInPandas batch decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_term, out_doc, out_tf, out_norm, out_pos = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                docs, tfs, norms, pos = unpack_block_bytes(
+                    row["term"], int(row["block_id"]), row["packed"], with_positions
+                )
+                out_term.extend([row["term"]] * len(docs))
+                out_doc.extend(docs.tolist())
+                out_tf.extend(tfs.tolist())
+                out_norm.extend(norms.tolist())
+                out_pos.extend(pos if pos is not None else [None] * len(docs))
+            yield pd.DataFrame(
+                {
+                    "term": out_term,
+                    "doc_id": out_doc,
+                    "tf": out_tf,
+                    "norm_byte": out_norm,
+                    "positions": out_pos,
+                }
+            )
+
+    return blocks.mapInPandas(run, UNPACKED_SCHEMA)

@@ -42,43 +42,74 @@ from pyspark.sql import types as T
 from lucenenet_spark.analysis.analyzers import StandardAnalyzer
 from lucenenet_spark.index.smallfloat import byte315_to_float, encode_norm
 
-TOKENS_SCHEMA = T.StructType(
+POSTINGS_SCHEMA = T.StructType(
     [
-        T.StructField("doc_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
-        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
         T.StructField("dl", T.IntegerType(), False),
         T.StructField("norm_byte", T.IntegerType(), False),
     ]
 )
 
 
-def _tokenizer_map(analyzer: StandardAnalyzer, id_col: str, text_col: str):
-    """Build the mapInPandas function: corpus batches -> flat token rows.
+def _inverter_map(
+    analyzer: StandardAnalyzer, id_col: str, text_col: str, with_positions: bool
+):
+    """mapInPandas: corpus batches -> FULLY INVERTED posting rows.
 
-    Vectorized per Arrow batch (flat numpy arrays — the DWPT analogue,
-    reference Index/DocumentsWriterPerThread.cs, is the Spark partition).
-    The document's field length and its SmallFloat-quantized norm byte are
-    computed batch-side and carried on every token row, so the downstream
-    plan needs exactly ONE shuffle (groupBy doc_id, term) and no
-    postings⋈doclens join — the Spark analogue of Lucene writing norms at
-    flush time (NormsConsumerPerField.cs:56)."""
+    The DWPT insight (reference Index/DocumentsWriterPerThread.cs): a
+    document's tokens never cross a partition boundary, so the per-(doc,
+    term) aggregation — tf, sorted positions, field length, quantized norm
+    (NormsConsumerPerField.cs:56) — is complete within the Arrow batch.
+    The index build therefore needs NO shuffle at all for the postings
+    table; only the (small-output) term_stats/doclens aggregations shuffle.
 
-    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    All batch work is numpy kernels: flat tokenize, stable sort by
+    (row, term-code), reduceat-style boundary counts, np.split positions.
+    """
+
+    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             row_idx, terms, positions, field_lens = analyzer.tokenize_batch(pdf[text_col])
             norm_bytes = encode_norm(field_lens).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy()[row_idx],
-                    "term": terms,
-                    "pos": positions,
-                    "dl": field_lens[row_idx],
-                    "norm_byte": norm_bytes[row_idx],
-                }
-            )
+            doc_ids = pdf[id_col].to_numpy()
+            if len(terms) == 0:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype=object),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "tf": pd.Series([], dtype="int32"),
+                        "positions": pd.Series([], dtype=object),
+                        "dl": pd.Series([], dtype="int32"),
+                        "norm_byte": pd.Series([], dtype="int32"),
+                    }
+                )
+                continue
+            codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+            # stable sort by (row, code); positions stay ascending per group
+            order = np.lexsort((codes, row_idx))
+            r_s, c_s, p_s = row_idx[order], codes[order], positions[order]
+            boundary = np.flatnonzero(np.diff(r_s) | np.diff(c_s).astype(bool))
+            starts = np.concatenate(([0], boundary + 1))
+            counts = np.diff(np.concatenate((starts, [len(r_s)])))
+            g_rows = r_s[starts]
+            out = {
+                "term": uniques.to_numpy()[c_s[starts]]
+                if hasattr(uniques, "to_numpy")
+                else np.asarray(uniques)[c_s[starts]],
+                "doc_id": doc_ids[g_rows].astype(np.int64),
+                "tf": counts.astype(np.int32),
+                "positions": [a.tolist() for a in np.split(p_s, starts[1:])]
+                if with_positions
+                else [None] * len(starts),
+                "dl": field_lens[g_rows],
+                "norm_byte": norm_bytes[g_rows],
+            }
+            yield pd.DataFrame(out)
 
-    return tokenize
+    return invert
 
 
 @dataclass
@@ -175,17 +206,11 @@ def build_index(
     tables derive from it.
     """
     analyzer = analyzer or StandardAnalyzer()
-    tokens = corpus.select(
+    postings = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias(text_col)
-    ).mapInPandas(_tokenizer_map(analyzer, "doc_id", text_col), TOKENS_SCHEMA)
-
-    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
-    if with_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    aggs += [F.first("dl").alias("dl"), F.first("norm_byte").alias("norm_byte")]
-    postings = tokens.groupBy("doc_id", "term").agg(*aggs).select(
-        "term", "doc_id", "tf", *(["positions"] if with_positions else []), "dl", "norm_byte"
-    )
+    ).mapInPandas(_inverter_map(analyzer, "doc_id", text_col, with_positions), POSTINGS_SCHEMA)
+    if not with_positions:
+        postings = postings.drop("positions")
     if persist:
         postings = postings.persist()
 

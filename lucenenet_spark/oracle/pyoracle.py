@@ -93,6 +93,42 @@ class PyIndex:
                 out[d] = float(self._score(wv, freq, d))
         return out
 
+    def sloppy_phrase_scores(
+        self, terms: list[str], slop: int, positions: list[int] | None = None,
+        boost: float = 1.0, tlb: float = 1.0,
+    ) -> dict[int, float]:
+        """SloppyPhraseScorer freq (min-queue walk, non-repeating terms) +
+        BM25 with float freq (SloppyFreq = 1/(1+matchLength))."""
+        positions = positions if positions is not None else list(range(len(terms)))
+        idf_sum = f32(0.0)
+        for t in terms:
+            idf_sum = f32(idf_sum + self.idf(t))
+        wv = self._weight_value(idf_sum, boost, tlb)
+        docsets = [set(self.postings.get(t, {})) for t in terms]
+        out: dict[int, float] = {}
+        n = len(terms)
+        for d in set.intersection(*docsets) if docsets else set():
+            its = [sorted(p - r for p in self.postings[t][d]) for t, r in zip(terms, positions)]
+            idx_ = [0] * n
+            cur = [it[0] for it in its]
+            end = max(cur)
+            acc = f32(0.0)
+            while True:
+                i = min(range(n), key=lambda j: cur[j])
+                ml = end - cur[i]
+                if ml <= slop:
+                    acc = f32(acc + f32(1.0 / (1.0 + ml)))
+                idx_[i] += 1
+                if idx_[i] >= len(its[i]):
+                    break
+                cur[i] = its[i][idx_[i]]
+                end = max(end, cur[i])
+            if acc > 0:
+                fr = f32(acc)
+                norm = self.cache[self.norm_byte[d]]
+                out[d] = float(f32(f32(f32(wv * fr)) / f32(fr + norm)))
+        return out
+
     def boolean(
         self,
         musts: list[dict[int, float]] = (),

@@ -1,0 +1,150 @@
+"""Collector-layer operators: facets, grouping, field sort, rescoring.
+
+These are the reference's collector/module features re-expressed as plain
+DataFrame compositions over (matching docs x metadata columns):
+
+- facet_counts       FacetsCollector + FastTaxonomyFacetCounts
+                     (Lucene.Net.Facet/Taxonomy/FastTaxonomyFacetCounts.cs)
+- range_facet_counts LongRangeFacetCounts (Facet/Range/LongRangeFacetCounts.cs)
+- drill_down         DrillDownQuery (Facet/DrillDownQuery.cs): query + dim filters
+- drill_sideways     DrillSideways (Facet/DrillSideways.cs): per-dim counts with
+                     that dim's own filter removed
+- group_topk         grouping module two-pass collectors
+                     (Lucene.Net.Grouping/Term/TermSecondPassGroupingCollector.cs)
+- sort_topk          TopFieldCollector (Search/TopFieldCollector.cs)
+- rescore            QueryRescorer (Search/QueryRescorer.cs): re-rank top-N
+                     by combining first-pass and second-pass scores
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark.search.queries import Query
+from lucenenet_spark.search.searcher import IndexSearcher
+
+
+def facet_counts(
+    searcher: IndexSearcher, query: Query, meta: DataFrame, dim: str, top_n: int | None = None
+) -> DataFrame:
+    """(dim_value, cnt) over docs matching `query`; meta carries doc_id+dims."""
+    m = searcher.docset(query).join(meta.select("doc_id", dim), "doc_id")
+    out = m.groupBy(dim).agg(F.count(F.lit(1)).alias("cnt"))
+    if top_n:
+        out = out.orderBy(F.desc("cnt"), F.asc(dim)).limit(top_n)
+    return out
+
+
+def range_facet_counts(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+) -> DataFrame:
+    """(bucket, cnt) for [lo, hi) ranges (None = open end)."""
+    m = searcher.docset(query).join(meta.select("doc_id", col), "doc_id")
+    expr = None
+    for name, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    bucket = expr.otherwise(F.lit(None))
+    return (
+        m.select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drill_down(
+    searcher: IndexSearcher, query: Query, meta: DataFrame, filters: dict[str, object]
+) -> DataFrame:
+    """DrillDownQuery: base query AND dim=value filters -> doc set."""
+    m = searcher.docset(query).join(meta, "doc_id")
+    for dim, val in filters.items():
+        m = m.filter(F.col(dim) == val)
+    return m.select("doc_id")
+
+
+def drill_sideways(
+    searcher: IndexSearcher, query: Query, meta: DataFrame, filters: dict[str, object]
+) -> dict[str, DataFrame]:
+    """DrillSideways: for each drilldown dim, facet counts computed with all
+    OTHER dims' filters applied but its own removed (so the UI can show the
+    alternatives). Returns {dim: (value, cnt) DataFrame}."""
+    base = searcher.docset(query).join(meta, "doc_id")
+    out = {}
+    for dim in filters:
+        m = base
+        for other, val in filters.items():
+            if other != dim:
+                m = m.filter(F.col(other) == val)
+        out[dim] = m.groupBy(dim).agg(F.count(F.lit(1)).alias("cnt"))
+    return out
+
+
+def group_topk(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    group_col: str,
+    k_per_group: int = 2,
+) -> DataFrame:
+    """Top-k docs per group by score (window row_number — the two-pass
+    grouping collectors in one declarative plan)."""
+    scored = searcher.scored(query).join(meta.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_per_group)
+        .select(group_col, "doc_id", "score")
+    )
+
+
+def sort_topk(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    sort_cols: list[tuple[str, bool]],
+    k: int = 10,
+) -> DataFrame:
+    """TopFieldCollector: top-k by arbitrary sort fields
+    [(col, ascending)], doc_id as the final tie-break."""
+    m = searcher.docset(query).join(meta, "doc_id")
+    order = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("doc_id")]
+    return m.orderBy(*order).limit(k)
+
+
+def rescore(
+    searcher: IndexSearcher,
+    first_pass: Query,
+    second_pass: Query,
+    n: int = 100,
+    k: int = 10,
+    weight_first: float = 1.0,
+    weight_second: float = 1.0,
+) -> DataFrame:
+    """QueryRescorer.Rescore: take top-N of the cheap query, re-score that
+    candidate set with the expensive query, combine weighted sums (missing
+    second-pass score = 0, as in the reference's combine(firstPassHasHit))."""
+    top_n = searcher.search(first_pass, n).withColumnRenamed("score", "score1")
+    second = searcher.scored(second_pass).withColumnRenamed("score", "score2")
+    combined = top_n.join(second, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit(weight_first) * F.col("score1")
+            + F.lit(weight_second) * F.coalesce(F.col("score2"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def total_hits(searcher: IndexSearcher, query: Query) -> int:
+    """TotalHitCountCollector."""
+    return searcher.count(query)

@@ -1,0 +1,78 @@
+"""Highlighting: best-fragment extraction with term markers.
+
+Reference: Lucene.Net.Highlighter — Highlighter+QueryScorer re-analyze the
+stored text and pick the fragment with the highest sum of matched-term
+scores (Highlight/Highlighter.cs GetBestFragments). Ours is a vectorized
+mapInPandas over (doc_id, text): re-tokenize the batch with the engine
+analyzer, slide fixed-size windows, pick the window with the most query
+term hits, wrap hits in <b></b> — the same re-analyze strategy, batch-wise.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+
+HIGHLIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fragment", T.StringType(), True),
+        T.StructField("n_hits", T.IntegerType(), False),
+    ]
+)
+
+
+def highlight(
+    docs: DataFrame,
+    query_terms: list[str],
+    fragment_tokens: int = 12,
+    analyzer: StandardAnalyzer | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """(doc_id, fragment, n_hits): best window of `fragment_tokens` raw
+    tokens by query-term hit count; terms wrapped in markers. Docs with no
+    hit get fragment=None, n_hits=0."""
+    analyzer = analyzer or StandardAnalyzer()
+    terms = set(query_terms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_frag: list[str | None] = []
+            out_hits: list[int] = []
+            raw_lists = pdf[text_col].fillna("").str.split()
+            for raw in raw_lists:
+                ana = [
+                    (analyzer.tokenize_text(tok) or [("", 0)])[0][0] for tok in raw
+                ]
+                is_hit = np.array([a in terms for a in ana], dtype=np.int32)
+                if not is_hit.any():
+                    out_frag.append(None)
+                    out_hits.append(0)
+                    continue
+                w = min(fragment_tokens, len(raw))
+                window = np.convolve(is_hit, np.ones(w, dtype=np.int32), "valid")
+                start = int(window.argmax())
+                frag = [
+                    (pre + raw[i] + post) if is_hit[i] else raw[i]
+                    for i in range(start, start + w)
+                ]
+                out_frag.append(" ".join(frag))
+                out_hits.append(int(window.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "fragment": out_frag,
+                    "n_hits": np.array(out_hits, dtype=np.int32),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, HIGHLIGHT_SCHEMA)

@@ -1,0 +1,58 @@
+"""MoreLikeThis: build a query from a source doc's top-TFIDF terms.
+
+Reference: src/Lucene.Net.Queries/Mlt/MoreLikeThis.cs:129 — select the
+source doc's terms passing (minTermFreq, minDocFreq, maxDocFreq) gates,
+rank by tf * idf (idf = log(numDocs/(docFreq+1)) + 1, MoreLikeThis.cs
+DefaultSimilarity TF-IDF — NOT BM25), keep maxQueryTerms best, emit an OR
+query (optionally boosted by score/bestScore).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.index.builder import InvertedIndex
+from lucenenet_spark.search.queries import BooleanClause, BooleanQuery, Occur, TermQuery
+
+
+def more_like_this_query(
+    index: InvertedIndex,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    max_doc_freq: int | None = None,
+    boost: bool = False,
+) -> BooleanQuery:
+    """Build the MLT OR-query for one stored document.
+
+    Distributed shape: one pushdown scan of the doc's postings row-group +
+    a broadcast-size join with term_stats; only maxQueryTerms rows reach
+    the driver.
+    """
+    doc_terms = index.postings.filter(F.col("doc_id") == doc_id).select("term", "tf")
+    cand = doc_terms.join(index.term_stats, "term").filter(F.col("tf") >= min_term_freq)
+    cand = cand.filter(F.col("df") >= min_doc_freq)
+    if max_doc_freq is not None:
+        cand = cand.filter(F.col("df") <= max_doc_freq)
+    rows = cand.select("term", "tf", "df").collect()
+
+    n = index.max_doc
+    scored = []
+    for r in rows:
+        idf = math.log(n / (r["df"] + 1)) + 1.0  # DefaultSimilarity.Idf
+        scored.append((r["tf"] * idf, r["term"]))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = scored[:max_query_terms]
+    if not top:
+        return BooleanQuery(clauses=())
+    best = top[0][0]
+    clauses = tuple(
+        BooleanClause(
+            TermQuery(t, boost=(s / best) if boost else 1.0), Occur.SHOULD
+        )
+        for s, t in top
+    )
+    return BooleanQuery(clauses=clauses)

@@ -253,7 +253,92 @@ class IndexSearcher:
         return joined.select("doc_id", self._score_col(wv, F.col("phrase_freq")).alias("score"))
 
     def _scored_sloppy_phrase(self, q: PhraseQuery, tlb: float) -> DataFrame:
-        raise NotImplementedError("sloppy phrase (slop>0) lands post-v0")
+        """SloppyPhraseScorer (Search/SloppyPhraseScorer.cs): same N-way
+        doc_id join as the exact phrase, then the PhrasePositions min-queue
+        walk per candidate doc computes sloppyFreq = sum of
+        1/(1+matchLength) over windows with matchLength <= slop
+        (BM25Similarity.SloppyFreq at BM25Similarity.cs:74-77).
+
+        The walk runs in an applyInPandas batch (the genuinely iterator-ish
+        part Spark can't express); everything around it is declarative.
+        Implements the non-repeating-terms path of the reference algorithm.
+        """
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        terms = list(q.terms)
+        rel = q.resolved_positions()
+        slop = q.slop
+        stats = self._term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_scored()
+        if self.mode == "lucene":
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                idf_sum = _f32(idf_sum + _f32(self._idf(stats[t][0])))
+            idf_sum = float(idf_sum)
+        else:
+            idf_sum = sum(self._idf(stats[t][0]) for t in terms)
+        wv = self._weight_value(idf_sum, q.boost, tlb)
+
+        def _shift(rr: int):
+            return F.transform("positions", lambda x: x - F.lit(rr))
+
+        parts = []
+        for i, (t, r) in enumerate(zip(terms, rel)):
+            p = self.index.postings.filter(F.col("term") == t).select(
+                F.col("doc_id"),
+                _shift(int(r)).alias(f"adj_{i}"),
+                *(["dl", "norm_byte"] if i == 0 else []),
+            )
+            parts.append(p)
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+
+        n = len(terms)
+        use_f32 = self.mode == "lucene"
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("freq", T.DoubleType(), False),
+                T.StructField("dl", T.IntegerType(), False),
+                T.StructField("norm_byte", T.IntegerType(), False),
+            ]
+        )
+
+        def sloppy(batches):
+            for pdf in batches:
+                freqs = []
+                for row in pdf.itertuples(index=False):
+                    its = [sorted(getattr(row, f"adj_{i}")) for i in range(n)]
+                    idx_ = [0] * n
+                    cur = [it[0] for it in its]
+                    end = max(cur)
+                    acc = np.float32(0.0) if use_f32 else 0.0
+                    while True:
+                        i = min(range(n), key=lambda j: cur[j])
+                        match_len = end - cur[i]
+                        if match_len <= slop:
+                            contrib = 1.0 / (1.0 + match_len)
+                            acc = (
+                                np.float32(acc + np.float32(contrib)) if use_f32 else acc + contrib
+                            )
+                        idx_[i] += 1
+                        if idx_[i] >= len(its[i]):
+                            break
+                        cur[i] = its[i][idx_[i]]
+                        end = max(end, cur[i])
+                    freqs.append(float(acc))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "freq": freqs,
+                        "dl": pdf["dl"].astype("int32"),
+                        "norm_byte": pdf["norm_byte"].astype("int32"),
+                    }
+                )
+
+        with_freq = joined.mapInPandas(sloppy, out_schema).filter(F.col("freq") > 0)
+        return with_freq.select("doc_id", self._score_col(wv, F.col("freq")).alias("score"))
 
     def _empty_scored(self) -> DataFrame:
         return (

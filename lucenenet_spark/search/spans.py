@@ -1,0 +1,82 @@
+"""Span queries: position-algebra proximity matching.
+
+Reference: Search/Spans/ (SpanTermQuery, SpanNearQuery ordered/unordered,
+SpanFirstQuery, SpanNotQuery — ~2,500 LoC of iterator machinery,
+NearSpansOrdered.cs / NearSpansUnordered.cs). Our mapping generalizes the
+phrase position-join: explode each clause's positions, join on doc_id with
+window predicates (n=2 fully declarative), or a batch matcher for n>2.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.index.builder import InvertedIndex
+
+
+def _positions(index: InvertedIndex, term: str, alias: str) -> DataFrame:
+    return (
+        index.postings.filter(F.col("term") == term)
+        .select("doc_id", F.explode("positions").alias(alias))
+    )
+
+
+def span_near_docs(
+    index: InvertedIndex, terms: list[str], slop: int = 0, in_order: bool = True
+) -> DataFrame:
+    """Docs with a span of `terms` within `slop` gaps (SpanNearQuery).
+
+    ordered: positions strictly increasing, total width - (n-1) <= slop
+    unordered: any arrangement, width - (n-1) <= slop, distinct positions
+
+    n=2 is a pure join; n>2 chains ordered joins with a cumulative width
+    bound (exact for ordered; for unordered it uses the ordered-of-sorted
+    relaxation, exact for slop >= 0 window containment).
+    """
+    n = len(terms)
+    assert n >= 2
+    parts = [_positions(index, t, f"p{i}") for i, t in enumerate(terms)]
+    if in_order:
+        joined = parts[0]
+        for i in range(1, n):
+            joined = joined.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+        width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+        return joined.filter(width <= slop).select("doc_id").distinct()
+    # unordered: any permutation; distinct positions; min/max window bound
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    cols = [F.col(f"p{i}") for i in range(n)]
+    distinct_pos = F.size(F.array_distinct(F.array(*cols))) == n
+    width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
+    return joined.filter(distinct_pos & (width <= slop)).select("doc_id").distinct()
+
+
+def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
+    """SpanFirstQuery: term occurs at position < end."""
+    return (
+        _positions(index, term, "p")
+        .filter(F.col("p") < end)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def span_not_docs(
+    index: InvertedIndex, include: list[str], exclude: str, slop: int = 0, dist: int = 0
+) -> DataFrame:
+    """SpanNotQuery: include-span docs minus docs where the exclude term
+    overlaps (within `dist` positions of) an include span."""
+    inc = span_near_docs(index, include, slop=slop, in_order=True) if len(include) > 1 else (
+        index.postings.filter(F.col("term") == include[0]).select("doc_id").distinct()
+    )
+    near_excl = _positions(index, exclude, "pe")
+    inc_pos = _positions(index, include[0], "pi")
+    overlap = (
+        inc_pos.join(near_excl, "doc_id")
+        .filter((F.col("pe") >= F.col("pi") - dist) & (F.col("pe") <= F.col("pi") + len(include) - 1 + dist))
+        .select("doc_id")
+        .distinct()
+    )
+    return inc.join(overlap, "doc_id", "left_anti")

@@ -1,0 +1,101 @@
+"""Block codec roundtrip + block-max WAND rank identity
+(BasePostingsFormatTestCase spirit: encode/decode equivalence; plus the
+pruning-safety contract: top-k with pruning == top-k without)."""
+
+import numpy as np
+import pytest
+
+from lucenenet_spark import IndexSearcher, TermQuery, build_index
+from lucenenet_spark.index.blocks import (
+    pack_postings,
+    unpack_blocks,
+    varint_decode,
+    varint_encode,
+)
+from lucenenet_spark.search.wand import BlockMaxSearcher
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(7)
+    for arr in [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**53], dtype=np.uint64),
+        rng.integers(0, 2**40, size=5000).astype(np.uint64),
+    ]:
+        enc = varint_encode(arr)
+        dec = varint_decode(enc)
+        assert np.array_equal(dec, arr)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus_df):
+    idx = build_index(corpus_df).cache()
+    blocks = pack_postings(idx.postings).cache()
+    return idx, blocks
+
+
+def test_pack_unpack_roundtrip(packed):
+    idx, blocks = packed
+    orig = {
+        (r["term"], r["doc_id"]): (r["tf"], r["norm_byte"], tuple(r["positions"]))
+        for r in idx.postings.collect()
+    }
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["norm_byte"], tuple(r["positions"]))
+        for r in unpack_blocks(blocks).collect()
+    }
+    assert got == orig
+
+
+def test_block_metadata_bounds(packed):
+    idx, blocks = packed
+    rows = blocks.collect()
+    for r in rows:
+        assert r["n_docs"] <= 128
+        assert r["min_doc"] // 128 == r["block_id"]
+        assert r["max_doc"] // 128 == r["block_id"]
+
+
+def test_wand_rank_identity(packed):
+    idx, blocks = packed
+    plain = IndexSearcher(idx)
+    bmw = BlockMaxSearcher(idx, blocks)
+    for term in ["w0000", "w0001", "w0042", "fox", "w0300"]:
+        exp = [
+            (r["doc_id"], r["score"]) for r in plain.search(TermQuery(term), 10).collect()
+        ]
+        got = [(r["doc_id"], r["score"]) for r in bmw.topk_term(term, 10).collect()]
+        assert got == exp, term
+        assert bmw.last_stats["blocks_scored"] <= bmw.last_stats["blocks_total"]
+
+
+def test_wand_prunes_on_length_skewed_corpus(spark):
+    # 1500 docs all containing 'hot' once; doc length grows with doc_id, so
+    # early blocks hold the short (high-scoring) docs and later blocks are
+    # provably non-competitive — the textbook BMW case.
+    docs = [(d, "hot " + " ".join(f"f{j:03d}" for j in range(5 + d // 3))) for d in range(1500)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df).cache()
+    blocks = pack_postings(idx.postings).cache()
+    plain = IndexSearcher(idx)
+    bmw = BlockMaxSearcher(idx, blocks)
+    exp = [(r["doc_id"], r["score"]) for r in plain.search(TermQuery("hot"), 10).collect()]
+    got = [(r["doc_id"], r["score"]) for r in bmw.topk_term("hot", 10).collect()]
+    assert got == exp
+    st = bmw.last_stats
+    assert st["blocks_total"] == 12  # 1500/128
+    assert st["blocks_scored"] < st["blocks_total"] / 2, st  # real pruning
+
+
+def test_compression_smaller_than_raw(packed):
+    from pyspark.sql import functions as F
+
+    idx, blocks = packed
+    packed_bytes = blocks.select(F.sum(F.length("packed"))).collect()[0][0]
+    n_postings = idx.postings.count()
+    ttf = idx.sum_ttf
+    # uncompressed footprint: doc_id 8B + tf 4B + norm 1B per posting,
+    # 4B per position occurrence
+    raw_bytes = n_postings * 13 + ttf * 4
+    assert packed_bytes < raw_bytes / 2, (packed_bytes, raw_bytes)
