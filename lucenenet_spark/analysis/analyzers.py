@@ -98,6 +98,122 @@ def tokenize_batch(
     return kept_rows, s.to_numpy()[keep], positions[keep], field_lengths
 
 
+def tokenize_batch_arrow(
+    texts,
+    *,
+    lowercase: bool = True,
+    stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+    token_re: re.Pattern = _TOKEN_RE,
+):
+    """Arrow-native tokenization: identical output contract to
+    ``tokenize_batch`` but terms stay in Arrow C++ (re2 split, utf8_lower,
+    dictionary_encode) — zero per-token Python string objects on the fast
+    path. Returns ``(row_idx, codes, dictionary, positions, field_lens)``
+    where ``dictionary.take(codes)`` is the term stream.
+
+    Parity strategy: the text is split on the token-alphabet complement;
+    candidates that fully match the token regex (the overwhelming majority)
+    are used as-is, the rest (e.g. ``a..b``, ``'x``, trailing ``.``) fall
+    back to python findall per candidate so the emitted token stream is
+    byte-identical to the reference path (verified by differential test).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    alphabet = "A-Za-z0-9_À-ɏ"
+    delim = f"[^{alphabet}.']+"
+    anchored = f"^(?:[{alphabet}]+(?:[.'][{alphabet}]+)*)$"
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        pd.Series(texts).fillna("").astype(str), type=pa.string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.fill_null("")
+    n_rows = len(arr)
+
+    cand_list = pc.split_pattern_regex(arr, pattern=delim)
+    flat = cand_list.flatten()
+    cand_counts = pc.list_value_length(cand_list).to_numpy(zero_copy_only=False)
+    cand_row = np.repeat(np.arange(n_rows, dtype=np.int64), cand_counts)
+
+    nonempty = pc.not_equal(flat, "")
+    valid = pc.match_substring_regex(flat, anchored)
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    ok_np = valid.to_numpy(zero_copy_only=False) & ne_np
+
+    if bool(np.all(ok_np == ne_np)):
+        # fast path: every nonempty candidate IS exactly one token
+        keep = np.flatnonzero(ne_np)
+        tokens = flat.take(pa.array(keep, type=pa.int64()))
+        tok_row = cand_row[keep]
+    else:
+        # surgery: expand irregular candidates with python findall
+        irregular = np.flatnonzero(ne_np & ~ok_np)
+        irr_set = set(irregular.tolist())
+        tokens_parts: list = []
+        rows_parts: list = []
+        regular = np.flatnonzero(ok_np)
+        # counts per candidate to preserve order: walk candidates in order
+        irr_tokens = {
+            int(i): token_re.findall(flat[int(i)].as_py()) for i in irregular
+        }
+        order_tokens = []
+        order_rows = []
+        for i in np.flatnonzero(ne_np):
+            i = int(i)
+            if i in irr_set:
+                for t in irr_tokens[i]:
+                    order_tokens.append(t)
+                    order_rows.append(cand_row[i])
+            else:
+                order_tokens.append(None)  # placeholder for arrow value
+                order_rows.append(cand_row[i])
+        # fill placeholders from arrow without converting regulars
+        reg_iter = iter(flat.take(pa.array(regular, type=pa.int64())).to_pylist())
+        order_tokens = [t if t is not None else next(reg_iter) for t in order_tokens]
+        tokens = pa.array(order_tokens, type=pa.string())
+        tok_row = np.asarray(order_rows, dtype=np.int64)
+
+    total = len(tokens)
+    if total == 0:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            pa.array([], type=pa.string()),
+            np.array([], dtype=np.int32),
+            np.zeros(n_rows, dtype=np.int32),
+        )
+
+    # raw position = token index within its document (pre-filter, holes kept)
+    tok_counts = np.bincount(tok_row, minlength=n_rows)
+    offsets = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(tok_counts[:-1], out=offsets[1:])
+    positions = (np.arange(total, dtype=np.int64) - offsets[tok_row]).astype(np.int32)
+
+    if lowercase:
+        tokens = pc.utf8_lower(tokens)
+    keep_mask = pc.less_equal(pc.utf8_length(tokens), max_token_length)
+    if stopwords:
+        not_stop = pc.invert(
+            pc.is_in(tokens, value_set=pa.array(sorted(stopwords), type=pa.string()))
+        )
+        keep_mask = pc.and_(keep_mask, not_stop)
+    keep_np = keep_mask.to_numpy(zero_copy_only=False)
+    keep_idx = np.flatnonzero(keep_np)
+
+    kept_tokens = tokens.take(pa.array(keep_idx, type=pa.int64()))
+    kept_rows = tok_row[keep_idx]
+    kept_pos = positions[keep_idx]
+    field_lens = np.bincount(kept_rows, minlength=n_rows).astype(np.int32)
+
+    enc = pc.dictionary_encode(kept_tokens)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    return kept_rows, codes, dictionary, kept_pos, field_lens
+
+
 class StandardAnalyzer:
     """StandardTokenizer + LowerCase + Stop filter pipeline.
 
@@ -126,6 +242,21 @@ class StandardAnalyzer:
             max_token_length=self.max_token_length,
             token_re=self.token_re,
         )
+
+    def tokenize_batch_arrow(self, texts):
+        """Arrow-native variant (see tokenize_batch_arrow); only valid for
+        the standard token regex — custom regexes use the pandas path."""
+        return tokenize_batch_arrow(
+            texts,
+            lowercase=self.lowercase,
+            stopwords=self.stopwords,
+            max_token_length=self.max_token_length,
+            token_re=self.token_re,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return self.token_re is _TOKEN_RE
 
     def tokenize_text(self, text: str) -> list[tuple[str, int]]:
         """Driver-side single-string tokenization (query analysis path).

@@ -68,12 +68,28 @@ def _f32(x) -> np.float32:
 
 
 class IndexSearcher:
-    def __init__(self, index: InvertedIndex, mode: str = "lucene", k1: float = K1, b: float = B):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        mode: str = "lucene",
+        k1: float = K1,
+        b: float = B,
+        stats_cache_max_terms: int = 2_000_000,
+    ):
         assert mode in ("lucene", "double")
         self.index = index
         self.mode = mode
         self.k1 = k1
         self.b = b
+        # Driver-side term-stats dictionary: the analogue of keeping the FST
+        # term index in RAM (Codecs/BlockTreeTermsReader). Loaded lazily on
+        # first lookup when the dictionary is small enough; otherwise each
+        # query does a pushdown scan (still O(|query terms|) rows read).
+        # Saves one Spark job per query — the dominant cost of small-corpus
+        # query latency.
+        self._stats_cache_max_terms = stats_cache_max_terms
+        self._stats_dict: dict[str, tuple[int, int]] | None = None
+        self._stats_dict_checked = False
         if mode == "lucene":
             cache = bm25_norm_cache(index.avgdl, k1, b)
             # 256-entry literal array: the BM25 norm cache evaluated JVM-side
@@ -100,7 +116,18 @@ class IndexSearcher:
     # ------------------------------------------------------------- stats
     def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Global (df, ttf) per query term — TermContext.Build analogue.
-        Pushdown filter on the term-sorted stats table; O(|terms|) rows."""
+        Driver dict when the dictionary fits; else pushdown filter on the
+        term-sorted stats table (O(|terms|) rows either way)."""
+        if not self._stats_dict_checked:
+            self._stats_dict_checked = True
+            n_terms = self.index.term_stats.count()
+            if n_terms <= self._stats_cache_max_terms:
+                self._stats_dict = {
+                    r["term"]: (int(r["df"]), int(r["ttf"]))
+                    for r in self.index.term_stats.collect()
+                }
+        if self._stats_dict is not None:
+            return {t: self._stats_dict[t] for t in set(terms) if t in self._stats_dict}
         uniq = sorted(set(terms))
         rows = self.index.term_stats.filter(F.col("term").isin(uniq)).collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}

@@ -86,17 +86,47 @@ def run_child(n_docs: int, cpus: int, corpus_path: str) -> dict:
     raise RuntimeError(f"child failed (cpus={cpus}):\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
 
 
+def _host_capacity_probe(cpu_list: list[int]) -> dict[int, float]:
+    """Pure-Python CPU burn at each parallelism level: measures how many
+    effective cores the (virtualized) host actually delivers, so the
+    report can separate engine scaling from hypervisor throttling."""
+    import multiprocessing as mp
+    import time as _t
+
+    def _burn(n):
+        x = 0
+        for i in range(n):
+            x += i * i
+        return x
+
+    N = 3_000_000
+    t0 = _t.time()
+    _burn(N)
+    single = _t.time() - t0
+    out = {}
+    for procs in cpu_list:
+        with mp.Pool(procs) as p:
+            p.map(_burn, [N // 10] * procs)  # warm the pool
+            t0 = _t.time()
+            p.map(_burn, [N] * procs)
+            wall = _t.time() - t0
+        out[procs] = round(procs * single / wall, 2)
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    cpu_list = [int(x) for x in sys.argv[2:]] or [8, 32]
+    cpu_list = [int(x) for x in sys.argv[2:]] or [2, 8]
     from lucenenet_spark.testgen import corpus_parquet
 
     corpus_path = os.path.abspath(corpus_parquet(n_docs, os.path.join(REPO, ".bench_cache")))
+    capacity = _host_capacity_probe(cpu_list)
+    print(json.dumps({"host_effective_cores": capacity}))
     results = [run_child(n_docs, c, corpus_path) for c in cpu_list]
     for r in results:
         print(json.dumps(r))
 
-    summary = {"n_docs": n_docs, "runs": results}
+    summary = {"n_docs": n_docs, "runs": results, "host_effective_cores": capacity}
     if len(results) >= 2:
         lo, hi = results[0], results[-1]
         ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
@@ -120,14 +150,23 @@ def main() -> None:
             f"{r['query_p50_sec']} | {r['query_p95_sec']} | {r['queries_per_sec']} |"
         )
     if "scaling_efficiency" in summary:
+        cr = results[-1]["cpus"] // results[0]["cpus"]
+        hw = capacity.get(results[-1]["cpus"], None)
+        hw_lo = capacity.get(results[0]["cpus"], None)
+        hw_ceiling = round(hw / hw_lo / cr, 3) if hw and hw_lo else None
         lines.append("")
         lines.append(
-            f"Build speedup {summary['build_speedup']}x over "
-            f"{results[-1]['cpus'] // results[0]['cpus']}x cores -> "
+            f"Build speedup {summary['build_speedup']}x over {cr}x cores -> "
             f"**scaling efficiency {summary['scaling_efficiency']}** "
             f"(north-rule target >= 0.8 per-core-normalized is "
             f"{'met' if summary['scaling_efficiency'] >= 0.8 else 'NOT met'}; "
             f"local-mode proxy for N vs 4N executors)."
+        )
+        lines.append(
+            f"Host capacity probe (pure-Python multiprocessing burn): "
+            f"effective parallel speedup {capacity} — the virtualized host's own "
+            f"ceiling for this cores ratio is {hw_ceiling}; engine efficiency "
+            f"should be read relative to that ceiling."
         )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
