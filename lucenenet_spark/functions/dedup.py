@@ -167,12 +167,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(terms: DataFrame, tf_col: str | None = "tf") -> DataFrame:
-    """64-bit SimHash per doc from (doc_id, term[, tf]) rows.
+def simhash64(terms: DataFrame, tf_col: str | None = "tf", n_bits: int = 60) -> DataFrame:
+    """SimHash per doc from (doc_id, term[, tf]) rows (n_bits <= 60).
 
     Bit i of the fingerprint is the sign of sum over terms of
-    weight * (bit_i(md5(term)) ? +1 : -1). Uses the first 64 bits of md5 —
-    engine-portable and fully vectorized (conv hex -> bigint, JVM-side).
+    weight * (bit_i(md5(term)) ? +1 : -1), where bit i indexes the 60-bit
+    integer int(md5hex[0:15], 16) LSB-first. All-integer arithmetic —
+    engine-portable (conv hex -> bigint, JVM-side) and exactly
+    reproducible in SQL.
     """
     w = F.col(tf_col).cast("long") if tf_col else F.lit(1).cast("long")
     h = F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 15), 16, 10).cast("long")
@@ -183,13 +185,13 @@ def simhash64(terms: DataFrame, tf_col: str | None = "tf") -> DataFrame:
                 -F.col("w")
             )
         ).alias(f"s{i}")
-        for i in range(60)
+        for i in range(n_bits)
     ]
     agg = t.groupBy("doc_id").agg(*bit_sums)
     fp = reduce(
         lambda acc, i: acc
         + F.when(F.col(f"s{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long")),
-        range(60),
+        range(n_bits),
         F.lit(0).cast("long"),
     )
     return agg.select("doc_id", fp.alias("simhash"))
