@@ -256,10 +256,12 @@ class IndexSearcher:
         p = self.index.postings.filter(F.col("term") == q.term)
         return p.select("doc_id", self._score_col(wv, F.col("tf")).alias("score"))
 
-    def _scored_terms_or(self, term_boosts: dict[str, float], tlb: float) -> DataFrame:
-        """Single-scan disjunction over many terms (MultiTermQuery scoring
-        rewrite / flat OR): one postings scan with a per-term weight map —
-        the planner's bulk BooleanScorer."""
+    def _scored_terms_union(self, term_boosts: dict[str, float], tlb: float) -> DataFrame:
+        """Single-scan disjunction over many terms (flat OR / MultiTermQuery
+        scoring rewrite): one postings scan with a per-term weight map —
+        the planner's bulk BooleanScorer (Search/BooleanScorer.cs:61-78).
+        Returns (doc_id, score=sum of per-term float32 scores as double,
+        n_should=matched-clause count)."""
         stats = self._term_stats(list(term_boosts))
         weights = {
             t: self._weight_value(self._idf(stats.get(t, (0, 0))[0]), tb, tlb)
@@ -271,7 +273,12 @@ class IndexSearcher:
             "doc_id",
             self._score_col_dynamic(mapping[F.col("term")], F.col("tf")).alias("score"),
         )
-        out = per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return per_term.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_should")
+        )
+
+    def _scored_terms_or(self, term_boosts: dict[str, float], tlb: float) -> DataFrame:
+        out = self._scored_terms_union(term_boosts, tlb).select("doc_id", "score")
         if self.mode == "lucene":
             out = out.select("doc_id", F.col("score").cast("float").cast("double").alias("score"))
         return out
@@ -447,11 +454,21 @@ class IndexSearcher:
 
         opt: DataFrame | None = None
         if shoulds:
-            scored = [self._scored(s, tlb) for s in shoulds]
-            union = reduce(lambda a, b: a.unionByName(b), scored)
-            opt = union.groupBy("doc_id").agg(
-                F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_should")
-            )
+            if all(type(s) is TermQuery for s in shoulds) and len(
+                {s.term for s in shoulds}
+            ) == len(shoulds):
+                # flat OR of distinct terms: ONE postings scan with a
+                # per-term weight map instead of per-clause scan + union —
+                # the planner's bulk BooleanScorer (BooleanScorer.cs:61-78)
+                opt = self._scored_terms_union(
+                    {s.term: s.boost for s in shoulds}, tlb
+                )
+            else:
+                scored = [self._scored(s, tlb) for s in shoulds]
+                union = reduce(lambda a, b: a.unionByName(b), scored)
+                opt = union.groupBy("doc_id").agg(
+                    F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_should")
+                )
 
         msm = q.minimum_should_match
         if req is not None and opt is not None:
