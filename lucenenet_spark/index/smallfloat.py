@@ -55,7 +55,11 @@ def encode_norm(field_length: np.ndarray, boost: float = 1.0) -> np.ndarray:
     """
     fl = np.asarray(field_length, dtype=np.float64)
     with np.errstate(divide="ignore"):
-        val = (np.float32(boost) / np.sqrt(fl)).astype(np.float32)
+        # C# order matters: Math.Sqrt is double, cast to float FIRST, then
+        # the division runs float32/float32. Dividing in float64 and
+        # rounding once can differ by 1 ulp, which float_to_byte315's
+        # truncation can turn into a different stored byte.
+        val = (np.float32(boost) / np.sqrt(fl).astype(np.float32)).astype(np.float32)
     return float_to_byte315(val)
 
 

@@ -528,13 +528,18 @@ class IndexSearcher:
             out = None
             if musts:
                 out = reduce(lambda a, b: a.join(b, "doc_id"), [self._docset(m) for m in musts])
-            if shoulds:
+            # When MUSTs exist and minimumShouldMatch == 0, SHOULD clauses are
+            # purely optional and must not constrain the match set
+            # (BooleanScorer2 / ReqOptSumScorer semantics — mirrors
+            # _scored_boolean's left-outer join).
+            if shoulds and not (musts and q.minimum_should_match <= 0):
                 union = reduce(lambda a, b: a.unionByName(b), [self._docset(s) for s in shoulds])
-                if q.minimum_should_match > 1:
+                msm = max(1, q.minimum_should_match)
+                if msm > 1:
                     union = (
                         union.groupBy("doc_id")
                         .agg(F.count(F.lit(1)).alias("n"))
-                        .filter(F.col("n") >= q.minimum_should_match)
+                        .filter(F.col("n") >= msm)
                         .select("doc_id")
                     )
                 else:

@@ -42,6 +42,11 @@ class BlockMaxSearcher:
     """Top-k term search over the packed blocks table with BMW pruning."""
 
     def __init__(self, index: InvertedIndex, blocks: DataFrame, mode: str = "lucene"):
+        if mode != "lucene":
+            # The packed block payload carries norm_byte but not the exact
+            # doc length, and 'double' scoring needs exact dl — rejecting is
+            # honest; quantized-norm scoring is the production path anyway.
+            raise ValueError("BlockMaxSearcher supports mode='lucene' only (blocks store norm_byte, not dl)")
         self.index = index
         self.blocks = blocks
         self.inner = IndexSearcher(index, mode=mode)

@@ -115,7 +115,23 @@ class IncrementalIndexer:
         committed.sort(key=lambda kv: (kv[1]["docs"], kv[0]))
         victims = committed[:merge_factor]
         seg_root = os.path.join(self.out_dir, "segments")
-        merged_key = f"seg_m{len(manifest):08d}"
+        # Merge ids must be monotonic across the manifest's whole history:
+        # len(manifest) shrinks after a merge and regrows with new batches,
+        # so it can regenerate a live key and overwrite a surviving merged
+        # segment's parquet before the manifest swap (data loss). Derive the
+        # id from max(existing merge ids) + 1 and refuse to reuse any live
+        # key/directory (the reference's IndexFileDeleter never reuses a
+        # segment name for the same reason).
+        merge_ids = [
+            int(k[len("seg_m"):]) for k in manifest if k.startswith("seg_m")
+        ] + [
+            int(mk[len("seg_m"):])
+            for v in manifest.values()
+            for mk in v.get("merged_from", [])
+            if mk.startswith("seg_m")
+        ]
+        merged_key = f"seg_m{(max(merge_ids) + 1) if merge_ids else 0:08d}"
+        assert merged_key not in manifest, f"merge key {merged_key} already live"
         merged_dir = os.path.join(seg_root, merged_key)
         postings = spark.read.parquet(
             *[os.path.join(seg_root, k, "postings") for k, _ in victims]

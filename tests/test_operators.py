@@ -182,3 +182,27 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decoder="pillow")
+
+
+# ------------------------------------------------- docset MUST+SHOULD (regression)
+def test_docset_must_with_optional_should(spark):
+    """Regression: docset()/count() for MUST+SHOULD with msm=0 must treat
+    SHOULD as purely optional (BooleanScorer2 semantics), matching scored().
+    Previously the SHOULD union was always semi-joined, shrinking the set."""
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    docs = {0: "w1 w2 w3 w4 w5", 1: "w1 w3 w2 w3", 2: "w1 xx w2 yy w3", 3: "w1 w3 xx w2 yy w3"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    s = IndexSearcher(build_index(df))
+    q = BooleanQuery.of((TermQuery("w1"), Occur.MUST), (TermQuery("w5"), Occur.SHOULD))
+    scored_ids = sorted(r["doc_id"] for r in s.scored(q).collect())
+    docset_ids = sorted(r["doc_id"] for r in s.docset(q).collect())
+    assert scored_ids == [0, 1, 2, 3]
+    assert docset_ids == scored_ids
+    assert s.count(q) == 4
+    # msm=1 restores the requirement
+    q1 = BooleanQuery.of(
+        (TermQuery("w1"), Occur.MUST), (TermQuery("w5"), Occur.SHOULD),
+        minimum_should_match=1,
+    )
+    assert sorted(r["doc_id"] for r in s.docset(q1).collect()) == [0]

@@ -82,3 +82,24 @@ def test_structured_streaming_file_source(spark, corpus_df, tmp_path):
     full = IndexSearcher(build_index(corpus_df))
     assert s.index.max_doc == full.index.max_doc
     assert _topk(s) == _topk(full)
+
+
+def test_merge_key_never_reused_after_regrow(spark, corpus_df, tmp_path):
+    """Regression: merged-segment keys derived from len(manifest) collided
+    after the manifest shrank (merge) and regrew (new batches), overwriting
+    a surviving merged segment's parquet and silently dropping docs."""
+    indexer = IncrementalIndexer(str(tmp_path / "nrt_regrow"))
+    for i in range(11):
+        indexer.process_batch(corpus_df.filter(f"doc_id % 15 = {i}"), i)
+    assert indexer.maybe_merge(spark, max_segments=6, merge_factor=5)
+    for i in range(11, 15):
+        indexer.process_batch(corpus_df.filter(f"doc_id % 15 = {i}"), i)
+    assert indexer.maybe_merge(spark, max_segments=6, merge_factor=5)
+    manifest = indexer._load_manifest()
+    merge_keys = [k for k in manifest if k.startswith("seg_m")]
+    assert len(merge_keys) == 2 and len(set(merge_keys)) == 2
+    s = indexer.refresh(spark)
+    full = IndexSearcher(build_index(corpus_df))
+    assert s.index.max_doc == full.index.max_doc  # was 30/45 before the fix
+    assert s.index.doclens.count() == full.index.doclens.count()
+    assert _topk(s) == _topk(full)
