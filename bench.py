@@ -59,7 +59,7 @@ def main() -> None:
     t0 = time.time()
     idx = build_index(docs, text_col="text", id_col="doc_id").cache()
     # materialize all index tables
-    idx.postings.count()
+    n_postings = idx.postings.count()
     idx.doclens.count()
     idx.term_stats.count()
     build_sec = time.time() - t0
@@ -88,12 +88,20 @@ def main() -> None:
         "q_phrase": lambda: searcher.search(PhraseQuery(terms=("key", "agg")), 10),
         "q_prefix": lambda: searcher.docset(PrefixQuery("du")),
         "q_minhash_lsh": lambda: fdedup.minhash_lsh_pairs(
-            fdedup.shingles(docs, n=3).withColumnRenamed("shingle", "term")
+            fdedup.capped_shingles(docs, n=3).withColumnRenamed("shingle", "term")
         ),
-        "q_cosine_topk": lambda: fsim.cosine_topk(
-            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")), 0, 10
-        ),
+        "q_cosine_topk": lambda: _cosine_arrays(),
     }
+
+    def _cosine_arrays():
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        ]
+        return fsim.cosine_topk_arrays_q(emb, qvec, 10)
 
     for name, mk in queries.items():
         runs = []
@@ -112,6 +120,8 @@ def main() -> None:
         "sf": sf_dir,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 2),
+        "postings": n_postings,
+        "postings_per_sec": round(n_postings / build_sec, 2),
         "cpus": cpus,
     }
     print(json.dumps(out))

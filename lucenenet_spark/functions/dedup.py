@@ -7,11 +7,19 @@ aggregation, no driver-side loops), designed so the same plan runs on
 
 - exact: shuffle on a 128-bit digest — uniformly distributed keys, no skew;
 - minhash: per-doc signatures are a bounded-size aggregate (n_hashes mins);
-  the LSH band bucket-join only shuffles (band, bucket) keys, so candidate
-  generation is O(sum of bucket sizes), never the O(N^2) cross join;
-- jaccard: shingle join blows up only within near-duplicate clusters, which
-  is exactly the work the operator must do; a threshold filter on quantized
-  similarity keeps output deterministic across engines.
+  the LSH band bucket-join only shuffles (band, bucket) keys, and buckets
+  larger than `max_bucket_size` are dropped BEFORE the pair join — a huge
+  bucket is a banding collision cluster (quadratic pair blow-up, near-zero
+  precision), so capping it bounds the worst reducer at
+  max_bucket_size^2 pairs per bucket;
+- jaccard: exact Jaccard is a VERIFY stage over LSH candidate pairs (join
+  candidates to each side's shingle set — work is O(sum over pairs of doc
+  shingles), never a global shingle self-join). The standalone all-pairs
+  form exists for small corpora but df-caps the shingle stream first:
+  without the cap, any web-frequent shingle ("new york times"-class,
+  df=M) emits M^2 rows in one reducer. The df-cap mirrors the reference's
+  heavy-term mitigation (CommonTermsQuery df cutoff,
+  src/Lucene.Net.Queries/CommonTermsQuery.cs:69-98).
 
 The reference's only dedup surface is DuplicateFilter
 (Lucene.Net.Sandbox/Queries/DuplicateFilter.cs) — exact term-keyed dedup;
@@ -24,6 +32,14 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Web-scale defaults: 128 permutations x 16 bands (8 rows/band) puts the
+# LSH s-curve threshold at (1/16)^(1/8) ~= 0.707 — candidates are likely
+# >= 0.7-Jaccard pairs, verified exactly afterwards.
+DEFAULT_MINHASH_N = 128
+DEFAULT_MINHASH_BANDS = 16
+DEFAULT_MAX_BUCKET = 1000
+DEFAULT_SHINGLE_DF_CAP = 1000
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,33 +59,49 @@ def shingles(
 ) -> DataFrame:
     """Distinct n-gram token shingles per doc: (doc_id, shingle).
 
-    Built by position self-joins over the whitespace token stream (the
-    webtext corpus is pre-normalized); at scale the join keys are
-    (doc_id, pos) — perfectly partitioned, no skew.
+    One narrow pass: split once, slide an n-window with transform over the
+    token array (no position self-joins, no shuffle before the distinct) —
+    the ShingleFilter shape (Analysis.Common/Analysis/Shingle) as a Column
+    expression.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - F.lit(n - 1)  # number of n-windows
+    sh = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
     )
-    a, b, c = tok.alias("a"), tok.alias("b"), tok.alias("c")
-    joined = a.join(
-        b,
-        (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
-    )
-    if n == 3:
-        joined = joined.join(
-            c,
-            (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        sh = F.concat_ws(" ", F.col("a.term"), F.col("b.term"), F.col("c.term"))
-    elif n == 2:
-        sh = F.concat_ws(" ", F.col("a.term"), F.col("b.term"))
-    else:
-        raise ValueError("n in (2, 3) supported")
-    return joined.select(F.col("a.doc_id").alias("doc_id"), sh.alias("shingle")).distinct()
 
 
-def minhash_signatures(terms: DataFrame, n_hashes: int = 8) -> DataFrame:
+def capped_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    df_cap: int = DEFAULT_SHINGLE_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shingles minus the web-frequent ones (document frequency > df_cap).
+
+    A common shingle carries ~zero near-dup signal but O(df^2) join cost;
+    dropping it is the CommonTermsQuery df-cutoff idea applied to dedup.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).persist()
+    heavy = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(heavy), "shingle", "left_anti")
+
+
+def minhash_signatures(terms: DataFrame, n_hashes: int = DEFAULT_MINHASH_N) -> DataFrame:
     """Per-doc MinHash signature columns h0..h{n-1}.
 
     Each "permutation" i is the uniform hash term -> md5(term || '#i');
@@ -84,18 +116,41 @@ def minhash_signatures(terms: DataFrame, n_hashes: int = 8) -> DataFrame:
     return distinct.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(terms: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) from banded MinHash signatures."""
+def minhash_lsh_pairs(
+    terms: DataFrame,
+    n_hashes: int = DEFAULT_MINHASH_N,
+    bands: int = DEFAULT_MINHASH_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) from banded MinHash signatures.
+
+    Buckets larger than max_bucket_size are dropped before the self-join
+    (collision clusters: quadratic cost, no precision) — the worst single
+    bucket contributes at most max_bucket_size^2 candidate rows.
+    """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(terms, n_hashes)
-    band_frames = []
+    # ONE pass over sig: all band buckets as an array-of-structs, exploded —
+    # a per-band select + union would recompute the n_hashes-column
+    # signature aggregation once per band (and twice more in the self-join)
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         bucket = F.md5(F.concat(*cols).cast("binary"))
-        band_frames.append(
-            sig.select("doc_id", F.lit(b).alias("band"), bucket.alias("bucket"))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    bands_df = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
+    )
+    if max_bucket_size is not None:
+        big = (
+            bands_df.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
         )
-    bands_df = reduce(lambda a, c: a.unionByName(c), band_frames)
+        bands_df = bands_df.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -110,49 +165,25 @@ def minhash_lsh_pairs(terms: DataFrame, n_hashes: int = 8, bands: int = 4) -> Da
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    n: int = 3,
+def jaccard_verify(
+    sh: DataFrame,
+    candidates: DataFrame,
     threshold_q: int = 8000,
-    text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """n-gram-shingle Jaccard near-dup pairs with quantized similarity.
+    """Exact quantized Jaccard restricted to candidate pairs.
 
-    Returns (doc_a, doc_b, jacc_q) where jacc_q = floor(J*10000+0.5) and
-    J >= threshold_q/10000. The threshold is applied on the quantized value
-    so the selected set is engine-deterministic.
+    Work is bounded by sum over candidate pairs of shingle-set sizes —
+    never an all-pairs shingle join. Returns (doc_a, doc_b, jacc_q) with
+    jacc_q = floor(J*10000+0.5) >= threshold_q.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
-    )
-    a, b, c = tok.alias("a"), tok.alias("b"), tok.alias("c")
-    joined = a.join(
-        b,
-        (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
-    )
-    if n == 3:
-        joined = joined.join(
-            c,
-            (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        shingle = F.concat_ws(" ", F.col("a.term"), F.col("b.term"), F.col("c.term"))
-    elif n == 2:
-        shingle = F.concat_ws(" ", F.col("a.term"), F.col("b.term"))
-    else:
-        raise ValueError("n in (2, 3) supported")
-    sh = joined.select(F.col("a.doc_id").alias("doc_id"), shingle.alias("shingle")).distinct()
-
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
     inter = (
-        sa.join(
-            sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b"])
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -165,6 +196,37 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jacc_q.alias("jacc_q"))
         .filter(F.col("jacc_q") >= threshold_q)
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_q: int = 8000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+    shingle_df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
+    n_hashes: int = DEFAULT_MINHASH_N,
+    bands: int = DEFAULT_MINHASH_BANDS,
+) -> DataFrame:
+    """n-gram-shingle Jaccard near-dup pairs with quantized similarity.
+
+    Scale path (default): LSH candidate generation (minhash_lsh_pairs) then
+    jaccard_verify over the candidates — O(candidates x doc size), never
+    all-pairs. Pass `candidates` to verify an externally supplied pair set.
+    The shingle stream is df-capped first (see capped_shingles).
+    """
+    sh = (
+        capped_shingles(docs, n=n, df_cap=shingle_df_cap, text_col=text_col, id_col=id_col)
+        if shingle_df_cap is not None
+        else shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    )
+    sh = sh.persist()
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            sh.withColumnRenamed("shingle", "term"), n_hashes=n_hashes, bands=bands
+        )
+    return jaccard_verify(sh, candidates, threshold_q=threshold_q)
 
 
 def simhash64(terms: DataFrame, tf_col: str | None = "tf", n_bits: int = 60) -> DataFrame:

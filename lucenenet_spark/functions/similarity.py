@@ -55,16 +55,9 @@ def cosine_topk(
     )
 
 
-def cosine_topk_arrays(
-    emb: DataFrame,
-    query: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact top-k against a literal query vector using zip_with/aggregate —
-    single narrow scan, no explode shuffle (the 100 TB-friendly shape:
-    per-row dot product inside whole-stage codegen + TakeOrdered(k))."""
+def cosine_col(query: list[float], vec_col: str = "embedding"):
+    """Per-row cosine(vec, query) as a codegen'd Column: zip_with/aggregate
+    dot product over the array — no explode, no shuffle."""
     qlit = F.array(*[F.lit(float(x)) for x in query])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), qlit, lambda a, b: a.cast("double") * b),
@@ -77,12 +70,53 @@ def cosine_topk_arrays(
         lambda acc, x: acc + x,
     )
     qn2 = float(sum(float(x) * float(x) for x in query))
-    cos = dot / F.sqrt(n2 * F.lit(qn2))
+    return dot / F.sqrt(n2 * F.lit(qn2))
+
+
+def cosine_topk_arrays(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k against a literal query vector using zip_with/aggregate —
+    single narrow scan, no explode shuffle (the 100 TB-friendly shape:
+    per-row dot product inside whole-stage codegen + TakeOrdered(k))."""
     return (
-        emb.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+        emb.select(F.col(id_col).alias("vec_id"), cosine_col(query, vec_col).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def cosine_topk_arrays_q(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine_topk_arrays with the similarity quantized to a bigint
+    (floor(cos*10000+0.5)) and the total order applied on the QUANTIZED
+    value — engine-deterministic top-k for oracle comparison."""
+    cos_q = F.floor(cosine_col(query, vec_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), cos_q.alias("cos_q"))
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(n_planes: int = 8, seed: int = 42, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix derived from the seed
+    (sin-based low-discrepancy values) — reproducible across runs, cluster
+    sizes, and engines (the SQL oracle embeds the same literals)."""
+    import math
+
+    return [
+        [math.sin(seed * 1000003 + p * 10007 + i) for i in range(dim)] for p in range(n_planes)
+    ]
 
 
 def random_hyperplane_buckets(
@@ -95,24 +129,23 @@ def random_hyperplane_buckets(
 ) -> DataFrame:
     """Sign-pattern LSH bucket id per vector (SimHash for dense vectors).
 
-    Hyperplanes are a deterministic pseudo-random matrix derived from the
-    seed (xorshift-free: sin-based low-discrepancy values), so bucketing is
-    reproducible across runs and cluster sizes.
-    """
-    import math
+    One narrow scan: each plane's dot product is a codegen'd
+    zip_with/aggregate fold over the embedding array — deterministic
+    accumulation order (unlike an explode + groupBy sum), no shuffle."""
+    planes = hyperplanes(n_planes, seed, dim)
 
-    planes = [
-        [math.sin(seed * 1000003 + p * 10007 + i) for i in range(dim)] for p in range(n_planes)
-    ]
-    e = _exploded(emb, id_col, vec_col)
-    plane_lits = [
-        F.element_at(F.array(*[F.lit(x) for x in plane]), F.col("i") + 1) for plane in planes
-    ]
-    dots = e.groupBy("vec_id").agg(
-        *[F.sum(F.col("v") * pl).alias(f"d{p}") for p, pl in enumerate(plane_lits)]
+    def dot(plane: list[float]):
+        qlit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), qlit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.concat(
+        *[F.when(dot(plane) >= 0, "1").otherwise("0") for plane in planes]
     )
-    bucket = F.concat(*[F.when(F.col(f"d{p}") >= 0, "1").otherwise("0") for p in range(n_planes)])
-    return dots.select("vec_id", bucket.alias("bucket"))
+    return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
 def ann_lsh_topk(
@@ -122,13 +155,44 @@ def ann_lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int = 64,
+    n_probes: int = 1,
+    quantized: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, then exact
-    cosine within the candidate set (IVF-style two-stage search)."""
+    """Approximate top-k: probe the query's LSH bucket (plus, with
+    multi-probe, the Hamming-neighbor buckets of the query's sign pattern —
+    the buckets a near-boundary vector most likely fell into), then exact
+    cosine within the candidate set (IVF-style two-stage search).
+
+    n_probes=1 probes only the home bucket; n_probes=2 adds all n_planes
+    Hamming-1 buckets; n_probes=3 adds Hamming-2, etc. Recall grows with
+    probes at candidate-set cost O(n_buckets_probed x avg bucket size) —
+    never a full scan.
+    """
+    from itertools import combinations
+
     buckets = random_hyperplane_buckets(emb, n_planes, seed, dim)
-    qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("qbucket")
-    )
-    cands = buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select("vec_id")
-    sub = emb.join(cands, "vec_id")
-    return cosine_topk(sub, query_vec_id, k)
+    qrow = buckets.filter(F.col("vec_id") == query_vec_id).select("bucket").collect()
+    if not qrow:
+        return emb.select(
+            F.col("vec_id"),
+            (F.lit(0).cast("long") if quantized else F.lit(0.0)).alias(
+                "cos_q" if quantized else "cos"
+            ),
+        ).limit(0)
+    qb = qrow[0]["bucket"]
+    probes = {qb}
+    for radius in range(1, n_probes):
+        for flips in combinations(range(len(qb)), radius):
+            cand = list(qb)
+            for p in flips:
+                cand[p] = "1" if cand[p] == "0" else "0"
+            probes.add("".join(cand))
+    cands = buckets.filter(F.col("bucket").isin(sorted(probes))).select("vec_id")
+    sub = emb.join(F.broadcast(cands), "vec_id")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()[0][0]
+    ]
+    if quantized:
+        return cosine_topk_arrays_q(sub, qvec, k)
+    return cosine_topk_arrays(sub, qvec, k)

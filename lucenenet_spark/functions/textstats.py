@@ -23,14 +23,22 @@ def _stop_count(toks_col):
 def token_counts(docs: DataFrame, index) -> DataFrame:
     """(doc_id, n_tokens, n_terms, n_unique_terms): raw whitespace tokens,
     analyzed emitted terms (stop-filtered), distinct terms."""
-    uniq = index.postings.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_unique_terms")
+    fld = index.default_field
+    uniq = (
+        index.postings.filter(F.col("field") == fld)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique_terms"))
     )
     return (
         docs.select(
             "doc_id", F.size(_raw_tokens(F.col("text"))).cast("long").alias("n_tokens")
         )
-        .join(index.doclens.select("doc_id", F.col("dl").cast("long").alias("n_terms")), "doc_id")
+        .join(
+            index.doclens.filter(F.col("field") == fld).select(
+                "doc_id", F.col("dl").cast("long").alias("n_terms")
+            ),
+            "doc_id",
+        )
         .join(uniq, "doc_id", "left")
         .select(
             "doc_id",

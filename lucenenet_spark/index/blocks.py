@@ -94,6 +94,7 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 
 BLOCKS_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("block_id", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
@@ -137,6 +138,7 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     packed = b"".join(parts)
     return pd.DataFrame(
         {
+            "field": [pdf["field"].iloc[0]],
             "term": [pdf["term"].iloc[0]],
             "block_id": [block_id],
             "n_docs": [len(docs)],
@@ -151,17 +153,20 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def pack_postings(postings: DataFrame, with_positions: bool = True) -> DataFrame:
     """postings rows -> 128-doc packed blocks (one bounded-size group each)."""
-    cols = ["term", "doc_id", "tf", "norm_byte"] + (["positions"] if with_positions else [])
+    cols = ["field", "term", "doc_id", "tf", "norm_byte"] + (
+        ["positions"] if with_positions else []
+    )
     return (
         postings.select(*cols)
         .withColumn("block_id", (F.col("doc_id") / F.lit(BLOCK_SIZE)).cast("long"))
-        .groupBy("term", "block_id")
+        .groupBy("field", "term", "block_id")
         .applyInPandas(lambda pdf: _pack_group(pdf), BLOCKS_SCHEMA)
     )
 
 
 UNPACKED_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
@@ -199,11 +204,12 @@ def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_term, out_doc, out_tf, out_norm, out_pos = [], [], [], [], []
+            out_fld, out_term, out_doc, out_tf, out_norm, out_pos = [], [], [], [], [], []
             for _, row in pdf.iterrows():
                 docs, tfs, norms, pos = unpack_block_bytes(
                     row["term"], int(row["block_id"]), row["packed"], with_positions
                 )
+                out_fld.extend([row["field"]] * len(docs))
                 out_term.extend([row["term"]] * len(docs))
                 out_doc.extend(docs.tolist())
                 out_tf.extend(tfs.tolist())
@@ -211,6 +217,7 @@ def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
                 out_pos.extend(pos if pos is not None else [None] * len(docs))
             yield pd.DataFrame(
                 {
+                    "field": out_fld,
                     "term": out_term,
                     "doc_id": out_doc,
                     "tf": out_tf,

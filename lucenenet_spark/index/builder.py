@@ -44,6 +44,7 @@ from lucenenet_spark.index.smallfloat import byte315_to_float, encode_norm
 
 POSTINGS_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
@@ -55,7 +56,7 @@ POSTINGS_SCHEMA = T.StructType(
 
 
 def _inverter_map(
-    analyzer: StandardAnalyzer, id_col: str, text_col: str, with_positions: bool
+    analyzers: dict[str, StandardAnalyzer], id_col: str, with_positions: bool
 ):
     """mapInArrow: corpus batches -> FULLY INVERTED posting rows.
 
@@ -66,6 +67,13 @@ def _inverter_map(
     The index build therefore needs NO shuffle at all for the postings
     table; only the (small-output) term_stats/doclens aggregations shuffle.
 
+    Multi-field: `analyzers` maps each indexed column to its analyzer
+    (per-field analysis a la PerFieldAnalyzerWrapper). One corpus scan
+    inverts every field — each field of each batch yields a RecordBatch
+    tagged with a constant `field` column, so Term=(field, bytes) is a
+    first-class row key (reference: src/Lucene.Net/Index/Term.cs:34;
+    per-field norms per NormsConsumerPerField.cs:56).
+
     All batch work stays in C kernels: flat tokenize, stable lexsort by
     (row, term-code), boundary-diff tf counts, and the positions column is
     built as an Arrow ListArray directly from (offsets, flat values) —
@@ -75,6 +83,7 @@ def _inverter_map(
     import pyarrow as pa
 
     arrow_fields = [
+        pa.field("field", pa.string()),
         pa.field("term", pa.string()),
         pa.field("doc_id", pa.int64()),
         pa.field("tf", pa.int32()),
@@ -86,56 +95,61 @@ def _inverter_map(
 
     def invert(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
-            text_arr = batch.column(batch.schema.get_field_index(text_col))
             doc_ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
                 zero_copy_only=False
             )
-            if analyzer.supports_arrow_fast_path:
-                row_idx, codes, dictionary, positions, field_lens = (
-                    analyzer.tokenize_batch_arrow(text_arr)
-                )
-            else:
-                row_idx, terms, positions, field_lens = analyzer.tokenize_batch(
-                    text_arr.to_pandas()
-                )
-                codes_np, uniques = pd.factorize(pd.Series(terms), sort=False)
-                codes = codes_np.astype(np.int64)
-                dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
-            norm_bytes = encode_norm(field_lens).astype(np.int32)
-            if len(codes) == 0:
-                yield pa.RecordBatch.from_pydict(
-                    {f.name: [] for f in arrow_fields}, schema=out_schema
-                )
-                continue
-            # stable sort by (row, code); positions stay ascending per group
-            order = np.lexsort((codes, row_idx))
-            r_s, c_s, p_s = row_idx[order], codes[order], positions[order]
-            boundary = np.flatnonzero(np.diff(r_s) | np.diff(c_s).astype(bool))
-            starts = np.concatenate(([0], boundary + 1))
-            counts = np.diff(np.concatenate((starts, [len(r_s)])))
-            g_rows = r_s[starts]
-
-            term_arr = dictionary.take(pa.array(c_s[starts], type=pa.int64()))
-            if isinstance(term_arr, pa.ChunkedArray):
-                term_arr = term_arr.combine_chunks()
-            cols = [
-                term_arr,
-                pa.array(doc_ids[g_rows].astype(np.int64), type=pa.int64()),
-                pa.array(counts.astype(np.int32), type=pa.int32()),
-            ]
-            if with_positions:
-                offsets = np.concatenate((starts, [len(p_s)])).astype(np.int32)
-                cols.append(
-                    pa.ListArray.from_arrays(
-                        pa.array(offsets, type=pa.int32()),
-                        pa.array(p_s.astype(np.int32), type=pa.int32()),
+            for fld, analyzer in analyzers.items():
+                text_arr = batch.column(batch.schema.get_field_index(fld))
+                if analyzer.supports_arrow_fast_path:
+                    row_idx, codes, dictionary, positions, field_lens = (
+                        analyzer.tokenize_batch_arrow(text_arr)
                     )
-                )
-            cols += [
-                pa.array(field_lens[g_rows].astype(np.int32), type=pa.int32()),
-                pa.array(norm_bytes[g_rows].astype(np.int32), type=pa.int32()),
-            ]
-            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+                else:
+                    row_idx, terms, positions, field_lens = analyzer.tokenize_batch(
+                        text_arr.to_pandas()
+                    )
+                    codes_np, uniques = pd.factorize(pd.Series(terms), sort=False)
+                    codes = codes_np.astype(np.int64)
+                    dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
+                norm_bytes = encode_norm(field_lens).astype(np.int32)
+                if len(codes) == 0:
+                    yield pa.RecordBatch.from_pydict(
+                        {f.name: [] for f in arrow_fields}, schema=out_schema
+                    )
+                    continue
+                # stable sort by (row, code); positions stay ascending per group
+                order = np.lexsort((codes, row_idx))
+                r_s, c_s, p_s = row_idx[order], codes[order], positions[order]
+                boundary = np.flatnonzero(np.diff(r_s) | np.diff(c_s).astype(bool))
+                starts = np.concatenate(([0], boundary + 1))
+                counts = np.diff(np.concatenate((starts, [len(r_s)])))
+                g_rows = r_s[starts]
+
+                term_arr = dictionary.take(pa.array(c_s[starts], type=pa.int64()))
+                if isinstance(term_arr, pa.ChunkedArray):
+                    term_arr = term_arr.combine_chunks()
+                n_groups = len(starts)
+                cols = [
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n_groups, dtype=np.int32)), pa.array([fld])
+                    ).cast(pa.string()),
+                    term_arr,
+                    pa.array(doc_ids[g_rows].astype(np.int64), type=pa.int64()),
+                    pa.array(counts.astype(np.int32), type=pa.int32()),
+                ]
+                if with_positions:
+                    offsets = np.concatenate((starts, [len(p_s)])).astype(np.int32)
+                    cols.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets, type=pa.int32()),
+                            pa.array(p_s.astype(np.int32), type=pa.int32()),
+                        )
+                    )
+                cols += [
+                    pa.array(field_lens[g_rows].astype(np.int32), type=pa.int32()),
+                    pa.array(norm_bytes[g_rows].astype(np.int32), type=pa.int32()),
+                ]
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return invert
 
@@ -149,27 +163,57 @@ class InvertedIndex:
     TermContext.Build accumulating df/ttf across segments
     (reference: src/Lucene.Net/Index/TermContext.cs:90,141-144)."""
 
-    postings: DataFrame  # term, doc_id, tf, positions[], dl, norm_byte
-    doclens: DataFrame  # doc_id, dl, norm_byte
-    term_stats: DataFrame  # term, df, ttf
+    postings: DataFrame  # field, term, doc_id, tf, positions[], dl, norm_byte
+    doclens: DataFrame  # doc_id, field, dl, norm_byte
+    term_stats: DataFrame  # field, term, df, ttf
     max_doc: int
-    sum_ttf: int
+    sum_ttf: int  # default field's sumTotalTermFreq (back-compat accessor)
     analyzer: StandardAnalyzer = field(default_factory=StandardAnalyzer)
+    fields: tuple[str, ...] = ("text",)
+    sum_ttf_by_field: dict[str, int] | None = None  # None -> {default: sum_ttf}
+    analyzers: dict[str, StandardAnalyzer] | None = None  # per-field override
+
+    @property
+    def default_field(self) -> str:
+        return self.fields[0]
+
+    def analyzer_for(self, fld: str) -> StandardAnalyzer:
+        if self.analyzers and fld in self.analyzers:
+            return self.analyzers[fld]
+        return self.analyzer
+
+    def _sttf(self, fld: str) -> int:
+        """sumTotalTermFreq for one field (CollectionStatistics is
+        per-field in the reference: IndexSearcher.cs:1129-1154)."""
+        d = self.sum_ttf_by_field or {self.default_field: self.sum_ttf}
+        return int(d.get(fld, 0))
+
+    def avgdl_for(self, fld: str) -> float:
+        """float32(sumTotalTermFreq(field) / (double) maxDoc) —
+        BM25Similarity.cs AvgFieldLength; maxDoc is collection-global."""
+        s = self._sttf(fld)
+        if s <= 0:
+            return 1.0
+        return float(np.float32(s / float(self.max_doc)))
+
+    def avgdl_double_for(self, fld: str) -> float:
+        s = self._sttf(fld)
+        if s <= 0:
+            return 1.0
+        return s / float(self.max_doc)
 
     @property
     def avgdl(self) -> float:
-        """float32(sumTotalTermFreq / (double) maxDoc) — BM25Similarity.cs
-        AvgFieldLength."""
-        if self.sum_ttf <= 0:
-            return 1.0
-        return float(np.float32(self.sum_ttf / float(self.max_doc)))
+        return self.avgdl_for(self.default_field)
 
     @property
     def avgdl_double(self) -> float:
-        """Unquantized avgdl for the double-precision scoring mode."""
-        if self.sum_ttf <= 0:
-            return 1.0
-        return self.sum_ttf / float(self.max_doc)
+        return self.avgdl_double_for(self.default_field)
+
+    def all_docs(self) -> DataFrame:
+        """One row per doc (doclens has one row per (doc, field); the
+        default field's slice covers every doc exactly once)."""
+        return self.doclens.filter(F.col("field") == self.default_field).select("doc_id")
 
     def cache(self) -> "InvertedIndex":
         self.postings.cache()
@@ -186,7 +230,7 @@ class InvertedIndex:
         doc_id sort keeps posting lists sequential for merge-join scans."""
         (
             self.postings.repartitionByRange(num_term_partitions, "term")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("term", "field", "doc_id")
             .write.mode("overwrite")
             .parquet(os.path.join(path, "postings"))
         )
@@ -194,10 +238,19 @@ class InvertedIndex:
             "overwrite"
         ).parquet(os.path.join(path, "doclens"))
         self.term_stats.repartitionByRange(num_term_partitions, "term").sortWithinPartitions(
-            "term"
+            "term", "field"
         ).write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
         with open(os.path.join(path, "stats.json"), "w") as f:
-            json.dump({"max_doc": self.max_doc, "sum_ttf": self.sum_ttf}, f)
+            json.dump(
+                {
+                    "max_doc": self.max_doc,
+                    "sum_ttf": self.sum_ttf,
+                    "fields": list(self.fields),
+                    "sum_ttf_by_field": self.sum_ttf_by_field
+                    or {self.default_field: self.sum_ttf},
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, analyzer: StandardAnalyzer | None = None):
@@ -210,6 +263,10 @@ class InvertedIndex:
             max_doc=stats["max_doc"],
             sum_ttf=stats["sum_ttf"],
             analyzer=analyzer or StandardAnalyzer(),
+            fields=tuple(stats.get("fields", ["text"])),
+            sum_ttf_by_field={
+                k: int(v) for k, v in stats.get("sum_ttf_by_field", {}).items()
+            } or None,
         )
 
 
@@ -220,13 +277,20 @@ def build_index(
     analyzer: StandardAnalyzer | None = None,
     with_positions: bool = True,
     persist: bool = True,
+    fields: list[str] | dict[str, StandardAnalyzer] | None = None,
 ) -> InvertedIndex:
     """Tokenize + invert a corpus DataFrame into an InvertedIndex.
 
-    One mapInPandas (tokenize, vectorized) + ONE shuffle
-    (groupBy doc_id, term). Norms ride along from the tokenizer, so there
+    One mapInArrow pass (tokenize, vectorized) inverts EVERY indexed field
+    in a single corpus scan; norms ride along from the tokenizer, so there
     is no postings⋈doclens join; term_stats re-aggregates postings with
     map-side partial count/sum (heavy terms never collect in one task).
+
+    `fields`: extra/alternative indexed columns — a list (all use
+    `analyzer`) or a dict column->analyzer (PerFieldAnalyzerWrapper,
+    reference Analysis/Analyzer.cs). Default: just `text_col`. The FIRST
+    entry is the default search field. Per-field norms and sumTotalTermFreq
+    follow BM25Similarity.cs:91-102 / NormsConsumerPerField.cs:56.
 
     `with_positions=False` mirrors IndexOptions.DOCS_AND_FREQS (drops the
     positions array; phrase queries then unavailable) — FieldInfo.cs:316-356.
@@ -234,47 +298,66 @@ def build_index(
     tables derive from it.
     """
     analyzer = analyzer or StandardAnalyzer()
+    if fields is None:
+        analyzers = {text_col: analyzer}
+    elif isinstance(fields, dict):
+        analyzers = dict(fields)
+    else:
+        analyzers = {f: analyzer for f in fields}
+    field_names = list(analyzers)
+
     schema = POSTINGS_SCHEMA if with_positions else T.StructType(
         [f for f in POSTINGS_SCHEMA.fields if f.name != "positions"]
     )
     postings = corpus.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias(text_col)
-    ).mapInArrow(_inverter_map(analyzer, "doc_id", text_col, with_positions), schema)
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(f).alias(f) for f in field_names],
+    ).mapInArrow(_inverter_map(analyzers, "doc_id", with_positions), schema)
     if persist:
         postings = postings.persist()
 
-    # empty docs still get a doclens row: dl=0, norm encodes 1/sqrt(0)=inf
+    # every (doc, field) gets a doclens row, even token-free ones:
+    # dl=0, norm encodes 1/sqrt(0)=inf (missing-norms contract)
     zero_norm = int(encode_norm(np.array([0], dtype=np.int64))[0])
     doclens = (
-        corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+        corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array(*[F.lit(f) for f in field_names])).alias("field"),
+        )
         .join(
-            postings.groupBy("doc_id").agg(
+            postings.groupBy("doc_id", "field").agg(
                 F.first("dl").alias("dl"), F.first("norm_byte").alias("norm_byte")
             ),
-            "doc_id",
+            ["doc_id", "field"],
             "left",
         )
         .select(
             "doc_id",
+            "field",
             F.coalesce("dl", F.lit(0)).cast("int").alias("dl"),
             F.coalesce("norm_byte", F.lit(zero_norm)).cast("int").alias("norm_byte"),
         )
     )
 
-    term_stats = postings.groupBy("term").agg(
+    term_stats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
     )
 
-    totals = doclens.agg(
+    totals = doclens.groupBy("field").agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sttf")
-    ).collect()[0]
+    ).collect()
+    by_field = {r["field"]: int(r["sttf"] or 0) for r in totals}
+    max_doc = max((int(r["n"]) for r in totals), default=0)
     return InvertedIndex(
         postings=postings,
         doclens=doclens,
         term_stats=term_stats,
-        max_doc=int(totals["n"]),
-        sum_ttf=int(totals["sttf"] or 0),
+        max_doc=max_doc,
+        sum_ttf=by_field.get(field_names[0], 0),
         analyzer=analyzer,
+        fields=tuple(field_names),
+        sum_ttf_by_field=by_field,
+        analyzers=analyzers if len(field_names) > 1 else None,
     )
 
 

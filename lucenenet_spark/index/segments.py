@@ -109,6 +109,9 @@ class SegmentedIndexWriter:
                 "docs": n_seg_docs,
                 "postings": n_postings,
                 "sum_ttf": idx.sum_ttf,
+                "fields": list(idx.fields),
+                "sum_ttf_by_field": idx.sum_ttf_by_field
+                or {idx.default_field: idx.sum_ttf},
                 "bytes": nbytes,
                 "wall_sec": round(wall, 4),
                 "docs_per_sec": round(n_seg_docs / wall, 2) if wall > 0 else None,
@@ -140,11 +143,19 @@ class SegmentedIndexWriter:
         doclens = spark.read.parquet(
             *[os.path.join(seg_root, k, "doclens") for k in sorted(lineage)]
         )
-        term_stats = postings.groupBy("term").agg(
+        term_stats = postings.groupBy("field", "term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
         )
         max_doc = sum(v["docs"] for v in lineage.values())
         sum_ttf = sum(v["sum_ttf"] for v in lineage.values())
+        by_field: dict[str, int] = {}
+        fields: list[str] = []
+        for v in lineage.values():
+            for f, s in v.get("sum_ttf_by_field", {"text": v["sum_ttf"]}).items():
+                by_field[f] = by_field.get(f, 0) + int(s)
+            for f in v.get("fields", ["text"]):
+                if f not in fields:
+                    fields.append(f)
         idx = InvertedIndex(
             postings=postings,
             doclens=doclens,
@@ -152,6 +163,8 @@ class SegmentedIndexWriter:
             max_doc=max_doc,
             sum_ttf=sum_ttf,
             analyzer=self.analyzer or StandardAnalyzer(),
+            fields=tuple(fields) or ("text",),
+            sum_ttf_by_field=by_field or None,
         )
         final_dir = os.path.join(self.out_dir, "index")
         idx.save(final_dir, num_term_partitions=num_term_partitions)

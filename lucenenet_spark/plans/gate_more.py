@@ -134,23 +134,82 @@ def rescore_topk(spark, sf_dir):
 
 
 # ==========================================================================
-# MoreLikeThis (Queries/Mlt/MoreLikeThis.cs) — rows-only (term selection
-# involves tf*idf ranking whose float ties are engine-specific)
+# MoreLikeThis (Queries/Mlt/MoreLikeThis.cs): term selection ranks on
+# QUANTIZED tf*idf (floor(s*1e6+0.5), term tie-break) so the SQL oracle
+# reproduces the exact selected term set; doc scores quantized as usual.
 # ==========================================================================
-@gate("mlt_topk", None)
+@gate(
+    "mlt_topk",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+, mt AS (
+  SELECT p.term
+  FROM post p JOIN ts USING (term), cs
+  WHERE p.doc_id = 0 AND p.tf >= 1 AND ts.df >= 2
+  ORDER BY CAST(floor(p.tf * (ln(cs.n / (ts.df + 1)) + 1) * 1000000 + 0.5) AS BIGINT) DESC,
+           p.term ASC
+  LIMIT 10
+)
+SELECT s.doc_id,
+       CAST(floor(sum(s.idf * 2.2 * s.tf / (s.tf + s.nrm)) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM sc s JOIN mt USING (term)
+GROUP BY s.doc_id
+ORDER BY score_q DESC, s.doc_id ASC LIMIT 10
+""",
+)
 def mlt_topk(spark, sf_dir):
+    """MoreLikeThis: top-10 quantized-tf*idf terms of doc 0 -> OR query ->
+    top-10 docs by summed BM25 (Queries/Mlt/MoreLikeThis.cs:129)."""
     _, s, _ = get_engine(spark, sf_dir)
     q = more_like_this_query(s.index, doc_id=0, max_query_terms=10, min_term_freq=1, min_doc_freq=2)
-    return s.search(q, 10).select("doc_id")
+    scored = s.scored(q).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
 
 
 # ==========================================================================
-# Sloppy phrase (SloppyPhraseScorer) — rows-only doc set (float freq)
+# Sloppy phrase (SloppyPhraseScorer): EXACT integer oracle. For a 2-term
+# phrase the reference's min-queue walk has a closed form — each shifted
+# position a of term1 with some b >= a contributes 1/(1+min{b>=a}-a), each
+# shifted position b of term2 with some a > b contributes 1/(1+min{a>b}-b)
+# (derivation: `end` always equals max(cur) and the walk advances the min,
+# so it enumerates exactly these partner pairs, stopping when a list
+# exhausts — which excludes exactly the elements with no partner). With
+# slop <= 3 every contribution is in {1, 1/2, 1/3, 1/4}, so freq*60 is an
+# integer both engines compute exactly.
 # ==========================================================================
-@gate("phrase_sloppy", None)
+@gate(
+    "phrase_sloppy",
+    SQL_PRELUDE + """,
+pa AS (SELECT doc_id, pos AS v FROM tok WHERE term = 'key'),
+pb AS (SELECT doc_id, pos - 1 AS v FROM tok WHERE term = 'scan'),
+ca AS (
+  SELECT a.doc_id, a.v, min(b.v) - a.v AS ml
+  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.v >= a.v
+  GROUP BY a.doc_id, a.v
+),
+cb AS (
+  SELECT b.doc_id, b.v, min(a.v) - b.v AS ml
+  FROM pb b JOIN pa a ON a.doc_id = b.doc_id AND a.v > b.v
+  GROUP BY b.doc_id, b.v
+),
+contrib AS (SELECT doc_id, ml FROM ca UNION ALL SELECT doc_id, ml FROM cb)
+SELECT doc_id,
+       CAST(sum(CASE ml WHEN 0 THEN 60 WHEN 1 THEN 30 WHEN 2 THEN 20 WHEN 3 THEN 15 END)
+            AS BIGINT) AS freq60
+FROM contrib WHERE ml <= 3 GROUP BY doc_id HAVING freq60 > 0
+""",
+)
 def phrase_sloppy(spark, sf_dir):
+    """Sloppy phrase "key scan"~3: per-doc sloppyFreq scaled by 60 (the LCM
+    of 1..4 denominators) to an exact integer on both sides."""
     _, s, _ = get_engine(spark, sf_dir)
-    return s.scored(PhraseQuery(terms=("key", "scan"), slop=3)).select("doc_id")
+    freqs = s.sloppy_phrase_freqs(PhraseQuery(terms=("key", "scan"), slop=3))
+    return freqs.select(
+        "doc_id",
+        F.floor(F.col("freq") * F.lit(60.0) + F.lit(0.5)).cast("long").alias("freq60"),
+    )
 
 
 # ==========================================================================
@@ -190,11 +249,72 @@ def simhash_fingerprint(spark, sf_dir):
 
 
 # ==========================================================================
-# LSH ANN — rows-only (hyperplane sign at dot~0 is float-sensitive)
+# LSH ANN: multi-probe (home bucket + all Hamming-1 neighbors), exact
+# quantized cosine within the candidate set. The SQL oracle reproduces the
+# bucketing with the SAME hyperplane literals (hyperplanes() is a pure
+# function of the seed), so candidate sets and the final top-k match.
 # ==========================================================================
-@gate("ann_lsh_topk", None)
+_ANN_PLANES = 8
+_ANN_SEED = 42
+_ANN_DIM = 64
+
+
+def _ann_sql() -> str:
+    planes = fsim.hyperplanes(_ANN_PLANES, _ANN_SEED, _ANN_DIM)
+    sign_cases = ",\n           ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN substr(s.bucket, {i + 1}, 1) <> substr(q.qb, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(_ANN_PLANES)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id,
+         concat(
+           {sign_cases}
+         ) AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sig s, q WHERE ({hamming}) <= 1
+),
+e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings JOIN cand USING (vec_id)
+),
+qv AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT e.vec_id, sum(e.v * qv.v) AS dot, sum(e.v * e.v) AS n2
+  FROM e JOIN qv USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sum(v * v) AS n2 FROM qv)
+SELECT d.vec_id,
+       CAST(floor(d.dot / sqrt(d.n2 * qn.n2) * 10000 + 0.5) AS BIGINT) AS cos_q
+FROM d, qn
+ORDER BY cos_q DESC, d.vec_id ASC LIMIT 10
+"""
+
+
+@gate("ann_lsh_topk", _ann_sql())
 def ann_lsh_topk(spark, sf_dir):
+    """Multi-probe hyperplane-LSH ANN: probe home + Hamming-1 buckets,
+    exact quantized cosine within candidates (IVF-style two-stage)."""
     import os
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return fsim.ann_lsh_topk(emb, query_vec_id=0, k=10, n_planes=6)
+    return fsim.ann_lsh_topk(
+        emb, query_vec_id=0, k=10,
+        n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_ANN_DIM,
+        n_probes=2, quantized=True,
+    )

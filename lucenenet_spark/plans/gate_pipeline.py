@@ -22,8 +22,11 @@ from lucenenet_spark.functions import similarity as fsim
 from lucenenet_spark.functions import textstats as ftext
 from lucenenet_spark.plans.gate import SQL_PRELUDE, _STOPS, _docs_table, gate, get_engine
 
-_MINHASH_N = 8
-_MINHASH_BANDS = 4  # rows per band = 2
+_MINHASH_N = 128  # web-scale parameterization (s-curve threshold ~0.707)
+_MINHASH_BANDS = 16  # 8 rows per band
+_MAX_BUCKET = 1000  # drop collision-cluster buckets before the pair join
+_SHINGLE_DF_CAP = 1000  # drop web-frequent shingles (CommonTermsQuery idea)
+_ROWS_PER_BAND = _MINHASH_N // _MINHASH_BANDS
 
 
 # ==========================================================================
@@ -45,67 +48,84 @@ def dedup_exact(spark, sf_dir):
     return fdedup.exact_duplicates(_docs_table(spark, sf_dir))
 
 
-def _minhash_sql() -> str:
+def _lsh_sql_ctes() -> str:
+    """Shared CTE chain: raw 3-gram shingles -> df-capped shingles ->
+    128-perm MinHash signature -> 16 banded buckets (size-capped) ->
+    candidate pairs. Mirrors fdedup.capped_shingles + minhash_lsh_pairs
+    exactly (md5 hex strings are identical across engines)."""
     mins = ",\n         ".join(
         f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_MINHASH_N)
     )
     bands = ", ".join(
-        f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(_MINHASH_BANDS)
+        "md5(" + " || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)) + f") AS b{b}"
+        for b in range(_MINHASH_BANDS)
     )
     band_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, b{b} AS bucket FROM sigb" for b in range(_MINHASH_BANDS)
     )
-    return (
-        SQL_PRELUDE
-        + f""",
+    return f""",
 shx AS (
   SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
   FROM tok a
   JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
+sh AS (
+  SELECT * FROM shx WHERE shingle NOT IN (
+    SELECT shingle FROM shx GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP}
+  )
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM shx
+  FROM sh
   GROUP BY doc_id
 ),
 sigb AS (SELECT doc_id, {bands} FROM sig),
-bands AS ({band_union})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc_id < b.doc_id
-"""
-    )
+bands AS ({band_union}),
+bandsf AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, bucket, count(*) AS sz FROM bands GROUP BY band, bucket) s
+    USING (band, bucket)
+  WHERE s.sz <= {_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)"""
 
 
-@gate("dedup_minhash_lsh", _minhash_sql())
+@gate(
+    "dedup_minhash_lsh",
+    SQL_PRELUDE + _lsh_sql_ctes() + "\nSELECT doc_a, doc_b FROM cand",
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates (shingle→minhash→band→
-    bucket-join). Signature = per-doc min over md5(shingle#i) for 8 hash
-    families over 3-gram shingles; 4 bands × 2 rows. Bucket join is the
-    only all-to-all shuffle, and it only moves (band, bucket) keys."""
+    bucket-join). 128 permutations x 16 bands (8 rows/band, s-curve
+    threshold ~0.707) over df-capped 3-gram shingles; buckets above
+    _MAX_BUCKET docs dropped before the pair join (collision clusters are
+    quadratic cost, ~zero precision). The bucket join is the only
+    all-to-all shuffle, and it only moves (band, bucket) keys."""
+    sh = fdedup.capped_shingles(_docs_table(spark, sf_dir), n=3, df_cap=_SHINGLE_DF_CAP)
     return fdedup.minhash_lsh_pairs(
-        fdedup.shingles(_docs_table(spark, sf_dir), n=3).withColumnRenamed("shingle", "term"),
+        sh.withColumnRenamed("shingle", "term"),
         n_hashes=_MINHASH_N,
         bands=_MINHASH_BANDS,
+        max_bucket_size=_MAX_BUCKET,
     )
 
 
 @gate(
     "dedup_ngram_jaccard",
-    SQL_PRELUDE + """,
-sh AS (
-  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
-  FROM tok a
-  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-),
+    SQL_PRELUDE + _lsh_sql_ctes() + """,
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) AS BIGINT) AS jacc_q
@@ -116,8 +136,17 @@ WHERE CAST(floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) AS BIGINT)
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """3-gram shingle Jaccard near-dup pairs ≥ 0.8."""
-    return fdedup.ngram_jaccard_pairs(_docs_table(spark, sf_dir), n=3, threshold_q=8000)
+    """3-gram shingle Jaccard ≥ 0.8 as the exact VERIFY stage over LSH
+    candidate pairs (never an all-pairs shingle self-join): work is
+    O(candidate pairs x shingles per doc), df-capped shingle stream."""
+    return fdedup.ngram_jaccard_pairs(
+        _docs_table(spark, sf_dir),
+        n=3,
+        threshold_q=8000,
+        shingle_df_cap=_SHINGLE_DF_CAP,
+        n_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+    )
 
 
 # ==========================================================================
@@ -218,8 +247,15 @@ ORDER BY cos_q DESC, d.vec_id ASC LIMIT 10
 """,
 )
 def cosine_topk_gate(spark, sf_dir):
-    """Brute-force cosine top-k ANN baseline over array<float> embeddings."""
+    """Brute-force cosine top-k over array<float> embeddings via the
+    scale-safe plan: collect the 1-row query vector, then a single narrow
+    scan with a codegen'd zip_with/aggregate dot product + TakeOrdered —
+    no posexplode shuffle (N x dim rows) anywhere."""
     import os
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return fsim.cosine_topk(emb, query_vec_id=0, k=10)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return fsim.cosine_topk_arrays_q(emb, qvec, k=10)

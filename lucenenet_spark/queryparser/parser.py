@@ -38,13 +38,17 @@ _TOKEN = re.compile(
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
         (?P<plus>\+) | (?P<minus>-) |
-        (?P<quoted>"(?P<qtext>[^"]*)"(?:~(?P<slop>\d+))?) |
-        (?P<range>\[(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\]) |
+        (?P<quoted>(?:(?P<qfield>[A-Za-z_][A-Za-z0-9_]*):)?
+                   "(?P<qtext>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<range>(?:(?P<rfield>[A-Za-z_][A-Za-z0-9_]*):)?
+                  \[(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\]) |
         (?P<star>\*) |
         (?P<word>[^\s()+\-"]+)
     )""",
     re.VERBOSE,
 )
+
+_FIELD_PREFIX = re.compile(r"^(?P<f>[A-Za-z_][A-Za-z0-9_]*):(?P<rest>.+)$")
 
 _BOOST = re.compile(r"^(?P<body>.*?)\^(?P<boost>[0-9.]+)$")
 _FUZZY = re.compile(r"^(?P<body>.*?)~(?P<edits>[0-9.]*)$")
@@ -96,12 +100,14 @@ class QueryParser:
             elif m.group("quoted") is not None:
                 slop = int(m.group("slop") or 0)
                 boost = 1.0
-                q = self._phrase(m.group("qtext"), slop, boost)
+                q = self._phrase(m.group("qtext"), slop, boost, field=m.group("qfield"))
                 if q is not None:
                     clauses.append(BooleanClause(q, pending or self.default_occur))
                 pending = None
             elif m.group("range"):
-                q = TermRangeQuery(lower=m.group("rlo"), upper=m.group("rhi"))
+                q = TermRangeQuery(
+                    lower=m.group("rlo"), upper=m.group("rhi"), field=m.group("rfield")
+                )
                 clauses.append(BooleanClause(q, pending or self.default_occur))
                 pending = None
             elif m.group("star"):
@@ -118,6 +124,12 @@ class QueryParser:
 
     # ------------------------------------------------------------------
     def _word(self, w: str) -> Query | None:
+        # field:term prefix — QueryParserBase field defaulting
+        # (Classic/QueryParserBase.cs; demo SearchFiles.cs parses field:term)
+        field = None
+        fp = _FIELD_PREFIX.match(w)
+        if fp and not fp.group("rest").startswith(":"):
+            field, w = fp.group("f"), fp.group("rest")
         boost = 1.0
         bm = _BOOST.match(w)
         if bm:
@@ -130,31 +142,34 @@ class QueryParser:
             terms = self.analyzer.terms(body)
             if not terms:
                 return None
-            return FuzzyQuery(terms[0], max_edits=max_edits, boost=boost)
+            return FuzzyQuery(terms[0], max_edits=max_edits, field=field, boost=boost)
         if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
-            return PrefixQuery(w[:-1].lower(), boost=boost)
+            return PrefixQuery(w[:-1].lower(), field=field, boost=boost)
         if "*" in w or "?" in w:
-            return WildcardQuery(w.lower(), boost=boost)
+            return WildcardQuery(w.lower(), field=field, boost=boost)
         toks = self.analyzer.terms(w)
         if not toks:
             return None
         if len(toks) == 1:
-            return TermQuery(toks[0], boost=boost)
+            return TermQuery(toks[0], field=field, boost=boost)
         return BooleanQuery(
-            clauses=tuple(BooleanClause(TermQuery(t), self.default_occur) for t in toks),
+            clauses=tuple(
+                BooleanClause(TermQuery(t, field=field), self.default_occur) for t in toks
+            ),
             boost=boost,
         )
 
-    def _phrase(self, text: str, slop: int, boost: float) -> Query | None:
+    def _phrase(self, text: str, slop: int, boost: float, field: str | None = None) -> Query | None:
         toks = self.analyzer.tokenize_text(text)
         if not toks:
             return None
         if len(toks) == 1:
-            return TermQuery(toks[0][0], boost=boost)
+            return TermQuery(toks[0][0], field=field, boost=boost)
         return PhraseQuery(
             terms=tuple(t for t, _ in toks),
             positions=tuple(p for _, p in toks),
             slop=slop,
+            field=field,
             boost=boost,
         )
 

@@ -25,6 +25,7 @@ def more_like_this_query(
     min_doc_freq: int = 5,
     max_doc_freq: int | None = None,
     boost: bool = False,
+    field: str | None = None,
 ) -> BooleanQuery:
     """Build the MLT OR-query for one stored document.
 
@@ -32,8 +33,13 @@ def more_like_this_query(
     a broadcast-size join with term_stats; only maxQueryTerms rows reach
     the driver.
     """
-    doc_terms = index.postings.filter(F.col("doc_id") == doc_id).select("term", "tf")
-    cand = doc_terms.join(index.term_stats, "term").filter(F.col("tf") >= min_term_freq)
+    fld = field or index.default_field
+    doc_terms = (
+        index.postings.filter((F.col("field") == fld) & (F.col("doc_id") == doc_id))
+        .select("term", "tf")
+    )
+    stats = index.term_stats.filter(F.col("field") == fld).select("term", "df")
+    cand = doc_terms.join(stats, "term").filter(F.col("tf") >= min_term_freq)
     cand = cand.filter(F.col("df") >= min_doc_freq)
     if max_doc_freq is not None:
         cand = cand.filter(F.col("df") <= max_doc_freq)
@@ -43,15 +49,19 @@ def more_like_this_query(
     scored = []
     for r in rows:
         idf = math.log(n / (r["df"] + 1)) + 1.0  # DefaultSimilarity.Idf
-        scored.append((r["tf"] * idf, r["term"]))
-    scored.sort(key=lambda x: (-x[0], x[1]))
-    top = scored[:max_query_terms]
+        s = r["tf"] * idf
+        # rank on the QUANTIZED tf*idf (floor(s*1e6+0.5)) with the term as
+        # tie-break — deterministic across engines/libm, so an SQL oracle
+        # can reproduce the selected term set exactly
+        scored.append((math.floor(s * 1e6 + 0.5), s, r["term"]))
+    scored.sort(key=lambda x: (-x[0], x[2]))
+    top = [(s, t) for _, s, t in scored[:max_query_terms]]
     if not top:
         return BooleanQuery(clauses=())
     best = top[0][0]
     clauses = tuple(
         BooleanClause(
-            TermQuery(t, boost=(s / best) if boost else 1.0), Occur.SHOULD
+            TermQuery(t, field=fld, boost=(s / best) if boost else 1.0), Occur.SHOULD
         )
         for s, t in top
     )

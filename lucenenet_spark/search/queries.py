@@ -30,10 +30,13 @@ class Occur(str, Enum):
 
 @dataclass(frozen=True)
 class TermQuery(Query):
-    """Docs containing `term`, BM25-scored
-    (reference: src/Lucene.Net/Search/TermQuery.cs:64,184-188)."""
+    """Docs containing `term` in `field`, BM25-scored
+    (reference: src/Lucene.Net/Search/TermQuery.cs:64,184-188).
+    `field=None` means the searcher's default field — the atomic query
+    unit is Term=(field, bytes) per src/Lucene.Net/Index/Term.cs:34."""
 
     term: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -49,9 +52,32 @@ class PhraseQuery(Query):
     terms: tuple[str, ...]
     positions: tuple[int, ...] | None = None
     slop: int = 0
+    field: str | None = None
 
     def resolved_positions(self) -> tuple[int, ...]:
         return self.positions if self.positions is not None else tuple(range(len(self.terms)))
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with per-slot term alternatives
+    (src/Lucene.Net/Search/MultiPhraseQuery.cs): term_arrays[i] is the set
+    of acceptable terms at phrase slot i; a doc matches when some choice of
+    one term per slot forms a phrase. Scored like PhraseQuery on the union
+    phrase frequency, with the weight built from the summed idf of ALL
+    terms in all slots (MultiPhraseWeight ctor iterates every term)."""
+
+    term_arrays: tuple[tuple[str, ...], ...] = ()
+    positions: tuple[int, ...] | None = None
+    slop: int = 0
+    field: str | None = None
+
+    def resolved_positions(self) -> tuple[int, ...]:
+        return (
+            self.positions
+            if self.positions is not None
+            else tuple(range(len(self.term_arrays)))
+        )
 
 
 @dataclass(frozen=True)
@@ -110,6 +136,7 @@ class PrefixQuery(MultiTermQuery):
     """(src/Lucene.Net/Search/PrefixQuery.cs)"""
 
     prefix: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -117,6 +144,7 @@ class WildcardQuery(MultiTermQuery):
     """`*` / `?` pattern (src/Lucene.Net/Search/WildcardQuery.cs:133)."""
 
     pattern: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -124,6 +152,7 @@ class RegexpQuery(MultiTermQuery):
     """Regex over the term dictionary (src/Lucene.Net/Search/RegexpQuery.cs)."""
 
     regexp: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -134,17 +163,21 @@ class TermRangeQuery(MultiTermQuery):
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class FuzzyQuery(MultiTermQuery):
-    """Levenshtein expansion (src/Lucene.Net/Search/FuzzyQuery.cs:58;
-    default maxEdits=2, prefixLength=0)."""
+    """Damerau-Levenshtein expansion (src/Lucene.Net/Search/FuzzyQuery.cs:58;
+    default maxEdits=2, prefixLength=0, transpositions=True — FuzzyQuery.cs:61
+    DefaultTranspositions counts a transposition as ONE edit)."""
 
     term: str
     max_edits: int = 2
     prefix_length: int = 0
     max_expansions: int = 50
+    transpositions: bool = True
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -161,7 +194,20 @@ def rewrite(query: Query) -> Query:
     (IndexSearcher.cs:794-798; BooleanQuery.cs:539-569 one-clause collapse;
     PhraseQuery.cs:169 single-term phrase -> TermQuery)."""
     if isinstance(query, PhraseQuery) and len(query.terms) == 1:
-        return TermQuery(query.terms[0], boost=query.boost)
+        return TermQuery(query.terms[0], field=query.field, boost=query.boost)
+    if isinstance(query, MultiPhraseQuery):
+        # MultiPhraseQuery.Rewrite: 1 slot of 1 term -> TermQuery; all slots
+        # singleton -> plain PhraseQuery (MultiPhraseQuery.cs Rewrite)
+        if len(query.term_arrays) == 1 and len(query.term_arrays[0]) == 1:
+            return TermQuery(query.term_arrays[0][0], field=query.field, boost=query.boost)
+        if all(len(arr) == 1 for arr in query.term_arrays):
+            return PhraseQuery(
+                terms=tuple(arr[0] for arr in query.term_arrays),
+                positions=query.positions,
+                slop=query.slop,
+                field=query.field,
+                boost=query.boost,
+            )
     if isinstance(query, BoostQuery):
         inner = rewrite(query.query)
         return _with_boost(inner, inner.boost * query.boost)

@@ -47,6 +47,7 @@ from lucenenet_spark.search.queries import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,
@@ -65,6 +66,33 @@ B = 0.75
 
 def _f32(x) -> np.float32:
     return np.float32(x)
+
+
+def _osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment (Damerau-Levenshtein without substring
+    re-edits) — the distance FuzzyQuery uses when transpositions=true
+    (reference: Util/Automaton/LevenshteinAutomata.cs builds the
+    transposition automaton; an adjacent swap costs 1). Driver-side only,
+    over the pruned candidate set."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
 
 
 class IndexSearcher:
@@ -88,12 +116,25 @@ class IndexSearcher:
         # Saves one Spark job per query — the dominant cost of small-corpus
         # query latency.
         self._stats_cache_max_terms = stats_cache_max_terms
-        self._stats_dict: dict[str, tuple[int, int]] | None = None
+        self._stats_dict: dict[tuple[str, str], tuple[int, int]] | None = None
         self._stats_dict_checked = False
-        if mode == "lucene":
-            cache = bm25_norm_cache(index.avgdl, k1, b)
-            # 256-entry literal array: the BM25 norm cache evaluated JVM-side
-            self._cache_col = F.array(*[F.lit(float(v)) for v in cache])
+        # per-field 256-entry norm caches (avgdl is per field:
+        # BM25Similarity.cs:91-102), built lazily, evaluated JVM-side
+        self._cache_cols: dict[str, object] = {}
+
+    def _fld(self, q) -> str:
+        """Resolve a query's field, defaulting like QueryParserBase's
+        field defaulting (Classic/QueryParserBase.cs)."""
+        return getattr(q, "field", None) or self.index.default_field
+
+    def _postings(self, fld: str) -> DataFrame:
+        return self.index.postings.filter(F.col("field") == fld)
+
+    def _cache_col_for(self, fld: str):
+        if fld not in self._cache_cols:
+            cache = bm25_norm_cache(self.index.avgdl_for(fld), self.k1, self.b)
+            self._cache_cols[fld] = F.array(*[F.lit(float(v)) for v in cache])
+        return self._cache_cols[fld]
 
     # ---------------------------------------------------------------- public
     def search(self, query: Query, k: int = 10) -> DataFrame:
@@ -116,35 +157,38 @@ class IndexSearcher:
         )
         return self.search(q, k)
 
-    def explain(self, term: str, doc_id: int, boost: float = 1.0) -> dict | None:
-        """Score breakdown for one (term, doc) — Weight.Explain /
+    def explain(self, term: str, doc_id: int, boost: float = 1.0, field: str | None = None) -> dict | None:
+        """Score breakdown for one (field, term, doc) — Weight.Explain /
         BM25Similarity.ExplainScore analogue. Returns the components
         {tf, dl, norm_byte, idf, avgdl, norm, weight_value, score} or
         None when the doc doesn't contain the term."""
+        fld = field or self.index.default_field
         row = (
-            self.index.postings.filter((F.col("term") == term) & (F.col("doc_id") == doc_id))
+            self._postings(fld)
+            .filter((F.col("term") == term) & (F.col("doc_id") == doc_id))
             .select("tf", "dl", "norm_byte")
             .collect()
         )
         if not row:
             return None
         tf, dl, norm_byte = int(row[0]["tf"]), int(row[0]["dl"]), int(row[0]["norm_byte"])
-        stats = self._term_stats([term])
-        df_, _ = stats.get(term, (0, 0))
+        stats = self._term_stats([(fld, term)])
+        df_, _ = stats.get((fld, term), (0, 0))
         idf = self._idf(df_)
         wv = self._weight_value(idf, boost, 1.0)
         if self.mode == "lucene":
             from lucenenet_spark.index.smallfloat import bm25_norm_cache
 
-            norm = float(bm25_norm_cache(self.index.avgdl, self.k1, self.b)[norm_byte])
+            norm = float(bm25_norm_cache(self.index.avgdl_for(fld), self.k1, self.b)[norm_byte])
             fr = _f32(tf)
             score = float(_f32(_f32(_f32(wv) * fr) / _f32(fr + _f32(norm))))
-            avgdl = self.index.avgdl
+            avgdl = self.index.avgdl_for(fld)
         else:
-            avgdl = self.index.avgdl_double
+            avgdl = self.index.avgdl_double_for(fld)
             norm = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
             score = wv * tf / (tf + norm)
         return {
+            "field": fld,
             "term": term,
             "doc_id": doc_id,
             "tf": tf,
@@ -167,8 +211,10 @@ class IndexSearcher:
         return self._docset(rewrite(query))
 
     # ------------------------------------------------------------- stats
-    def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """Global (df, ttf) per query term — TermContext.Build analogue.
+    def _term_stats(
+        self, terms: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], tuple[int, int]]:
+        """Global (df, ttf) per (field, term) — TermContext.Build analogue.
         Driver dict when the dictionary fits; else pushdown filter on the
         term-sorted stats table (O(|terms|) rows either way)."""
         if not self._stats_dict_checked:
@@ -176,14 +222,24 @@ class IndexSearcher:
             n_terms = self.index.term_stats.count()
             if n_terms <= self._stats_cache_max_terms:
                 self._stats_dict = {
-                    r["term"]: (int(r["df"]), int(r["ttf"]))
+                    (r["field"], r["term"]): (int(r["df"]), int(r["ttf"]))
                     for r in self.index.term_stats.collect()
                 }
         if self._stats_dict is not None:
-            return {t: self._stats_dict[t] for t in set(terms) if t in self._stats_dict}
-        uniq = sorted(set(terms))
-        rows = self.index.term_stats.filter(F.col("term").isin(uniq)).collect()
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            return {k: self._stats_dict[k] for k in set(terms) if k in self._stats_dict}
+        uniq = sorted({t for _, t in terms})
+        flds = sorted({f for f, _ in terms})
+        rows = (
+            self.index.term_stats.filter(F.col("term").isin(uniq))
+            .filter(F.col("field").isin(flds))
+            .collect()
+        )
+        want = set(terms)
+        return {
+            (r["field"], r["term"]): (int(r["df"]), int(r["ttf"]))
+            for r in rows
+            if (r["field"], r["term"]) in want
+        }
 
     def _idf(self, df: int) -> float:
         """BM25Similarity.Idf: (float)log(1 + (N - df + .5)/(df + .5))."""
@@ -199,21 +255,22 @@ class IndexSearcher:
             return float(_f32(w * _f32(_f32(self.k1) + _f32(1.0))))
         return idf_sum * query_boost * tlb * (self.k1 + 1.0)
 
-    def _norm_col(self):
-        """Per-doc length normalization k1*((1-b) + b*dl/avgdl):
+    def _norm_col(self, fld: str | None = None):
+        """Per-doc length normalization k1*((1-b) + b*dl/avgdl(field)):
         quantized cache lookup in lucene mode (BM25DocScorer.Score),
         exact double expression in double mode."""
+        fld = fld or self.index.default_field
         if self.mode == "lucene":
-            return F.element_at(self._cache_col, F.col("norm_byte") + F.lit(1))
-        avgdl = self.index.avgdl_double
+            return F.element_at(self._cache_col_for(fld), F.col("norm_byte") + F.lit(1))
+        avgdl = self.index.avgdl_double_for(fld)
         return F.lit(self.k1) * (
             F.lit(1.0 - self.b) + F.lit(self.b) * F.col("dl").cast("double") / F.lit(avgdl)
         )
 
-    def _score_col(self, weight_value: float, freq_col):
+    def _score_col(self, weight_value: float, freq_col, fld: str | None = None):
         """score = weightValue * freq / (freq + norm)  (BM25DocScorer.Score),
         float32 at each op in lucene mode."""
-        norm = self._norm_col()
+        norm = self._norm_col(fld)
         if self.mode == "lucene":
             freq = freq_col.cast("float")
             num = (F.lit(weight_value).cast("float") * freq).cast("float")
@@ -228,12 +285,14 @@ class IndexSearcher:
             return self._scored_term(q, tlb)
         if isinstance(q, PhraseQuery):
             return self._scored_phrase(q, tlb)
+        if isinstance(q, MultiPhraseQuery):
+            return self._scored_multi_phrase(q, tlb)
         if isinstance(q, BooleanQuery):
             return self._scored_boolean(q, tlb)
         if isinstance(q, DisjunctionMaxQuery):
             return self._scored_dismax(q, tlb)
         if isinstance(q, MatchAllDocsQuery):
-            return self._const_score(self.index.doclens.select("doc_id"), q.boost * tlb)
+            return self._const_score(self.index.all_docs(), q.boost * tlb)
         if isinstance(q, ConstantScoreQuery):
             return self._const_score(self._docset(q.query), q.boost * tlb)
         if isinstance(q, FuzzyQuery):
@@ -250,42 +309,48 @@ class IndexSearcher:
         return docset.select("doc_id", F.lit(val).alias("score"))
 
     def _scored_term(self, q: TermQuery, tlb: float) -> DataFrame:
-        stats = self._term_stats([q.term])
-        df_, _ = stats.get(q.term, (0, 0))
+        fld = self._fld(q)
+        stats = self._term_stats([(fld, q.term)])
+        df_, _ = stats.get((fld, q.term), (0, 0))
         wv = self._weight_value(self._idf(df_), q.boost, tlb)
-        p = self.index.postings.filter(F.col("term") == q.term)
-        return p.select("doc_id", self._score_col(wv, F.col("tf")).alias("score"))
+        p = self._postings(fld).filter(F.col("term") == q.term)
+        return p.select("doc_id", self._score_col(wv, F.col("tf"), fld).alias("score"))
 
-    def _scored_terms_union(self, term_boosts: dict[str, float], tlb: float) -> DataFrame:
-        """Single-scan disjunction over many terms (flat OR / MultiTermQuery
-        scoring rewrite): one postings scan with a per-term weight map —
-        the planner's bulk BooleanScorer (Search/BooleanScorer.cs:61-78).
-        Returns (doc_id, score=sum of per-term float32 scores as double,
-        n_should=matched-clause count)."""
-        stats = self._term_stats(list(term_boosts))
+    def _scored_terms_union(
+        self, term_boosts: dict[str, float], tlb: float, fld: str | None = None
+    ) -> DataFrame:
+        """Single-scan disjunction over many same-field terms (flat OR /
+        MultiTermQuery scoring rewrite): one postings scan with a per-term
+        weight map — the planner's bulk BooleanScorer
+        (Search/BooleanScorer.cs:61-78). Returns (doc_id, score=sum of
+        per-term float32 scores as double, n_should=matched-clause count)."""
+        fld = fld or self.index.default_field
+        stats = self._term_stats([(fld, t) for t in term_boosts])
         weights = {
-            t: self._weight_value(self._idf(stats.get(t, (0, 0))[0]), tb, tlb)
+            t: self._weight_value(self._idf(stats.get((fld, t), (0, 0))[0]), tb, tlb)
             for t, tb in term_boosts.items()
         }
         mapping = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(w))])
-        p = self.index.postings.filter(F.col("term").isin(list(term_boosts)))
+        p = self._postings(fld).filter(F.col("term").isin(list(term_boosts)))
         per_term = p.select(
             "doc_id",
-            self._score_col_dynamic(mapping[F.col("term")], F.col("tf")).alias("score"),
+            self._score_col_dynamic(mapping[F.col("term")], F.col("tf"), fld).alias("score"),
         )
         return per_term.groupBy("doc_id").agg(
             F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_should")
         )
 
-    def _scored_terms_or(self, term_boosts: dict[str, float], tlb: float) -> DataFrame:
-        out = self._scored_terms_union(term_boosts, tlb).select("doc_id", "score")
+    def _scored_terms_or(
+        self, term_boosts: dict[str, float], tlb: float, fld: str | None = None
+    ) -> DataFrame:
+        out = self._scored_terms_union(term_boosts, tlb, fld).select("doc_id", "score")
         if self.mode == "lucene":
             out = out.select("doc_id", F.col("score").cast("float").cast("double").alias("score"))
         return out
 
-    def _score_col_dynamic(self, weight_col, freq_col):
+    def _score_col_dynamic(self, weight_col, freq_col, fld: str | None = None):
         """Like _score_col but with a per-row (per-term) weight column."""
-        norm = self._norm_col()
+        norm = self._norm_col(fld)
         if self.mode == "lucene":
             freq = freq_col.cast("float")
             num = (weight_col.cast("float") * freq).cast("float")
@@ -305,18 +370,19 @@ class IndexSearcher:
         """
         if q.slop > 0:
             return self._scored_sloppy_phrase(q, tlb)
+        fld = self._fld(q)
         terms = list(q.terms)
         rel = q.resolved_positions()
-        stats = self._term_stats(terms)
-        if any(t not in stats for t in terms):
+        stats = self._term_stats([(fld, t) for t in terms])
+        if any((fld, t) not in stats for t in terms):
             return self._empty_scored()
         if self.mode == "lucene":
             idf_sum = np.float32(0.0)
             for t in terms:
-                idf_sum = _f32(idf_sum + _f32(self._idf(stats[t][0])))
+                idf_sum = _f32(idf_sum + _f32(self._idf(stats[(fld, t)][0])))
             idf_sum = float(idf_sum)
         else:
-            idf_sum = sum(self._idf(stats[t][0]) for t in terms)
+            idf_sum = sum(self._idf(stats[(fld, t)][0]) for t in terms)
         wv = self._weight_value(idf_sum, q.boost, tlb)
 
         def _shift(rr: int):
@@ -324,7 +390,7 @@ class IndexSearcher:
 
         parts = []
         for i, (t, r) in enumerate(zip(terms, rel)):
-            p = self.index.postings.filter(F.col("term") == t).select(
+            p = self._postings(fld).filter(F.col("term") == t).select(
                 F.col("doc_id"),
                 _shift(int(r)).alias(f"adj_{i}"),
                 *(["dl", "norm_byte"] if i == 0 else []),
@@ -337,14 +403,102 @@ class IndexSearcher:
             F.col("adj_0"),
         )
         joined = joined.withColumn("phrase_freq", F.size(inter)).filter(F.col("phrase_freq") > 0)
-        return joined.select("doc_id", self._score_col(wv, F.col("phrase_freq")).alias("score"))
+        return joined.select(
+            "doc_id", self._score_col(wv, F.col("phrase_freq"), fld).alias("score")
+        )
+
+    def _scored_multi_phrase(self, q, tlb: float) -> DataFrame:
+        """MultiPhraseQuery (Search/MultiPhraseQuery.cs): per slot i, the
+        acceptable positions are the UNION of the slot's terms' position
+        lists (UnionDocsAndPositionsEnum merges the postings of all slot
+        terms); then the exact-phrase intersect runs on the per-slot unions.
+        Weight = summed idf over EVERY term of every slot
+        (MultiPhraseWeight ctor)."""
+        fld = self._fld(q)
+        arrays = [tuple(arr) for arr in q.term_arrays]
+        rel = q.resolved_positions()
+        all_terms = [t for arr in arrays for t in arr]
+        stats = self._term_stats([(fld, t) for t in all_terms])
+        # a slot with NO indexed term can never match; missing terms within
+        # a slot just contribute nothing (idf of df=0 still added, as the
+        # reference sums idf over the query's terms regardless)
+        if any(all((fld, t) not in stats for t in arr) for arr in arrays):
+            return self._empty_scored()
+        if self.mode == "lucene":
+            idf_sum = np.float32(0.0)
+            for t in all_terms:
+                idf_sum = _f32(idf_sum + _f32(self._idf(stats.get((fld, t), (0, 0))[0])))
+            idf_sum = float(idf_sum)
+        else:
+            idf_sum = sum(self._idf(stats.get((fld, t), (0, 0))[0]) for t in all_terms)
+        wv = self._weight_value(idf_sum, q.boost, tlb)
+
+        parts = []
+        for i, (arr, r) in enumerate(zip(arrays, rel)):
+            # slot union: one scan of the slot's terms; flatten+dedup the
+            # shifted position arrays per doc (UnionDocsAndPositionsEnum)
+            p = (
+                self._postings(fld)
+                .filter(F.col("term").isin(list(arr)))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.flatten(
+                                F.collect_list(
+                                    F.transform("positions", lambda x: x - F.lit(int(r)))
+                                )
+                            )
+                        )
+                    ).alias(f"adj_{i}"),
+                    F.first("dl").alias(f"_dl_{i}"),
+                    F.first("norm_byte").alias(f"_nb_{i}"),
+                )
+            )
+            if i == 0:
+                p = p.withColumnRenamed("_dl_0", "dl").withColumnRenamed("_nb_0", "norm_byte")
+            else:
+                p = p.drop(f"_dl_{i}", f"_nb_{i}")
+            parts.append(p)
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+        inter = reduce(
+            lambda acc, i: F.array_intersect(acc, F.col(f"adj_{i}")),
+            range(1, len(arrays)),
+            F.col("adj_0"),
+        )
+        joined = joined.withColumn("phrase_freq", F.size(inter)).filter(F.col("phrase_freq") > 0)
+        return joined.select(
+            "doc_id", self._score_col(wv, F.col("phrase_freq"), fld).alias("score")
+        )
 
     def _scored_sloppy_phrase(self, q: PhraseQuery, tlb: float) -> DataFrame:
+        """SloppyPhraseScorer: sloppy freqs (see sloppy_phrase_freqs) fed
+        into the BM25 score with the phrase terms' summed idf."""
+        fld = self._fld(q)
+        terms = list(q.terms)
+        stats = self._term_stats([(fld, t) for t in terms])
+        if any((fld, t) not in stats for t in terms):
+            return self._empty_scored()
+        if self.mode == "lucene":
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                idf_sum = _f32(idf_sum + _f32(self._idf(stats[(fld, t)][0])))
+            idf_sum = float(idf_sum)
+        else:
+            idf_sum = sum(self._idf(stats[(fld, t)][0]) for t in terms)
+        wv = self._weight_value(idf_sum, q.boost, tlb)
+        with_freq = self.sloppy_phrase_freqs(q)
+        return with_freq.select(
+            "doc_id", self._score_col(wv, F.col("freq"), fld).alias("score")
+        )
+
+    def sloppy_phrase_freqs(self, q: PhraseQuery) -> DataFrame:
         """SloppyPhraseScorer (Search/SloppyPhraseScorer.cs): same N-way
         doc_id join as the exact phrase, then the PhrasePositions min-queue
         walk per candidate doc computes sloppyFreq = sum of
         1/(1+matchLength) over windows with matchLength <= slop
         (BM25Similarity.SloppyFreq at BM25Similarity.cs:74-77).
+        Returns (doc_id, freq, dl, norm_byte) with freq > 0.
 
         The walk runs in an applyInPandas batch (the genuinely iterator-ish
         part Spark can't express); everything around it is declarative.
@@ -353,27 +507,27 @@ class IndexSearcher:
         import pandas as pd
         from pyspark.sql import types as T
 
+        fld = self._fld(q)
         terms = list(q.terms)
         rel = q.resolved_positions()
         slop = q.slop
-        stats = self._term_stats(terms)
-        if any(t not in stats for t in terms):
-            return self._empty_scored()
-        if self.mode == "lucene":
-            idf_sum = np.float32(0.0)
-            for t in terms:
-                idf_sum = _f32(idf_sum + _f32(self._idf(stats[t][0])))
-            idf_sum = float(idf_sum)
-        else:
-            idf_sum = sum(self._idf(stats[t][0]) for t in terms)
-        wv = self._weight_value(idf_sum, q.boost, tlb)
+        stats = self._term_stats([(fld, t) for t in terms])
+        if any((fld, t) not in stats for t in terms):
+            return (
+                self.index.doclens.select(
+                    "doc_id",
+                    F.lit(0.0).alias("freq"),
+                    F.col("dl"),
+                    F.col("norm_byte"),
+                ).limit(0)
+            )
 
         def _shift(rr: int):
             return F.transform("positions", lambda x: x - F.lit(rr))
 
         parts = []
         for i, (t, r) in enumerate(zip(terms, rel)):
-            p = self.index.postings.filter(F.col("term") == t).select(
+            p = self._postings(fld).filter(F.col("term") == t).select(
                 F.col("doc_id"),
                 _shift(int(r)).alias(f"adj_{i}"),
                 *(["dl", "norm_byte"] if i == 0 else []),
@@ -424,12 +578,18 @@ class IndexSearcher:
                     }
                 )
 
-        with_freq = joined.mapInPandas(sloppy, out_schema).filter(F.col("freq") > 0)
-        return with_freq.select("doc_id", self._score_col(wv, F.col("freq")).alias("score"))
+        return joined.mapInPandas(sloppy, out_schema).filter(F.col("freq") > 0)
 
     def _empty_scored(self) -> DataFrame:
         return (
             self.index.doclens.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+        )
+
+    def count_field_docs(self, fld: str) -> DataFrame:
+        """Docs with at least one token in `fld` (FieldValueFilter shape)."""
+        return (
+            self.index.doclens.filter((F.col("field") == fld) & (F.col("dl") > 0))
+            .select("doc_id")
         )
 
     # ------------------------------------------------------------- boolean
@@ -454,14 +614,18 @@ class IndexSearcher:
 
         opt: DataFrame | None = None
         if shoulds:
-            if all(type(s) is TermQuery for s in shoulds) and len(
-                {s.term for s in shoulds}
-            ) == len(shoulds):
-                # flat OR of distinct terms: ONE postings scan with a
-                # per-term weight map instead of per-clause scan + union —
-                # the planner's bulk BooleanScorer (BooleanScorer.cs:61-78)
+            should_flds = {self._fld(s) for s in shoulds}
+            if (
+                all(type(s) is TermQuery for s in shoulds)
+                and len(should_flds) == 1
+                and len({s.term for s in shoulds}) == len(shoulds)
+            ):
+                # flat OR of distinct same-field terms: ONE postings scan
+                # with a per-term weight map instead of per-clause scan +
+                # union — the planner's bulk BooleanScorer
+                # (BooleanScorer.cs:61-78)
                 opt = self._scored_terms_union(
-                    {s.term: s.boost for s in shoulds}, tlb
+                    {s.term: s.boost for s in shoulds}, tlb, next(iter(should_flds))
                 )
             else:
                 scored = [self._scored(s, tlb) for s in shoulds]
@@ -511,14 +675,16 @@ class IndexSearcher:
     def _docset(self, q: Query) -> DataFrame:
         q = rewrite(q)
         if isinstance(q, TermQuery):
-            return self.index.postings.filter(F.col("term") == q.term).select("doc_id")
+            return (
+                self._postings(self._fld(q)).filter(F.col("term") == q.term).select("doc_id")
+            )
         if isinstance(q, MultiTermQuery) and not isinstance(q, FuzzyQuery):
             pred = self._term_predicate(q)
-            return self.index.postings.filter(pred).select("doc_id").distinct()
+            return self._postings(self._fld(q)).filter(pred).select("doc_id").distinct()
         if isinstance(q, FuzzyQuery):
             return self._docset(self._rewrite_fuzzy(q))
         if isinstance(q, MatchAllDocsQuery):
-            return self.index.doclens.select("doc_id")
+            return self.index.all_docs()
         if isinstance(q, ConstantScoreQuery):
             return self._docset(q.query)
         if isinstance(q, BooleanQuery):
@@ -580,34 +746,48 @@ class IndexSearcher:
         The candidate set comes from a pushdown scan of the term dictionary
         with JVM-side levenshtein + length-window pruning; only the
         ≤max_expansions winners are collected to the driver.
+
+        transpositions=True (the reference default, FuzzyQuery.cs:61) counts
+        an adjacent swap as ONE edit (Damerau / optimal string alignment).
+        Plain Levenshtein counts it as 2, so the JVM prune widens to
+        2*max_edits (lev <= 2*dam always) and the exact OSA distance is
+        computed on the small collected candidate set.
         """
         t = q.term
-        pred = (F.length("term") >= len(t) - q.max_edits) & (
-            F.length("term") <= len(t) + q.max_edits
+        fld = self._fld(q)
+        lev_cap = 2 * q.max_edits if q.transpositions else q.max_edits
+        pred = (
+            (F.col("field") == fld)
+            & (F.length("term") >= len(t) - q.max_edits)
+            & (F.length("term") <= len(t) + q.max_edits)
         )
         if q.prefix_length > 0:
             pred = pred & F.col("term").startswith(t[: q.prefix_length])
         cand = (
             self.index.term_stats.filter(pred)
             .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
-            .filter(F.col("dist") <= q.max_edits)
+            .filter(F.col("dist") <= lev_cap)
             .select("term", "dist")
             .collect()
         )
         scored = []
         for r in cand:
-            term, dist = r["term"], int(r["dist"])
+            term = r["term"]
+            dist = _osa_distance(term, t) if q.transpositions else int(r["dist"])
+            if dist > q.max_edits:
+                continue
             boost = 1.0 if dist == 0 else 1.0 - dist / min(len(term), len(t))
             scored.append((boost, term))
         scored.sort(key=lambda x: (-x[0], x[1]))
         top = scored[: q.max_expansions]
         if not top:
-            return TermQuery(t + "\x00_nomatch", boost=q.boost)
+            return TermQuery(t + "\x00_nomatch", field=fld, boost=q.boost)
         from lucenenet_spark.search.queries import BooleanClause
 
         return BooleanQuery(
             clauses=tuple(
-                BooleanClause(TermQuery(term, boost=boost), Occur.SHOULD) for boost, term in top
+                BooleanClause(TermQuery(term, field=fld, boost=boost), Occur.SHOULD)
+                for boost, term in top
             ),
             boost=q.boost,
         )

@@ -17,15 +17,19 @@ from pyspark.sql import functions as F
 from lucenenet_spark.index.builder import InvertedIndex
 
 
-def _positions(index: InvertedIndex, term: str, alias: str) -> DataFrame:
+def _positions(
+    index: InvertedIndex, term: str, alias: str, field: str | None = None
+) -> DataFrame:
+    fld = field or index.default_field
     return (
-        index.postings.filter(F.col("term") == term)
+        index.postings.filter((F.col("field") == fld) & (F.col("term") == term))
         .select("doc_id", F.explode("positions").alias(alias))
     )
 
 
 def span_near_docs(
-    index: InvertedIndex, terms: list[str], slop: int = 0, in_order: bool = True
+    index: InvertedIndex, terms: list[str], slop: int = 0, in_order: bool = True,
+    field: str | None = None,
 ) -> DataFrame:
     """Docs with a span of `terms` within `slop` gaps (SpanNearQuery).
 
@@ -38,7 +42,7 @@ def span_near_docs(
     """
     n = len(terms)
     assert n >= 2
-    parts = [_positions(index, t, f"p{i}") for i, t in enumerate(terms)]
+    parts = [_positions(index, t, f"p{i}", field) for i, t in enumerate(terms)]
     if in_order:
         joined = parts[0]
         for i in range(1, n):
@@ -53,10 +57,12 @@ def span_near_docs(
     return joined.filter(distinct_pos & (width <= slop)).select("doc_id").distinct()
 
 
-def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
+def span_first_docs(
+    index: InvertedIndex, term: str, end: int, field: str | None = None
+) -> DataFrame:
     """SpanFirstQuery: term occurs at position < end."""
     return (
-        _positions(index, term, "p")
+        _positions(index, term, "p", field)
         .filter(F.col("p") < end)
         .select("doc_id")
         .distinct()
@@ -64,15 +70,18 @@ def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
 
 
 def span_not_docs(
-    index: InvertedIndex, include: list[str], exclude: str, slop: int = 0, dist: int = 0
+    index: InvertedIndex, include: list[str], exclude: str, slop: int = 0, dist: int = 0,
+    field: str | None = None,
 ) -> DataFrame:
     """SpanNotQuery: include-span docs minus docs where the exclude term
     overlaps (within `dist` positions of) an include span."""
-    inc = span_near_docs(index, include, slop=slop, in_order=True) if len(include) > 1 else (
-        index.postings.filter(F.col("term") == include[0]).select("doc_id").distinct()
+    fld = field or index.default_field
+    inc = span_near_docs(index, include, slop=slop, in_order=True, field=fld) if len(include) > 1 else (
+        index.postings.filter((F.col("field") == fld) & (F.col("term") == include[0]))
+        .select("doc_id").distinct()
     )
-    near_excl = _positions(index, exclude, "pe")
-    inc_pos = _positions(index, include[0], "pi")
+    near_excl = _positions(index, exclude, "pe", fld)
+    inc_pos = _positions(index, include[0], "pi", fld)
     overlap = (
         inc_pos.join(near_excl, "doc_id")
         .filter((F.col("pe") >= F.col("pi") - dist) & (F.col("pe") <= F.col("pi") + len(include) - 1 + dist))

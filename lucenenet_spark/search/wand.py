@@ -52,8 +52,9 @@ class BlockMaxSearcher:
         self.inner = IndexSearcher(index, mode=mode)
         self.last_stats: dict = {}
 
-    def _ub_col(self, weight_value: float):
-        cache = self.inner._cache_col if self.inner.mode == "lucene" else None
+    def _ub_col(self, weight_value: float, field: str | None = None):
+        fld = field or self.index.default_field
+        cache = self.inner._cache_col_for(fld) if self.inner.mode == "lucene" else None
         if cache is not None:
             cmin = F.element_at(cache, F.col("max_norm_byte") + F.lit(1))
         else:
@@ -69,23 +70,27 @@ class BlockMaxSearcher:
         mt = F.col("max_tf").cast("double")
         return (F.lit(weight_value) * mt / (mt + cmin.cast("double"))).alias("ub")
 
-    def topk_term(self, term: str, k: int = 10, boost: float = 1.0) -> DataFrame:
+    def topk_term(self, term: str, k: int = 10, boost: float = 1.0,
+                  field: str | None = None) -> DataFrame:
         """Exact top-k (score DESC, doc_id ASC) scanning only competitive
         blocks; sets self.last_stats = {blocks_total, blocks_scored}."""
-        stats = self.inner._term_stats([term])
-        df_, _ = stats.get(term, (0, 0))
+        fld = field or self.index.default_field
+        stats = self.inner._term_stats([(fld, term)])
+        df_, _ = stats.get((fld, term), (0, 0))
         wv = self.inner._weight_value(self.inner._idf(df_), boost, 1.0)
 
-        meta = self.blocks.filter(F.col("term") == term).select(
-            "term", "block_id", "n_docs", "max_tf", "max_norm_byte", "packed",
-            self._ub_col(wv),
+        meta = self.blocks.filter(
+            (F.col("field") == fld) & (F.col("term") == term)
+        ).select(
+            "field", "term", "block_id", "n_docs", "max_tf", "max_norm_byte", "packed",
+            self._ub_col(wv, fld),
         )
         meta = meta.persist()
         try:
             total = meta.count()
             if total == 0:
                 self.last_stats = {"blocks_total": 0, "blocks_scored": 0}
-                return self._score_blocks(meta.limit(0), wv, k)
+                return self._score_blocks(meta.limit(0), wv, k, fld)
 
             # SEED: smallest prefix of ub-desc blocks covering >= k postings
             seed_rows = (
@@ -101,23 +106,25 @@ class BlockMaxSearcher:
                 if covered >= k:
                     break
             seed = meta.filter(F.col("block_id").isin(seed_ids))
-            seed_topk = self._score_blocks(seed, wv, k).collect()
+            seed_topk = self._score_blocks(seed, wv, k, fld).collect()
             if len(seed_topk) < k:
                 # not enough docs for a full heap: must scan everything
                 self.last_stats = {"blocks_total": total, "blocks_scored": total}
-                return self._score_blocks(meta, wv, k)
+                return self._score_blocks(meta, wv, k, fld)
             theta = seed_topk[-1]["score"]
 
             surviving = meta.filter(F.col("ub") >= F.lit(float(theta) * (1.0 - _EPS)))
             n_scored = surviving.count()
             self.last_stats = {"blocks_total": total, "blocks_scored": n_scored}
-            return self._score_blocks(surviving, wv, k)
+            return self._score_blocks(surviving, wv, k, fld)
         finally:
             meta.unpersist()
 
-    def _score_blocks(self, blocks: DataFrame, weight_value: float, k: int) -> DataFrame:
+    def _score_blocks(
+        self, blocks: DataFrame, weight_value: float, k: int, field: str | None = None
+    ) -> DataFrame:
         postings = unpack_blocks(blocks, with_positions=False)
         scored = postings.select(
-            "doc_id", self.inner._score_col(weight_value, F.col("tf")).alias("score")
+            "doc_id", self.inner._score_col(weight_value, F.col("tf"), field).alias("score")
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -89,6 +89,9 @@ class IncrementalIndexer:
             "status": "committed",
             "docs": idx.max_doc,
             "sum_ttf": idx.sum_ttf,
+            "fields": list(idx.fields),
+            "sum_ttf_by_field": idx.sum_ttf_by_field
+            or {idx.default_field: idx.sum_ttf},
             "wall_sec": round(time.time() - t0, 4),
         }
         self._commit_manifest(manifest)
@@ -145,10 +148,20 @@ class IncrementalIndexer:
         doclens.write.mode("overwrite").parquet(os.path.join(merged_dir, "doclens"))
         for k, _ in victims:
             del manifest[k]
+        merged_by_field: dict[str, int] = {}
+        merged_fields: list[str] = []
+        for _, v in victims:
+            for f, s in v.get("sum_ttf_by_field", {"text": v["sum_ttf"]}).items():
+                merged_by_field[f] = merged_by_field.get(f, 0) + int(s)
+            for f in v.get("fields", ["text"]):
+                if f not in merged_fields:
+                    merged_fields.append(f)
         manifest[merged_key] = {
             "status": "committed",
             "docs": sum(v["docs"] for _, v in victims),
             "sum_ttf": sum(v["sum_ttf"] for _, v in victims),
+            "fields": merged_fields,
+            "sum_ttf_by_field": merged_by_field,
             "wall_sec": 0.0,
             "merged_from": [k for k, _ in victims],
         }
@@ -170,9 +183,18 @@ class IncrementalIndexer:
         seg_root = os.path.join(self.out_dir, "segments")
         postings = spark.read.parquet(*[os.path.join(seg_root, k, "postings") for k in keys])
         doclens = spark.read.parquet(*[os.path.join(seg_root, k, "doclens") for k in keys])
-        term_stats = postings.groupBy("term").agg(
+        term_stats = postings.groupBy("field", "term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
         )
+        by_field: dict[str, int] = {}
+        fields: list[str] = []
+        for k in keys:
+            v = manifest[k]
+            for f, s in v.get("sum_ttf_by_field", {"text": v["sum_ttf"]}).items():
+                by_field[f] = by_field.get(f, 0) + int(s)
+            for f in v.get("fields", ["text"]):
+                if f not in fields:
+                    fields.append(f)
         idx = InvertedIndex(
             postings=postings,
             doclens=doclens,
@@ -180,5 +202,7 @@ class IncrementalIndexer:
             max_doc=sum(manifest[k]["docs"] for k in keys),
             sum_ttf=sum(manifest[k]["sum_ttf"] for k in keys),
             analyzer=self.analyzer,
+            fields=tuple(fields) or ("text",),
+            sum_ttf_by_field=by_field or None,
         )
         return IndexSearcher(idx)

@@ -1,0 +1,314 @@
+"""Round-2 features: multi-field indexing, field: parser syntax,
+MultiPhraseQuery, Damerau fuzzy (transpositions), de-toyed dedup/ANN
+(df-cap, bucket cap, verify stage, multi-probe recall), sloppy-freq
+closed form used by the gate oracle."""
+
+import pytest
+
+from lucenenet_spark import IndexSearcher, TermQuery, build_index
+from lucenenet_spark.search.queries import (
+    BooleanQuery,
+    FuzzyQuery,
+    MultiPhraseQuery,
+    Occur,
+    PhraseQuery,
+)
+
+
+@pytest.fixture(scope="module")
+def mf(spark):
+    rows = [
+        (0, "apache spark engine", "alpha"),
+        (1, "spark sql engine fast engine", "beta"),
+        (2, "lucene index search", "alpha"),
+        (3, "apache lucene net port", "beta gamma"),
+        (4, "bear hunts in the forest", "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, title string")
+    idx = build_index(df, fields=["text", "title"]).cache()
+    return IndexSearcher(idx)
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+# ------------------------------------------------------------- multi-field
+def test_field_term_queries(mf):
+    assert _ids(mf.docset(TermQuery("spark"))) == [0, 1]
+    assert _ids(mf.docset(TermQuery("alpha", field="title"))) == [0, 2]
+    # same token, different fields -> different postings
+    assert _ids(mf.docset(TermQuery("gamma", field="title"))) == [3, 4]
+    assert _ids(mf.docset(TermQuery("gamma"))) == []
+
+
+def test_per_field_stats(mf):
+    idx = mf.index
+    assert idx.fields == ("text", "title")
+    assert idx.max_doc == 5
+    # text: 3+5+3+4+5 tokens ('in'/'the' are stopwords: 'bear hunts in the
+    # forest' -> bear hunts forest = 3 emitted) -> recompute: doc4 text has
+    # 5 raw tokens, 2 stopwords -> dl=3; total = 3+5+3+4+3 = 18
+    assert idx.sum_ttf_by_field["text"] == 18
+    assert idx.sum_ttf_by_field["title"] == 6
+    assert idx.avgdl_for("title") != idx.avgdl_for("text")
+
+
+def test_field_scoring_uses_field_avgdl(mf):
+    # title:beta in doc1 (dl=1) vs doc3 (dl=2): doc1 scores higher
+    rows = mf.search(TermQuery("beta", field="title"), 5).collect()
+    assert [r["doc_id"] for r in rows] == [1, 3]
+    assert rows[0]["score"] > rows[1]["score"]
+    e = mf.explain("beta", 1, field="title")
+    assert e is not None and e["dl"] == 1 and e["field"] == "title"
+
+
+def test_parser_field_syntax(mf):
+    assert _ids(mf.search_text("title:alpha", 10)) == [0, 2]
+    assert _ids(mf.search_text("title:alpha AND engine", 10)) == [0]
+    assert _ids(mf.search_text('title:"beta gamma"', 10)) == [3]
+    # default field unchanged
+    assert _ids(mf.search_text("spark", 10)) == [0, 1]
+
+
+def test_cross_field_boolean(mf):
+    q = BooleanQuery.of(
+        (TermQuery("engine"), Occur.MUST),
+        (TermQuery("alpha", field="title"), Occur.SHOULD),
+    )
+    rows = mf.search(q, 5).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1]
+    # doc0 gets the title:alpha bonus
+    by_id = {r["doc_id"]: r["score"] for r in rows}
+    solo = {r["doc_id"]: r["score"] for r in mf.scored(TermQuery("engine")).collect()}
+    assert by_id[0] > solo[0]
+    assert abs(by_id[1] - solo[1]) < 1e-9
+
+
+def test_save_load_roundtrip_multifield(mf, spark, tmp_path):
+    from lucenenet_spark.index.builder import InvertedIndex
+
+    path = str(tmp_path / "mfidx")
+    mf.index.save(path)
+    idx2 = InvertedIndex.load(spark, path)
+    assert idx2.fields == ("text", "title")
+    assert idx2.sum_ttf_by_field == mf.index.sum_ttf_by_field
+    s2 = IndexSearcher(idx2)
+    assert _ids(s2.docset(TermQuery("alpha", field="title"))) == [0, 2]
+
+
+# ------------------------------------------------------------- multi-phrase
+def test_multi_phrase(mf):
+    # "apache (spark|lucene)" matches docs 0 and 3
+    q = MultiPhraseQuery(term_arrays=(("apache",), ("spark", "lucene")))
+    assert _ids(mf.scored(q)) == [0, 3]
+    # singleton slots == plain phrase (MultiPhraseQuery.Rewrite)
+    q1 = MultiPhraseQuery(term_arrays=(("apache",), ("spark",)))
+    p1 = PhraseQuery(terms=("apache", "spark"))
+    a = {(r["doc_id"], round(r["score"], 6)) for r in mf.scored(q1).collect()}
+    # rewrite collapses to PhraseQuery, so scores are identical
+    b = {(r["doc_id"], round(r["score"], 6)) for r in mf.scored(p1).collect()}
+    assert a == b
+
+
+# ------------------------------------------------------------- fuzzy/Damerau
+def test_fuzzy_transpositions(spark):
+    # reference default transpositions=true (FuzzyQuery.cs:61):
+    # "baer"~1 must match "bear" (adjacent swap = ONE edit)
+    docs = {0: "a bear in the woods", 1: "a beer on the table", 2: "bare hands"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    s = IndexSearcher(build_index(df))
+    hits = _ids(s.docset(FuzzyQuery("baer", max_edits=1)))
+    assert 0 in hits  # bear: transposition = 1 edit
+    assert 1 in hits  # beer: substitution = 1 edit
+    assert 2 in hits  # bare: transposition = 1 edit
+    # with transpositions=False (plain Levenshtein), bear is 2 edits away
+    hits_nt = _ids(s.docset(FuzzyQuery("baer", max_edits=1, transpositions=False)))
+    assert 0 not in hits_nt and 1 in hits_nt
+
+
+def test_osa_distance_primitives():
+    from lucenenet_spark.search.searcher import _osa_distance
+
+    assert _osa_distance("baer", "bear") == 1
+    assert _osa_distance("abc", "abc") == 0
+    assert _osa_distance("ab", "ba") == 1
+    assert _osa_distance("abcd", "badc") == 2
+    assert _osa_distance("kitten", "sitting") == 3
+    assert _osa_distance("", "ab") == 2
+
+
+# ------------------------------------------------------------- dedup caps
+def test_shingles_window_and_short_docs(spark):
+    from lucenenet_spark.functions import dedup as fdedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, "x")], "doc_id long, text string"
+    )
+    sh = {(r["doc_id"], r["shingle"]) for r in fdedup.shingles(df, n=3).collect()}
+    assert sh == {(0, "a b c"), (0, "b c d")}
+
+
+def test_shingle_df_cap(spark):
+    from lucenenet_spark.functions import dedup as fdedup
+
+    rows = [(i, "very common shingle text " + f"unique{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = fdedup.capped_shingles(df, n=3, df_cap=5)
+    # 'very common shingle' and 'common shingle text' appear in all 10 docs
+    # -> dropped; no surviving shingle has df > 5
+    dfs = (
+        capped.groupBy("shingle").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in dfs)
+    assert all("very common shingle" != r["shingle"] for r in dfs)
+
+
+def test_lsh_bucket_cap_drops_mega_buckets(spark):
+    from lucenenet_spark.functions import dedup as fdedup
+
+    # 12 identical docs + 1 outlier: all 12 share every bucket
+    rows = [(i, "same words everywhere forever again") for i in range(12)]
+    rows.append((99, "completely different content here now"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = fdedup.shingles(df, n=3).withColumnRenamed("shingle", "term")
+    pairs_uncapped = fdedup.minhash_lsh_pairs(sh, 16, 4, max_bucket_size=None).count()
+    pairs_capped = fdedup.minhash_lsh_pairs(sh, 16, 4, max_bucket_size=8).count()
+    assert pairs_uncapped == 66  # 12 choose 2
+    assert pairs_capped == 0  # mega-bucket dropped
+
+
+def test_jaccard_verify_matches_allpairs(spark):
+    """Verify-stage Jaccard over LSH candidates finds the same >=0.8 pairs
+    as a brute-force computation on a corpus with clear near-dups."""
+    from itertools import combinations
+
+    from lucenenet_spark.functions import dedup as fdedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("kappa", "lambda")),  # near dup
+        (3, "totally different words in this one document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute force in python
+    def sh3(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = set()
+    sets = {r[0]: sh3(r[1]) for r in rows}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        jq = int(j * 10000 + 0.5)
+        if jq >= 7000:
+            expect.add((a, b, jq))
+
+    # verify stage with an explicit (all-pairs) candidate set computes
+    # exact Jaccard — byte-equal to brute force
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a, b in combinations(sorted(sets), 2)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jacc_q"])
+        for r in fdedup.ngram_jaccard_pairs(
+            df, n=3, threshold_q=7000, candidates=all_pairs
+        ).collect()
+    }
+    assert got == expect
+
+    # full LSH path: identical docs (J=1.0) collide in EVERY band, so the
+    # exact-dup pair is found deterministically; anything the LSH path
+    # reports must also be a true >=0.7 pair (verify stage is exact)
+    got_lsh = {
+        (r["doc_a"], r["doc_b"], r["jacc_q"])
+        for r in fdedup.ngram_jaccard_pairs(df, n=3, threshold_q=7000).collect()
+    }
+    assert (0, 1, 10000) in got_lsh
+    assert got_lsh <= expect
+
+
+# ------------------------------------------------------------- ANN recall
+def test_ann_multiprobe_recall(spark):
+    """Multi-probe LSH must beat single-probe recall and clear a floor on
+    a clustered fixture (queries from dense clusters are ANN's use case)."""
+    import random
+
+    import lucenenet_spark.functions.similarity as fsim
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(5)]
+    rows = []
+    for vid in range(300):
+        c = centers[vid % 5]
+        rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = [float(x) for x in rows[0][1]]
+    exact = [r["vec_id"] for r in fsim.cosine_topk_arrays(emb, qvec, 10).collect()]
+
+    def recall(n_probes):
+        ann = [
+            r["vec_id"]
+            for r in fsim.ann_lsh_topk(
+                emb, 0, 10, n_planes=8, dim=16, n_probes=n_probes
+            ).collect()
+        ]
+        return len(set(ann) & set(exact)) / 10.0
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.9
+
+
+# ------------------------------------------------------------- sloppy freq
+def test_sloppy_closed_form_matches_walk():
+    """The 2-term closed form used by the phrase_sloppy SQL oracle equals
+    the engine's min-queue walk on randomized position lists."""
+    import random
+
+    def walk(A, B, slop):
+        its = [sorted(A), sorted(B)]
+        idx = [0, 0]
+        cur = [its[0][0], its[1][0]]
+        end = max(cur)
+        acc = 0.0
+        while True:
+            i = min(range(2), key=lambda j: cur[j])
+            ml = end - cur[i]
+            if ml <= slop:
+                acc += 1.0 / (1.0 + ml)
+            idx[i] += 1
+            if idx[i] >= len(its[i]):
+                break
+            cur[i] = its[i][idx[i]]
+            end = max(end, cur[i])
+        return acc
+
+    def closed(A, B, slop):
+        acc = 0.0
+        for a in A:
+            bs = [b for b in B if b >= a]
+            if bs:
+                ml = min(bs) - a
+                if ml <= slop:
+                    acc += 1.0 / (1.0 + ml)
+        for b in B:
+            as_ = [a for a in A if a > b]
+            if as_:
+                ml = min(as_) - b
+                if ml <= slop:
+                    acc += 1.0 / (1.0 + ml)
+        return acc
+
+    rng = random.Random(42)
+    for trial in range(300):
+        A = sorted(rng.sample(range(0, 30), rng.randint(1, 6)))
+        B = sorted(rng.sample(range(0, 30), rng.randint(1, 6)))
+        slop = rng.randint(0, 4)
+        assert abs(walk(A, B, slop) - closed(A, B, slop)) < 1e-12, (A, B, slop)
