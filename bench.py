@@ -111,6 +111,30 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 4)
 
+    # ---- packed-block serving path (production layout; BMW pruning) ----
+    from lucenenet_spark.search.block_searcher import BlockIndexSearcher
+
+    t0 = time.time()
+    bsearcher = BlockIndexSearcher(idx)
+    bsearcher.blocks = bsearcher.blocks.cache()
+    n_blocks = bsearcher.blocks.count()
+    timings["block_pack"] = round(time.time() - t0, 4)
+    wand_stats = {}
+    for name, mk in {
+        "q_block_term": lambda: bsearcher.topk_term("vector", 10),
+        "q_block_or": lambda: bsearcher.topk_or(
+            {"key": 1.0, "agg": 1.0, "scan": 1.0}, 10
+        ),
+        "q_block_and": lambda: bsearcher.topk_and(["vector", "merge"], 10),
+    }.items():
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            mk().collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        wand_stats[name] = dict(bsearcher.last_stats)
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "index_build+query suite wall time",
@@ -122,6 +146,8 @@ def main() -> None:
         "docs_per_sec": round(n_docs / build_sec, 2),
         "postings": n_postings,
         "postings_per_sec": round(n_postings / build_sec, 2),
+        "blocks": n_blocks,
+        "wand_stats": wand_stats,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -161,3 +161,62 @@ class PyIndex:
     def topk(scores: dict[int, float], k: int = 10) -> list[tuple[int, float]]:
         """score DESC, doc_id ASC (HitQueue.cs:88)."""
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ------------------------------------------------- ClassicSimilarity
+    def classic_scores(
+        self,
+        musts: list[tuple[str, float]] = (),
+        shoulds: list[tuple[str, float]] = (),
+        nots: list[str] = (),
+        minimum_should_match: int = 0,
+        tlb: float = 1.0,
+    ) -> dict[int, float]:
+        """TFIDF/DefaultSimilarity with queryNorm + coord, float32 per op
+        (TFIDFSimilarity.cs IDFStats/TFIDFSimScorer; DefaultSimilarity.cs:
+        Tf=sqrt, Idf=ln(N/(df+1))+1, QueryNorm=1/sqrt(sumSq),
+        Coord=overlap/maxOverlap; norms decoded via raw Byte315ToSingle)."""
+        from lucenenet_spark.index.smallfloat import byte315_to_float
+
+        decode = byte315_to_float(np.arange(256, dtype=np.uint8)).astype(np.float32)
+        scoring = list(musts) + list(shoulds)
+        max_overlap = len(scoring)
+        n = self.max_doc
+        idfs = [f32(math.log(n / float(self.df(t) + 1)) + 1.0) for t, _ in scoring]
+        qw = [f32(i * f32(b)) for i, (_, b) in zip(idfs, scoring)]
+        sum_sq = f32(0.0)
+        for w in qw:
+            sum_sq = f32(sum_sq + f32(w * w))
+        sum_sq = f32(sum_sq * f32(f32(tlb) * f32(tlb)))
+        qn = f32(1.0 / math.sqrt(float(sum_sq))) if sum_sq > 0 else f32(1.0)
+        values = [f32(f32(w * f32(qn * f32(tlb))) * i) for w, i in zip(qw, idfs)]
+
+        def partial(term: str, value: np.float32, d: int) -> np.float32:
+            freq = len(self.postings[term][d])
+            tf = f32(math.sqrt(f32(freq)))
+            return f32(f32(tf * value) * decode[self.norm_byte[d]])
+
+        must_sets = [set(self.postings.get(t, {})) for t, _ in musts]
+        should_sets = [set(self.postings.get(t, {})) for t, _ in shoulds]
+        if musts:
+            docs = set.intersection(*must_sets) if must_sets else set()
+        else:
+            docs = set().union(*should_sets) if should_sets else set()
+        not_docs = set().union(*[set(self.postings.get(t, {})) for t in nots]) if nots else set()
+        out: dict[int, float] = {}
+        for d in sorted(docs):
+            if d in not_docs:
+                continue
+            n_should = sum(1 for s in should_sets if d in s)
+            if musts and any(d not in m for m in must_sets):
+                continue
+            if minimum_should_match > 0 and n_should < minimum_should_match:
+                continue
+            acc = 0.0
+            overlap = 0
+            for (t, _), v in zip(scoring, values):
+                if d in self.postings.get(t, {}):
+                    acc += float(partial(t, v, d))
+                    overlap += 1
+            coord = f32(overlap / float(max_overlap))
+            out[d] = float(f32(f32(acc) * coord))
+        return out

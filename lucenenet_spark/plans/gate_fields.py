@@ -133,3 +133,75 @@ def multi_phrase(spark, sf_dir):
     _, s, _ = get_engine(spark, sf_dir)
     q = MultiPhraseQuery(term_arrays=(("key",), ("agg", "row")))
     return _spark_score_q(s.scored(q))
+
+
+# ==========================================================================
+# ClassicSimilarity (TFIDF) — the queryNorm/coord path behind the
+# Similarity seam (Search/Similarities/TFIDFSimilarity.cs,
+# DefaultSimilarity.cs). Double mode uses the exact lengthNorm 1/sqrt(dl)
+# on both sides (quantized-norm float32 parity is covered by
+# tests/test_round2.py::test_classic_similarity_parity).
+# ==========================================================================
+@gate(
+    "tfidf_term_query",
+    SQL_PRELUDE + """,
+w AS (
+  SELECT ln(cs.n / (ts.df + 1)) + 1 AS idf FROM ts, cs WHERE term = 'vector'
+),
+vals AS (
+  SELECT idf * ((1 / sqrt((idf * idf) * (1.0 * 1.0))) * 1.0) * idf AS value FROM w
+)
+SELECT p.doc_id,
+       CAST(floor((sqrt(p.tf) * vals.value * (1 / sqrt(dl.dl))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id), vals
+WHERE p.term = 'vector'
+""",
+)
+def tfidf_term_query(spark, sf_dir):
+    """TermQuery under ClassicSimilarity: idf^2 * queryNorm * sqrt(tf) *
+    lengthNorm (TFIDFSimilarity.IDFStats / TFIDFSimScorer)."""
+    from pyspark.sql import functions as F
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    s = IndexSearcher(idx, mode="double", similarity="classic")
+    return s.scored(TermQuery("vector")).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+
+
+@gate(
+    "tfidf_bool_or",
+    SQL_PRELUDE + """,
+w AS (
+  SELECT term, ln(cs.n / (ts.df + 1)) + 1 AS idf,
+         (ln(cs.n / (ts.df + 1)) + 1) * (CASE term WHEN 'vector' THEN 2.0 ELSE 1.0 END) AS qw
+  FROM ts, cs WHERE term IN ('vector', 'merge')
+),
+nrm AS (SELECT 1 / sqrt(sum(qw * qw) * (1.0 * 1.0)) AS qn FROM w),
+vals AS (SELECT term, qw * (nrm.qn * 1.0) * idf AS value FROM w, nrm),
+parts AS (
+  SELECT p.doc_id, sqrt(p.tf) * v.value * (1 / sqrt(dl.dl)) AS part
+  FROM post p JOIN vals v USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id,
+       CAST(floor(sum(part) * (count(*) / 2.0) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM parts GROUP BY doc_id
+""",
+)
+def tfidf_bool_or(spark, sf_dir):
+    """Boolean OR under ClassicSimilarity: queryNorm over both boosted
+    weights + coord(overlap/2) (BooleanWeight/BooleanScorer2 coordFactors)."""
+    from pyspark.sql import functions as F
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    s = IndexSearcher(idx, mode="double", similarity="classic")
+    q = BooleanQuery.of(
+        (TermQuery("vector", boost=2.0), Occur.SHOULD),
+        (TermQuery("merge"), Occur.SHOULD),
+    )
+    return s.scored(q).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )

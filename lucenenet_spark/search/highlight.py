@@ -49,11 +49,27 @@ def highlight(
             out_frag: list[str | None] = []
             out_hits: list[int] = []
             raw_lists = pdf[text_col].fillna("").str.split()
+            # ONE batch pipeline pass over every raw token of the batch
+            # (each raw token = one 1-token "document"); per-token
+            # tokenize_text calls were thousands of pandas round-trips per
+            # doc — the banned per-row-Python pattern (SURVEY §7).
+            flat_tokens = [t for raw in raw_lists for t in raw]
+            first_term = np.full(len(flat_tokens), "", dtype=object)
+            if flat_tokens:
+                row_idx, terms_arr, _pos, _fl = analyzer.tokenize_batch(
+                    pd.Series(flat_tokens)
+                )
+                if len(row_idx):
+                    # first emitted term per raw token (stopwords/empty -> "")
+                    uniq, first_pos = np.unique(
+                        np.asarray(row_idx), return_index=True
+                    )
+                    first_term[uniq] = np.asarray(terms_arr, dtype=object)[first_pos]
+            hit_flat = np.array([a in terms for a in first_term], dtype=np.int32)
+            offset = 0
             for raw in raw_lists:
-                ana = [
-                    (analyzer.tokenize_text(tok) or [("", 0)])[0][0] for tok in raw
-                ]
-                is_hit = np.array([a in terms for a in ana], dtype=np.int32)
+                is_hit = hit_flat[offset : offset + len(raw)]
+                offset += len(raw)
                 if not is_hit.any():
                     out_frag.append(None)
                     out_hits.append(0)

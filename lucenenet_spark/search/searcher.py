@@ -103,12 +103,26 @@ class IndexSearcher:
         k1: float = K1,
         b: float = B,
         stats_cache_max_terms: int = 2_000_000,
+        similarity: str = "bm25",
     ):
+        """`similarity` is the Similarity seam (Search/Similarities/):
+        "bm25" (default, BM25Similarity.cs k1/b) scores through this
+        class's float32 kernels; "classic" (TFIDFSimilarity/
+        DefaultSimilarity with the queryNorm + coord path) delegates
+        scored()/search() to ClassicSearcher over the same index — both
+        similarities read the same SmallFloat315 norm bytes."""
         assert mode in ("lucene", "double")
+        assert similarity in ("bm25", "classic")
         self.index = index
         self.mode = mode
         self.k1 = k1
         self.b = b
+        self.similarity = similarity
+        self._classic = None
+        if similarity == "classic":
+            from lucenenet_spark.search.classic import ClassicSearcher
+
+            self._classic = ClassicSearcher(index, mode=mode)
         # Driver-side term-stats dictionary: the analogue of keeping the FST
         # term index in RAM (Codecs/BlockTreeTermsReader). Loaded lazily on
         # first lookup when the dictionary is small enough; otherwise each
@@ -204,6 +218,8 @@ class IndexSearcher:
 
     def scored(self, query: Query) -> DataFrame:
         """DataFrame[doc_id, score] of all matching docs."""
+        if self._classic is not None:
+            return self._classic.scored(query)
         return self._scored(rewrite(query), tlb=1.0)
 
     def docset(self, query: Query) -> DataFrame:

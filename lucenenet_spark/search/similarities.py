@@ -1,0 +1,76 @@
+"""Similarity seam: pluggable scoring models over the same index layout.
+
+Mirrors the reference's Similarity family (src/Lucene.Net/Search/
+Similarities/): the index stores ONE thing — per-(field, doc) SmallFloat315
+norm bytes + postings tfs + global stats — and a Similarity turns them into
+scores. Both models here encode norms identically
+(Byte315: BM25Similarity.EncodeNormValue and DefaultSimilarity.EncodeNormValue
+both call SmallFloat.SingleToByte315(boost/sqrt(length))), so one index
+serves both.
+
+- BM25Similarity (BM25Similarity.cs, k1=1.2 b=0.75): the engine default —
+  queryNorm()==1, coord()==1, additive boolean scores. Its float32 kernels
+  live in IndexSearcher (the hot path) and smallfloat.bm25_norm_cache.
+- ClassicSimilarity (TFIDFSimilarity.cs + DefaultSimilarity.cs): the
+  pre-BM25 default with the queryNorm path —
+      idf(t)      = (float)(ln(maxDoc / (double)(df+1)) + 1)
+      tf(f)       = (float)sqrt(f)
+      queryWeight = idf * boost                      (f32)
+      sumSq       = sum of queryWeight^2             (f32 accumulate)
+      queryNorm   = (float)(1 / sqrt(sumSq))         (DefaultSimilarity.QueryNorm)
+      value(t)    = (queryWeight * (queryNorm*tlb)) * idf      (IDFStats.Normalize)
+      partial     = tf(freq) * value(t) * decode315(norm_byte) (TFIDFSimScorer.Score)
+      doc score   = float(sum partials) * coord(overlap, maxOverlap)
+  where decode315 is the RAW SmallFloat.Byte315ToSingle float (~1/sqrt(len))
+  — not BM25's 1/f^2 — and coord = overlap/(float)maxOverlap
+  (DefaultSimilarity.Coord; BooleanScorer2 coordFactors).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lucenenet_spark.index.smallfloat import byte315_to_float
+
+f32 = np.float32
+
+
+class BM25Similarity:
+    """Marker + parameters; kernels implemented in IndexSearcher/smallfloat
+    (reference: Search/Similarities/BM25Similarity.cs)."""
+
+    name = "bm25"
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = k1
+        self.b = b
+
+
+class ClassicSimilarity:
+    """TFIDF/DefaultSimilarity float kernels (driver-side scalar parts;
+    the per-doc column expressions live in ClassicScoring)."""
+
+    name = "classic"
+
+    @staticmethod
+    def idf_f32(df: int, max_doc: int) -> np.float32:
+        return f32(math.log(max_doc / float(df + 1)) + 1.0)
+
+    @staticmethod
+    def idf_double(df: int, max_doc: int) -> float:
+        return math.log(max_doc / float(df + 1)) + 1.0
+
+    @staticmethod
+    def query_norm_f32(sum_sq: np.float32) -> np.float32:
+        return f32(1.0 / math.sqrt(float(sum_sq)))
+
+    @staticmethod
+    def coord_f32(overlap: int, max_overlap: int) -> np.float32:
+        return f32(overlap / float(max_overlap))
+
+    @staticmethod
+    def decode_table_f32() -> np.ndarray:
+        """DefaultSimilarity NORM_TABLE: raw Byte315ToSingle floats."""
+        return byte315_to_float(np.arange(256, dtype=np.uint8)).astype(np.float32)

@@ -312,3 +312,58 @@ def test_sloppy_closed_form_matches_walk():
         B = sorted(rng.sample(range(0, 30), rng.randint(1, 6)))
         slop = rng.randint(0, 4)
         assert abs(walk(A, B, slop) - closed(A, B, slop)) < 1e-12, (A, B, slop)
+
+
+# ------------------------------------------------------------- TFIDF/classic
+def test_classic_similarity_parity(spark, corpus, corpus_df):
+    """ClassicSimilarity (TFIDF with queryNorm + coord) float32 parity
+    against the pure-Python oracle (TFIDFSimilarity.cs/DefaultSimilarity.cs
+    float path), golden-score style like the BM25 parity suite."""
+    from lucenenet_spark.oracle import PyIndex
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    idx = build_index(corpus_df).cache()
+    s = IndexSearcher(idx, similarity="classic")
+    py = PyIndex(corpus)
+
+    # single term
+    got = {r["doc_id"]: r["score"] for r in s.scored(TermQuery("w0003")).collect()}
+    want = py.classic_scores(musts=[("w0003", 1.0)])
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+    # OR with boost (queryNorm over both weights, coord 1/2 vs 2/2)
+    q = BooleanQuery.of(
+        (TermQuery("w0000", boost=2.0), Occur.SHOULD),
+        (TermQuery("w0002"), Occur.SHOULD),
+    )
+    got = {r["doc_id"]: r["score"] for r in s.scored(q).collect()}
+    want = py.classic_scores(shoulds=[("w0000", 2.0), ("w0002", 1.0)])
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+    # MUST + SHOULD + NOT
+    q = BooleanQuery.of(
+        (TermQuery("w0000"), Occur.MUST),
+        (TermQuery("w0002"), Occur.SHOULD),
+        (TermQuery("w0005"), Occur.MUST_NOT),
+    )
+    got = {r["doc_id"]: r["score"] for r in s.scored(q).collect()}
+    want = py.classic_scores(
+        musts=[("w0000", 1.0)], shoulds=[("w0002", 1.0)], nots=["w0005"]
+    )
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+
+def test_classic_vs_bm25_differ(spark, corpus_df):
+    idx = build_index(corpus_df).cache()
+    bm = IndexSearcher(idx)
+    cl = IndexSearcher(idx, similarity="classic")
+    a = {r["doc_id"]: r["score"] for r in bm.scored(TermQuery("w0003")).collect()}
+    b = {r["doc_id"]: r["score"] for r in cl.scored(TermQuery("w0003")).collect()}
+    assert set(a) == set(b)  # same match set, different scores
+    assert any(abs(a[d] - b[d]) > 1e-9 for d in a)
