@@ -16,7 +16,10 @@ reduce) mirroring IndexSearcher's leaf-slice merge
 (reference: src/Lucene.Net/Search/IndexSearcher.cs:528-580).
 """
 
+from lucenenet_spark.analysis.analyzers import EnglishAnalyzer, StandardAnalyzer, WhitespaceAnalyzer
 from lucenenet_spark.index.builder import InvertedIndex, build_index
+from lucenenet_spark.index.deletes import apply_deletes, delete_by_term, expunge_deletes
+from lucenenet_spark.search.block_searcher import BlockIndexSearcher
 from lucenenet_spark.search.queries import (
     BooleanClause,
     BooleanQuery,
@@ -25,6 +28,7 @@ from lucenenet_spark.search.queries import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     RegexpQuery,
@@ -38,6 +42,14 @@ __all__ = [
     "InvertedIndex",
     "build_index",
     "IndexSearcher",
+    "BlockIndexSearcher",
+    "StandardAnalyzer",
+    "EnglishAnalyzer",
+    "WhitespaceAnalyzer",
+    "MultiPhraseQuery",
+    "apply_deletes",
+    "delete_by_term",
+    "expunge_deletes",
     "TermQuery",
     "PhraseQuery",
     "BooleanQuery",

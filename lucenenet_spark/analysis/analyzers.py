@@ -283,3 +283,53 @@ class WhitespaceAnalyzer(StandardAnalyzer):
             token_re=re.compile(r"\S+"),
             max_token_length=DEFAULT_MAX_TOKEN_LENGTH,
         )
+
+
+class EnglishAnalyzer(StandardAnalyzer):
+    """StandardTokenizer + EnglishPossessiveFilter + LowerCase + Stop +
+    PorterStemFilter (reference Analysis/En/EnglishAnalyzer.cs:115;
+    PorterStemmer.cs). Stemming runs over the batch's term DICTIONARY
+    (unique tokens), not per token — the vectorized equivalent of the
+    per-token filter chain.
+
+    Note: the engine's StandardTokenizer subset splits on apostrophes, so
+    possessive 's never reaches the filter as a suffix on this corpus
+    alphabet; strip_possessive is applied defensively for custom regexes.
+    """
+
+    def __init__(
+        self,
+        stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
+        max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+    ) -> None:
+        super().__init__(
+            stopwords=stopwords, max_token_length=max_token_length, lowercase=True
+        )
+
+    @staticmethod
+    def _stem_one(tok: str) -> str:
+        from lucenenet_spark.analysis.porter import porter_stem, strip_possessive
+
+        return porter_stem(strip_possessive(tok))
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, field_lens = super().tokenize_batch(texts)
+        if len(terms):
+            # stem unique tokens once, then map back (vocab << tokens)
+            codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+            stemmed = np.array([self._stem_one(u) for u in uniques], dtype=object)
+            terms = stemmed[codes]
+        return row_idx, terms, positions, field_lens
+
+    def tokenize_batch_arrow(self, texts):
+        import pyarrow as pa
+
+        row_idx, codes, dictionary, positions, field_lens = super().tokenize_batch_arrow(
+            texts
+        )
+        if len(dictionary):
+            stemmed = pa.array(
+                [self._stem_one(u) for u in dictionary.to_pylist()], type=pa.string()
+            )
+            dictionary = stemmed
+        return row_idx, codes, dictionary, positions, field_lens

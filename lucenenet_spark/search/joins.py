@@ -1,0 +1,54 @@
+"""Join module: query-time value join + index-time parent/child block join.
+
+Reference: src/Lucene.Net.Join — JoinUtil.CreateJoinQuery (value join, already
+covered by the join_by_source gate) and ToParentBlockJoinQuery /
+ToChildBlockJoinQuery (ToParentBlockJoinQuery.cs, ~500 LoC) with ScoreMode
+None | Avg | Max | Total: child docs matching a child query are folded into
+their parent with the chosen aggregate of child scores.
+
+Spark mapping: the "block" (contiguous parent+children docIDs) is an
+index-layout trick to make the parent lookup O(1); relationally it IS a
+groupBy(parent_key) — so ours is exactly that, over any child DataFrame
+carrying (parent_key, score)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCORE_AGGS = {
+    "none": lambda c: F.lit(1.0),
+    "avg": F.avg,
+    "max": F.max,
+    "total": F.sum,
+}
+
+
+def to_parent_block_join(
+    children: DataFrame,
+    parent_key: str,
+    score_col: str = "score",
+    score_mode: str = "avg",
+) -> DataFrame:
+    """(parent_key, score, n_children) for parents with >= 1 matching child.
+
+    ScoreMode per ToParentBlockJoinQuery.cs: None -> constant 1, Avg/Max/
+    Total -> aggregate of child scores."""
+    mode = score_mode.lower()
+    if mode not in _SCORE_AGGS:
+        raise ValueError(f"score_mode must be one of {sorted(_SCORE_AGGS)}")
+    agg = (
+        F.lit(1.0).alias("score")
+        if mode == "none"
+        else _SCORE_AGGS[mode](F.col(score_col)).alias("score")
+    )
+    return children.groupBy(parent_key).agg(agg, F.count(F.lit(1)).alias("n_children"))
+
+
+def to_child_block_join(
+    parents: DataFrame, children: DataFrame, parent_key: str
+) -> DataFrame:
+    """ToChildBlockJoinQuery: children of matching parents (semi join)."""
+    return children.join(
+        F.broadcast(parents.select(parent_key).distinct()), parent_key, "left_semi"
+    )

@@ -89,3 +89,57 @@ def span_not_docs(
         .distinct()
     )
     return inc.join(overlap, "doc_id", "left_anti")
+
+
+def span_or_docs(index: InvertedIndex, terms: list[str], field: str | None = None) -> DataFrame:
+    """SpanOrQuery over term spans: docs containing ANY of the terms
+    (Search/Spans/SpanOrQuery.cs — standalone, the span union's docset)."""
+    fld = field or index.default_field
+    return (
+        index.postings.filter((F.col("field") == fld) & (F.col("term").isin(terms)))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def span_position_range_docs(
+    index: InvertedIndex, term: str, start: int, end: int, field: str | None = None
+) -> DataFrame:
+    """SpanPositionRangeQuery: term occurs at a position in [start, end)
+    (Search/Spans/SpanPositionRangeQuery.cs; SpanFirst == start=0)."""
+    return (
+        _positions(index, term, "p", field)
+        .filter((F.col("p") >= start) & (F.col("p") < end))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def field_masked_span_near_docs(
+    index: InvertedIndex,
+    term_fields: list[tuple[str, str]],
+    slop: int = 0,
+    in_order: bool = True,
+) -> DataFrame:
+    """FieldMaskingSpanQuery composition (Search/Spans/FieldMaskingSpanQuery.cs):
+    each clause reads positions from its OWN field but participates in one
+    proximity join as if they shared a field — the classic use case is
+    matching across parallel tokenizations of the same text."""
+    from functools import reduce as _reduce
+
+    n = len(term_fields)
+    assert n >= 2
+    parts = [
+        _positions(index, t, f"p{i}", fld) for i, (t, fld) in enumerate(term_fields)
+    ]
+    if in_order:
+        joined = parts[0]
+        for i in range(1, n):
+            joined = joined.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+        width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+        return joined.filter(width <= slop).select("doc_id").distinct()
+    joined = _reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    cols = [F.col(f"p{i}") for i in range(n)]
+    distinct_pos = F.size(F.array_distinct(F.array(*cols))) == n
+    width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
+    return joined.filter(distinct_pos & (width <= slop)).select("doc_id").distinct()
