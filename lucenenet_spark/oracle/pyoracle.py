@@ -97,8 +97,10 @@ class PyIndex:
         self, terms: list[str], slop: int, positions: list[int] | None = None,
         boost: float = 1.0, tlb: float = 1.0,
     ) -> dict[int, float]:
-        """SloppyPhraseScorer freq (min-queue walk, non-repeating terms) +
-        BM25 with float freq (SloppyFreq = 1/(1+matchLength))."""
+        """SloppyPhraseScorer freq (faithful PhraseFreq walk incl. repeats,
+        search/sloppy.py) + BM25 with float freq (SloppyFreq = 1/(1+d))."""
+        from lucenenet_spark.search.sloppy import sloppy_phrase_freq
+
         positions = positions if positions is not None else list(range(len(terms)))
         idf_sum = f32(0.0)
         for t in terms:
@@ -106,23 +108,9 @@ class PyIndex:
         wv = self._weight_value(idf_sum, boost, tlb)
         docsets = [set(self.postings.get(t, {})) for t in terms]
         out: dict[int, float] = {}
-        n = len(terms)
         for d in set.intersection(*docsets) if docsets else set():
             its = [sorted(p - r for p in self.postings[t][d]) for t, r in zip(terms, positions)]
-            idx_ = [0] * n
-            cur = [it[0] for it in its]
-            end = max(cur)
-            acc = f32(0.0)
-            while True:
-                i = min(range(n), key=lambda j: cur[j])
-                ml = end - cur[i]
-                if ml <= slop:
-                    acc = f32(acc + f32(1.0 / (1.0 + ml)))
-                idx_[i] += 1
-                if idx_[i] >= len(its[i]):
-                    break
-                cur[i] = its[i][idx_[i]]
-                end = max(end, cur[i])
+            acc = sloppy_phrase_freq(its, list(positions), slop, terms=list(terms), use_f32=True)
             if acc > 0:
                 fr = f32(acc)
                 norm = self.cache[self.norm_byte[d]]

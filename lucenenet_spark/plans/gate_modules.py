@@ -334,3 +334,71 @@ def spell_correct_gate(spark, sf_dir):
 
     idx, _, _ = get_engine(spark, sf_dir)
     return spell_suggest(idx, "tabel", n=5, max_edits=1)
+
+
+# ==========================================================================
+# Event-time streaming ops (beyond reference; Structured Streaming surface).
+# Gates check the batch-mode plans; the streaming path (watermark +
+# applyInPandasWithState) is exercised by tests/test_streaming_windows.py,
+# which asserts stream output == these batch plans on the same input.
+# ==========================================================================
+@gate(
+    "windowed_event_counts",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_sum_q
+FROM events GROUP BY 1, 2
+""",
+)
+def windowed_event_counts_gate(spark, sf_dir):
+    """Tumbling 1h event-time window counts + quantized value sums —
+    identical plan serves the watermarked stream."""
+    from lucenenet_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = windowed_event_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        F.col("cnt").cast("long"),
+        "value_sum_q",
+    )
+
+
+@gate(
+    "sessionize",
+    """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sno
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sno
+""",
+)
+def sessionize_gate(spark, sf_dir):
+    """30-min-gap sessionization (gaps-and-islands batch plan; the
+    streaming twin is applyInPandasWithState)."""
+    from lucenenet_spark.streaming.windows import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long"),
+    )

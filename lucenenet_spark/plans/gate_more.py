@@ -169,36 +169,61 @@ def mlt_topk(spark, sf_dir):
 
 
 # ==========================================================================
-# Sloppy phrase (SloppyPhraseScorer): EXACT integer oracle. For a 2-term
-# phrase the reference's min-queue walk has a closed form — each shifted
-# position a of term1 with some b >= a contributes 1/(1+min{b>=a}-a), each
-# shifted position b of term2 with some a > b contributes 1/(1+min{a>b}-b)
-# (derivation: `end` always equals max(cur) and the walk advances the min,
-# so it enumerates exactly these partner pairs, stopping when a list
-# exhausts — which excludes exactly the elements with no partner). With
-# slop <= 3 every contribution is in {1, 1/2, 1/3, 1/4}, so freq*60 is an
-# integer both engines compute exactly.
+# Sloppy phrase (SloppyPhraseScorer): EXACT integer oracle. The reference's
+# PhraseFreq walk for a 2-term non-repeating phrase reduces to a ZIGZAG
+# CHAIN over the shifted position lists A, B:
+#   q1    = the larger of (min A, min B), ties -> B's (the lower-offset pp
+#           pops first);
+#   q_i+1 = the OTHER list's least element strictly greater than q_i;
+#   match i: u_i = the other list's largest element <= q_i,
+#            matchLength = q_i - u_i, scored 1/(1+matchLength) if <= slop.
+# (Derivation: after each overtake the in-hand pp sits at the previous q
+# and its run consumes exactly the elements <= the new q; `end` equals the
+# queue head for n=2; exhaustion scores the last chain pair.) Verified
+# against the walk on 500 randomized lists and against the reference's own
+# TestSloppyPhraseQuery golden cases (tests/test_round2.py). With slop <= 3
+# every contribution is in {1, 1/2, 1/3, 1/4}, so freq*60 is an integer
+# both engines compute exactly. The chain is a recursive CTE partitioned
+# by doc_id.
 # ==========================================================================
 @gate(
     "phrase_sloppy",
-    SQL_PRELUDE + """,
+    SQL_PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """,
 pa AS (SELECT doc_id, pos AS v FROM tok WHERE term = 'key'),
 pb AS (SELECT doc_id, pos - 1 AS v FROM tok WHERE term = 'scan'),
-ca AS (
-  SELECT a.doc_id, a.v, min(b.v) - a.v AS ml
-  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.v >= a.v
-  GROUP BY a.doc_id, a.v
+firsts AS (
+  SELECT a.doc_id, a.m AS fa, b.m AS fb
+  FROM (SELECT doc_id, min(v) AS m FROM pa GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(v) AS m FROM pb GROUP BY doc_id) b USING (doc_id)
 ),
-cb AS (
-  SELECT b.doc_id, b.v, min(a.v) - b.v AS ml
-  FROM pb b JOIN pa a ON a.doc_id = b.doc_id AND a.v > b.v
-  GROUP BY b.doc_id, b.v
+chain(doc_id, q, src) AS (
+  SELECT doc_id,
+         CASE WHEN fa <= fb THEN fb ELSE fa END,
+         CASE WHEN fa <= fb THEN 1 ELSE 0 END
+  FROM firsts
+  UNION ALL
+  SELECT c.doc_id,
+         CASE WHEN c.src = 1
+              THEN (SELECT min(v) FROM pa WHERE pa.doc_id = c.doc_id AND v > c.q)
+              ELSE (SELECT min(v) FROM pb WHERE pb.doc_id = c.doc_id AND v > c.q) END,
+         1 - c.src
+  FROM chain c
+  WHERE (CASE WHEN c.src = 1
+              THEN (SELECT min(v) FROM pa WHERE pa.doc_id = c.doc_id AND v > c.q)
+              ELSE (SELECT min(v) FROM pb WHERE pb.doc_id = c.doc_id AND v > c.q) END)
+        IS NOT NULL
 ),
-contrib AS (SELECT doc_id, ml FROM ca UNION ALL SELECT doc_id, ml FROM cb)
+pairs AS (
+  SELECT doc_id, q,
+         CASE WHEN src = 1
+              THEN (SELECT max(v) FROM pa WHERE pa.doc_id = chain.doc_id AND v <= q)
+              ELSE (SELECT max(v) FROM pb WHERE pb.doc_id = chain.doc_id AND v <= q) END AS u
+  FROM chain
+)
 SELECT doc_id,
-       CAST(sum(CASE ml WHEN 0 THEN 60 WHEN 1 THEN 30 WHEN 2 THEN 20 WHEN 3 THEN 15 END)
+       CAST(sum(CASE q - u WHEN 0 THEN 60 WHEN 1 THEN 30 WHEN 2 THEN 20 WHEN 3 THEN 15 END)
             AS BIGINT) AS freq60
-FROM contrib WHERE ml <= 3 GROUP BY doc_id HAVING freq60 > 0
+FROM pairs WHERE q - u <= 3 GROUP BY doc_id HAVING freq60 > 0
 """,
 )
 def phrase_sloppy(spark, sf_dir):

@@ -41,14 +41,25 @@ _TOKEN = re.compile(
         (?P<quoted>(?:(?P<qfield>[A-Za-z_][A-Za-z0-9_]*):)?
                    "(?P<qtext>[^"]*)"(?:~(?P<slop>\d+))?) |
         (?P<range>(?:(?P<rfield>[A-Za-z_][A-Za-z0-9_]*):)?
-                  \[(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\]) |
+                  (?P<rlb>[\[{])(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)(?P<rub>[\]}])) |
         (?P<star>\*) |
-        (?P<word>[^\s()+\-"]+)
+        (?P<word>(?:[^\s()+\-"\\]|\\.)+)
     )""",
     re.VERBOSE,
 )
 
 _FIELD_PREFIX = re.compile(r"^(?P<f>[A-Za-z_][A-Za-z0-9_]*):(?P<rest>.+)$")
+
+
+def _unescape(s: str) -> str:
+    """QueryParserBase.DiscardEscapeChar: drop the backslash, keep the
+    escaped character literally."""
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def _unescaped_has(s: str, ch: str) -> bool:
+    """True if `ch` occurs in s NOT preceded by a backslash."""
+    return re.search(r"(?<!\\)" + re.escape(ch), s) is not None
 
 _BOOST = re.compile(r"^(?P<body>.*?)\^(?P<boost>[0-9.]+)$")
 _FUZZY = re.compile(r"^(?P<body>.*?)~(?P<edits>[0-9.]*)$")
@@ -84,12 +95,20 @@ class QueryParser:
                 clauses.append(BooleanClause(_boosted(inner, boost), pending or self.default_occur))
                 pending = None
             elif m.group("and"):
-                if clauses:
+                # AddClause(CONJ_AND): the PREVIOUS clause becomes required
+                # unless prohibited (Classic/QueryParserBase.cs AddClause)
+                if clauses and clauses[-1].occur is not Occur.MUST_NOT:
                     clauses[-1] = BooleanClause(clauses[-1].query, Occur.MUST)
                 pending = Occur.MUST
             elif m.group("or"):
-                if clauses and clauses[-1].occur is Occur.MUST and pending is None:
-                    pass
+                # AddClause(CONJ_OR) under default AND: the previous clause
+                # is DEMOTED to optional unless prohibited
+                if (
+                    self.default_occur is Occur.MUST
+                    and clauses
+                    and clauses[-1].occur is not Occur.MUST_NOT
+                ):
+                    clauses[-1] = BooleanClause(clauses[-1].query, Occur.SHOULD)
                 pending = Occur.SHOULD
             elif m.group("not"):
                 pending = Occur.MUST_NOT
@@ -105,8 +124,15 @@ class QueryParser:
                     clauses.append(BooleanClause(q, pending or self.default_occur))
                 pending = None
             elif m.group("range"):
+                # [inclusive] vs {exclusive} bounds (Classic grammar RANGEIN
+                # vs RANGEEX); '*' as an open end
+                lo, hi = m.group("rlo"), m.group("rhi")
                 q = TermRangeQuery(
-                    lower=m.group("rlo"), upper=m.group("rhi"), field=m.group("rfield")
+                    lower=None if lo == "*" else lo,
+                    upper=None if hi == "*" else hi,
+                    include_lower=m.group("rlb") == "[",
+                    include_upper=m.group("rub") == "]",
+                    field=m.group("rfield"),
                 )
                 clauses.append(BooleanClause(q, pending or self.default_occur))
                 pending = None
@@ -125,29 +151,33 @@ class QueryParser:
     # ------------------------------------------------------------------
     def _word(self, w: str) -> Query | None:
         # field:term prefix — QueryParserBase field defaulting
-        # (Classic/QueryParserBase.cs; demo SearchFiles.cs parses field:term)
+        # (Classic/QueryParserBase.cs; demo SearchFiles.cs parses field:term).
+        # An escaped colon (\:) is literal text, not a field separator.
         field = None
         fp = _FIELD_PREFIX.match(w)
         if fp and not fp.group("rest").startswith(":"):
+            # (an escaped colon can't match: the regex requires ':' right
+            # after the bare field name, and '\' is not a name character)
             field, w = fp.group("f"), fp.group("rest")
         boost = 1.0
         bm = _BOOST.match(w)
-        if bm:
+        if bm and _unescaped_has(w, "^"):
             w, boost = bm.group("body"), float(bm.group("boost"))
         fm = _FUZZY.match(w)
-        if fm and "*" not in w and "?" not in w:
-            body = fm.group("body")
+        has_wild = _unescaped_has(w, "*") or _unescaped_has(w, "?")
+        if fm and _unescaped_has(w, "~") and not has_wild:
+            body = _unescape(fm.group("body"))
             edits = fm.group("edits")
             max_edits = 2 if edits in ("", None) else int(float(edits))
             terms = self.analyzer.terms(body)
             if not terms:
                 return None
             return FuzzyQuery(terms[0], max_edits=max_edits, field=field, boost=boost)
-        if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
-            return PrefixQuery(w[:-1].lower(), field=field, boost=boost)
-        if "*" in w or "?" in w:
+        if w.endswith("*") and not _unescaped_has(w[:-1], "*") and not _unescaped_has(w, "?") and _unescaped_has(w, "*"):
+            return PrefixQuery(_unescape(w[:-1]).lower(), field=field, boost=boost)
+        if has_wild:
             return WildcardQuery(w.lower(), field=field, boost=boost)
-        toks = self.analyzer.terms(w)
+        toks = self.analyzer.terms(_unescape(w))
         if not toks:
             return None
         if len(toks) == 1:

@@ -516,9 +516,10 @@ class IndexSearcher:
         (BM25Similarity.SloppyFreq at BM25Similarity.cs:74-77).
         Returns (doc_id, freq, dl, norm_byte) with freq > 0.
 
-        The walk runs in an applyInPandas batch (the genuinely iterator-ish
-        part Spark can't express); everything around it is declarative.
-        Implements the non-repeating-terms path of the reference algorithm.
+        The walk (search/sloppy.py, a faithful PhraseFreq port incl. the
+        repeated-terms collision machinery) runs in a mapInPandas batch —
+        the genuinely iterator-ish part Spark can't express; everything
+        around it is declarative.
         """
         import pandas as pd
         from pyspark.sql import types as T
@@ -562,29 +563,21 @@ class IndexSearcher:
             ]
         )
 
+        rel_list = [int(r) for r in rel]
+        term_list = list(terms)
+
         def sloppy(batches):
+            from lucenenet_spark.search.sloppy import sloppy_phrase_freq
+
             for pdf in batches:
                 freqs = []
                 for row in pdf.itertuples(index=False):
                     its = [sorted(getattr(row, f"adj_{i}")) for i in range(n)]
-                    idx_ = [0] * n
-                    cur = [it[0] for it in its]
-                    end = max(cur)
-                    acc = np.float32(0.0) if use_f32 else 0.0
-                    while True:
-                        i = min(range(n), key=lambda j: cur[j])
-                        match_len = end - cur[i]
-                        if match_len <= slop:
-                            contrib = 1.0 / (1.0 + match_len)
-                            acc = (
-                                np.float32(acc + np.float32(contrib)) if use_f32 else acc + contrib
-                            )
-                        idx_[i] += 1
-                        if idx_[i] >= len(its[i]):
-                            break
-                        cur[i] = its[i][idx_[i]]
-                        end = max(end, cur[i])
-                    freqs.append(float(acc))
+                    freqs.append(
+                        sloppy_phrase_freq(
+                            its, rel_list, slop, terms=term_list, use_f32=use_f32
+                        )
+                    )
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].astype("int64"),

@@ -267,51 +267,91 @@ def test_ann_multiprobe_recall(spark):
 
 
 # ------------------------------------------------------------- sloppy freq
+def test_sloppy_reference_golden_cases():
+    """The reference's own TestSloppyPhraseQuery expectations (DOC_1..5,
+    QUERY_1/2/4/5_4 with whitespace tokens) against the PhraseFreq port —
+    including repeated-term queries and the LUCENE-3412 regression."""
+    from lucenenet_spark.search.sloppy import sloppy_phrase_freq
+
+    def freq(doc, query, slop):
+        toks, qt = doc.split(), query.split()
+        offsets = list(range(len(qt)))
+        pos_lists = []
+        for o, t in zip(offsets, qt):
+            ps = sorted(i - o for i, w in enumerate(toks) if w == t)
+            if not ps:
+                return 0.0
+            pos_lists.append(ps)
+        return sloppy_phrase_freq(pos_lists, offsets, slop, terms=qt)
+
+    S1, S2 = "A A A", "A 1 2 3 A 4 5 6 A"
+    D1, D2, D3 = f"X {S1} Y", f"X {S2} Y", f"X {S1} A Y"
+    D1B = f"X {S1} Y N N N N {S1} Z"
+    D2B = f"X {S2} Y N N N N {S2} Z"
+    D3B = f"X {S1} A Y N N N N {S1} A Y"
+    D4 = "A A X A X B A X B B A A X B A A"
+    D53, D54 = "H H H X X X H H H X X X H H H", "H H H H"
+
+    for slop in range(30):
+        assert (freq(D4, "X A A", slop) > 0) == (slop >= 1)
+        assert freq(D1, S1, slop) > 0 and freq(D1B, S1, slop) > freq(D1, S1, slop)
+        assert (freq(D2, S1, slop) > 0) == (slop >= 6)
+        if slop >= 6:
+            assert freq(D2B, S1, slop) > freq(D2, S1, slop)
+        assert freq(D2, S2, slop) > 0 and freq(D2B, S2, slop) > freq(D2, S2, slop)
+        assert freq(D3, S1, slop) > 0 and freq(D3B, S1, slop) > freq(D3, S1, slop)
+    for slop in range(3):
+        assert freq(D54, "H H H H", slop) > 0
+        assert freq(D53, "H H H H", slop) == 0
+
+
 def test_sloppy_closed_form_matches_walk():
-    """The 2-term closed form used by the phrase_sloppy SQL oracle equals
-    the engine's min-queue walk on randomized position lists."""
+    """The 2-term zigzag-chain closed form used by the phrase_sloppy SQL
+    oracle equals the PhraseFreq walk on randomized position lists:
+    q1 = larger of the first elements (tie -> B's); q_{i+1} = other list's
+    least element > q_i; match = q_i - (other list's largest <= q_i)."""
     import random
 
-    def walk(A, B, slop):
-        its = [sorted(A), sorted(B)]
-        idx = [0, 0]
-        cur = [its[0][0], its[1][0]]
-        end = max(cur)
-        acc = 0.0
-        while True:
-            i = min(range(2), key=lambda j: cur[j])
-            ml = end - cur[i]
-            if ml <= slop:
-                acc += 1.0 / (1.0 + ml)
-            idx[i] += 1
-            if idx[i] >= len(its[i]):
-                break
-            cur[i] = its[i][idx[i]]
-            end = max(end, cur[i])
-        return acc
+    from lucenenet_spark.search.sloppy import sloppy_phrase_freq
 
     def closed(A, B, slop):
+        lists = {0: sorted(A), 1: sorted(B)}
+        q, src = (B[0], 1) if A[0] <= B[0] else (A[0], 0)
         acc = 0.0
-        for a in A:
-            bs = [b for b in B if b >= a]
-            if bs:
-                ml = min(bs) - a
-                if ml <= slop:
-                    acc += 1.0 / (1.0 + ml)
-        for b in B:
-            as_ = [a for a in A if a > b]
-            if as_:
-                ml = min(as_) - b
-                if ml <= slop:
-                    acc += 1.0 / (1.0 + ml)
-        return acc
+        while True:
+            other = lists[1 - src]
+            u = max(x for x in other if x <= q)
+            if q - u <= slop:
+                acc += 1.0 / (1.0 + (q - u))
+            nxt = [x for x in other if x > q]
+            if not nxt:
+                return acc
+            q, src = min(nxt), 1 - src
 
     rng = random.Random(42)
-    for trial in range(300):
+    for _ in range(400):
         A = sorted(rng.sample(range(0, 30), rng.randint(1, 6)))
         B = sorted(rng.sample(range(0, 30), rng.randint(1, 6)))
         slop = rng.randint(0, 4)
-        assert abs(walk(A, B, slop) - closed(A, B, slop)) < 1e-12, (A, B, slop)
+        got = sloppy_phrase_freq([A, B], [0, 1], slop, terms=["x", "y"])
+        assert abs(got - closed(A, B, slop)) < 1e-12, (A, B, slop)
+
+
+def test_repeated_term_sloppy_end_to_end(spark):
+    """Engine-level repeated-term sloppy phrase vs the pyoracle."""
+    from lucenenet_spark.oracle import PyIndex
+
+    docs = {0: "x a a a y", 1: "a q q a q q a", 2: "a a", 3: "b a b a b"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    s = IndexSearcher(build_index(df))
+    py = PyIndex(docs)
+    for slop in (0, 2, 6):
+        q = PhraseQuery(terms=("a", "a", "a"), slop=slop)
+        got = {r["doc_id"]: r["score"] for r in s.scored(q).collect()}
+        want = py.sloppy_phrase_scores(["a", "a", "a"], slop)
+        assert set(got) == set(want), (slop, got, want)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-6), (slop, d)
 
 
 # ------------------------------------------------------------- TFIDF/classic
@@ -367,3 +407,52 @@ def test_classic_vs_bm25_differ(spark, corpus_df):
     b = {r["doc_id"]: r["score"] for r in cl.scored(TermQuery("w0003")).collect()}
     assert set(a) == set(b)  # same match set, different scores
     assert any(abs(a[d] - b[d]) > 1e-9 for d in a)
+
+
+# ------------------------------------------------------------- parser v2
+def test_parser_addclause_semantics():
+    """Classic QueryParserBase.AddClause operator mutation: AND upgrades
+    the previous clause to MUST (unless prohibited); OR under default-AND
+    demotes it to SHOULD; +/-/NOT on the current clause win."""
+    from lucenenet_spark.queryparser.parser import QueryParser
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    def shape(parser, s):
+        q = parser.parse(s)
+        if not isinstance(q, BooleanQuery):
+            return [(q.term, "SINGLE")]
+        return [(c.query.term, c.occur.value) for c in q.clauses]
+
+    p_or = QueryParser(default_operator="OR")
+    p_and = QueryParser(default_operator="AND")
+    assert shape(p_or, "cat OR dog AND fox") == [
+        ("cat", "SHOULD"), ("dog", "MUST"), ("fox", "MUST")]
+    assert shape(p_and, "cat OR dog AND fox") == [
+        ("cat", "SHOULD"), ("dog", "MUST"), ("fox", "MUST")]
+    assert shape(p_and, "cat dog") == [("cat", "MUST"), ("dog", "MUST")]
+    assert shape(p_and, "cat OR dog") == [("cat", "SHOULD"), ("dog", "SHOULD")]
+    assert shape(p_or, "cat -dog AND fox") == [
+        ("cat", "SHOULD"), ("dog", "MUST_NOT"), ("fox", "MUST")]
+    assert shape(p_and, "NOT cat AND dog") == [("cat", "MUST_NOT"), ("dog", "MUST")]
+
+
+def test_parser_ranges_and_escapes():
+    from lucenenet_spark.queryparser.parser import QueryParser
+    from lucenenet_spark.search.queries import PrefixQuery, TermQuery, TermRangeQuery
+
+    p = QueryParser()
+    q = p.parse("{apple TO banana}")
+    assert isinstance(q, TermRangeQuery)
+    assert (q.lower, q.upper, q.include_lower, q.include_upper) == (
+        "apple", "banana", False, False)
+    q = p.parse("price:[* TO zebra]")
+    assert q.field == "price" and q.lower is None and q.include_upper
+    q = p.parse(r"foo\*")
+    assert isinstance(q, TermQuery) and q.term == "foo"
+    q = p.parse("foo*")
+    assert isinstance(q, PrefixQuery) and q.prefix == "foo"
+    # escaped colon is literal, not a field separator
+    q = p.parse(r"foo\:bar")
+    from lucenenet_spark.search.queries import BooleanQuery
+    assert isinstance(q, BooleanQuery)  # analyzed to two terms, no field
+    assert all(c.query.field is None for c in q.clauses)
