@@ -402,3 +402,65 @@ def sessionize_gate(spark, sf_dir):
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.col("n_events").cast("long"),
     )
+
+
+# ==========================================================================
+# Language-model similarities (Search/Similarities/LMDirichletSimilarity.cs,
+# LMJelinekMercerSimilarity.cs) behind the Similarity seam. cp is float32
+# (LMStats.CollectionProbability is a float field) -> CAST(... AS FLOAT)
+# in the oracle.
+# ==========================================================================
+@gate(
+    "lm_dirichlet_term",
+    SQL_PRELUDE + """
+SELECT p.doc_id,
+       CAST(floor(
+         greatest(
+           1.0 * (ln(1 + p.tf / (2000.0 * CAST((ts.ttf + 1) / (cs.sttf + 1.0) AS FLOAT)))
+                  + ln(2000.0 / (dl.dl + 2000.0))),
+           0.0
+         ) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = 'vector'
+""",
+)
+def lm_dirichlet_term(spark, sf_dir):
+    """TermQuery under LMDirichletSimilarity (mu=2000), clamped at 0."""
+    from lucenenet_spark.search.lm import LMSearcher
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    s = LMSearcher(idx, model="dirichlet", mode="double")
+    return s.scored(TermQuery("vector")).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+
+
+@gate(
+    "lm_jm_bool_or",
+    SQL_PRELUDE + """,
+parts AS (
+  SELECT p.doc_id,
+         1.0 * ln(1 + ((0.9 * p.tf / dl.dl) / (0.1 * CAST((ts.ttf + 1) / (cs.sttf + 1.0) AS FLOAT)))) AS part
+  FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+  WHERE p.term IN ('vector', 'merge')
+)
+SELECT doc_id, CAST(floor(sum(part) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM parts GROUP BY doc_id
+""",
+)
+def lm_jm_bool_or(spark, sf_dir):
+    """Boolean OR under LMJelinekMercer (lambda=0.1): additive
+    (SimilarityBase coord/queryNorm identity)."""
+    from lucenenet_spark.search.lm import LMSearcher
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    s = LMSearcher(idx, model="jm", lam=0.1, mode="double")
+    q = BooleanQuery.of(
+        (TermQuery("vector"), Occur.SHOULD), (TermQuery("merge"), Occur.SHOULD)
+    )
+    return s.scored(q).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )

@@ -1,0 +1,181 @@
+"""Language-model similarities behind the Similarity seam.
+
+Reference: Search/Similarities/LMSimilarity.cs (+ LMDirichletSimilarity.cs,
+LMJelinekMercerSimilarity.cs), built on SimilarityBase:
+- collectionProbability cp(t) = (totalTermFreq + 1) / (numberOfFieldTokens + 1)
+  (LMSimilarity.DefaultCollectionModel.ComputeProbability)
+- Dirichlet (mu=2000 default):
+    score = boost * (ln(1 + freq / (mu * cp)) + ln(mu / (docLen + mu)))
+    clamped at 0 (LMDirichletSimilarity.Score)
+- Jelinek-Mercer (lambda):
+    score = boost * ln(1 + ((1-lambda) * freq / docLen) / (lambda * cp))
+- docLen at score time = SimilarityBase.DecodeNormValue(norm_byte) — the
+  QUANTIZED length 1/f315(b)^2 (NORM_TABLE), same byte the index already
+  stores for BM25/Classic (SingleToByte315(boost/sqrt(numTerms))).
+- SimilarityBase: coord == 1 and queryNorm == 1, so boolean composition is
+  the plain additive sum — same shape as the BM25 planner.
+
+Modes mirror IndexSearcher: "lucene" = double-interior ln, ONE float cast
+per term score (the C# (float)(...) * boost path), quantized docLen;
+"double" = float64 with exact dl (DuckDB-oracle differential)."""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.index.builder import InvertedIndex
+from lucenenet_spark.index.smallfloat import norm_table
+from lucenenet_spark.search.queries import BooleanQuery, Occur, Query, TermQuery, rewrite
+from lucenenet_spark.search.searcher import IndexSearcher
+
+f32 = np.float32
+
+
+def lm_dirichlet_score_scalar(
+    freq: float, doc_len: float, ttf: int, field_tokens: int, mu: float = 2000.0,
+    boost: float = 1.0,
+) -> float:
+    """Pure-scalar LMDirichletSimilarity.Score (golden-test oracle)."""
+    cp = f32((ttf + 1) / (field_tokens + 1.0))
+    score = f32(boost) * f32(
+        math.log(1 + freq / (mu * float(cp))) + math.log(mu / (doc_len + mu))
+    )
+    return float(score if score > 0.0 else f32(0.0))
+
+
+def lm_jm_score_scalar(
+    freq: float, doc_len: float, ttf: int, field_tokens: int, lam: float = 0.1,
+    boost: float = 1.0,
+) -> float:
+    """Pure-scalar LMJelinekMercerSimilarity.Score."""
+    cp = f32((ttf + 1) / (field_tokens + 1.0))
+    return float(
+        f32(boost) * f32(math.log(1 + ((1 - lam) * freq / doc_len) / (lam * float(cp))))
+    )
+
+
+class LMSearcher:
+    """LM-scored query execution (TermQuery / BooleanQuery-of-terms:
+    additive composition, msm, MUST_NOT — SimilarityBase coord/queryNorm
+    are identity)."""
+
+    def __init__(self, index: InvertedIndex, model: str = "dirichlet",
+                 mu: float = 2000.0, lam: float = 0.1, mode: str = "lucene"):
+        assert model in ("dirichlet", "jm")
+        assert mode in ("lucene", "double")
+        self.index = index
+        self.model = model
+        self.mu = mu
+        self.lam = lam
+        self.mode = mode
+        self._stats = IndexSearcher(index, mode="double")._term_stats
+        if mode == "lucene":
+            # decoded quantized length table (NORM_TABLE = 1/f315(b)^2)
+            tbl = norm_table().astype(np.float64)
+            self._dl_col = F.element_at(
+                F.array(*[F.lit(float(v)) for v in tbl]), F.col("norm_byte") + F.lit(1)
+            )
+        else:
+            self._dl_col = F.col("dl").cast("double")
+
+    def search(self, query: Query, k: int = 10) -> DataFrame:
+        scored = self.scored(query)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _term_score_col(self, cp: float, boost: float):
+        freq = F.col("tf").cast("double")
+        dl = self._dl_col
+        if self.model == "dirichlet":
+            raw = F.log(F.lit(1.0) + freq / F.lit(self.mu * cp)) + F.log(
+                F.lit(self.mu) / (dl + F.lit(self.mu))
+            )
+            if self.mode == "lucene":
+                sc = F.lit(float(f32(boost))).cast("float") * raw.cast("float")
+                sc = F.greatest(sc.cast("float"), F.lit(0.0).cast("float"))
+                return sc.cast("double")
+            return F.greatest(F.lit(boost) * raw, F.lit(0.0))
+        raw = F.log(
+            F.lit(1.0)
+            + ((F.lit(1.0 - self.lam) * freq / dl) / F.lit(self.lam * cp))
+        )
+        if self.mode == "lucene":
+            return (F.lit(float(f32(boost))).cast("float") * raw.cast("float")).cast(
+                "float"
+            ).cast("double")
+        return F.lit(boost) * raw
+
+    def scored(self, query: Query) -> DataFrame:
+        q = rewrite(query)
+        if isinstance(q, TermQuery):
+            q = BooleanQuery.of((q, Occur.MUST))
+        if not isinstance(q, BooleanQuery) or not all(
+            isinstance(c.query, TermQuery) for c in q.clauses
+        ):
+            raise TypeError("LMSearcher supports TermQuery / BooleanQuery-of-terms")
+        fld = self.index.default_field
+        field_tokens = self.index._sttf(fld)
+        musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
+        shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
+        nots = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]
+        if not musts and not shoulds:
+            raise ValueError("pure-negation BooleanQuery matches nothing")
+        stats = self._stats([(fld, t.term) for t in musts + shoulds])
+
+        def part(t: TermQuery) -> DataFrame:
+            ttf = stats.get((fld, t.term), (0, 0))[1]
+            # cp computed float32 then used as a double literal, mirroring
+            # LMStats.CollectionProbability (a float field)
+            cp = float(f32((ttf + 1) / (field_tokens + 1.0)))
+            p = self.index.postings.filter(
+                (F.col("field") == fld) & (F.col("term") == t.term)
+            )
+            return p.select(
+                "doc_id",
+                self._term_score_col(cp, t.boost * q.boost).alias("_p"),
+            )
+
+        req = None
+        if musts:
+            parts = [part(m).withColumnRenamed("_p", f"_m{i}") for i, m in enumerate(musts)]
+            req = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+            ssum = reduce(lambda a, c: a + c, [F.col(f"_m{i}") for i in range(len(musts))])
+            req = req.select("doc_id", ssum.alias("score"))
+        opt = None
+        if shoulds:
+            union = reduce(lambda a, b: a.unionByName(b), [part(s) for s in shoulds])
+            opt = union.groupBy("doc_id").agg(
+                F.sum("_p").alias("score"), F.count(F.lit(1)).alias("n_should")
+            )
+        msm = q.minimum_should_match
+        if req is not None and opt is not None:
+            out = req.join(
+                opt.select("doc_id", F.col("score").alias("opt"), "n_should"),
+                "doc_id",
+                "left",
+            )
+            if msm > 0:
+                out = out.filter(F.coalesce(F.col("n_should"), F.lit(0)) >= msm)
+            out = out.select(
+                "doc_id", (F.col("score") + F.coalesce(F.col("opt"), F.lit(0.0))).alias("score")
+            )
+        elif req is not None:
+            out = req
+        else:
+            if msm > 0:
+                opt = opt.filter(F.col("n_should") >= msm)
+            out = opt.select("doc_id", "score")
+        for t in nots:
+            excl = self.index.postings.filter(
+                (F.col("field") == fld) & (F.col("term") == t.term)
+            ).select("doc_id")
+            out = out.join(excl, "doc_id", "left_anti")
+        if self.mode == "lucene":
+            out = out.select(
+                "doc_id", F.col("score").cast("float").cast("double").alias("score")
+            )
+        return out

@@ -456,3 +456,47 @@ def test_parser_ranges_and_escapes():
     from lucenenet_spark.search.queries import BooleanQuery
     assert isinstance(q, BooleanQuery)  # analyzed to two terms, no field
     assert all(c.query.field is None for c in q.clauses)
+
+
+# ------------------------------------------------------------- LM similarities
+def test_lm_golden_scores():
+    """Reference golden values (TestSimilarityBase.cs:174-200 stats;
+    TestLMDirichlet / TestLMJelinekMercer formulas), FLOAT_EPSILON=1e-5."""
+    import math
+
+    import numpy as np
+
+    from lucenenet_spark.search.lm import lm_dirichlet_score_scalar, lm_jm_score_scalar
+
+    f32 = np.float32
+    FREQ, DOC_LEN, TTF, NFT = 7.0, 40.0, 70, 5000
+    p = f32((FREQ + 2000.0 * (TTF + 1) / (NFT + 1.0)) / (DOC_LEN + 2000.0))
+    a = f32(2000.0 / (DOC_LEN + 2000.0))
+    gold_d = float(f32(math.log(p / (a * f32((TTF + 1) / (NFT + 1.0)))) + math.log(a)))
+    assert lm_dirichlet_score_scalar(FREQ, DOC_LEN, TTF, NFT) == pytest.approx(gold_d, abs=1e-5)
+    pj = f32((1 - 0.1) * FREQ / DOC_LEN + 0.1 * (TTF + 1) / (NFT + 1.0))
+    gold_j = float(f32(math.log(pj / (0.1 * f32((TTF + 1) / (NFT + 1.0))))))
+    assert lm_jm_score_scalar(FREQ, DOC_LEN, TTF, NFT, lam=0.1) == pytest.approx(gold_j, abs=1e-5)
+
+
+def test_lm_engine_parity(spark, corpus, corpus_df):
+    """LMSearcher lucene mode vs scalar recompute with quantized docLen
+    (SimilarityBase.DecodeNormValue path)."""
+    import numpy as np
+
+    from lucenenet_spark.index.smallfloat import norm_table
+    from lucenenet_spark.search.lm import LMSearcher, lm_dirichlet_score_scalar
+    from lucenenet_spark.oracle import PyIndex
+
+    idx = build_index(corpus_df).cache()
+    s = LMSearcher(idx, model="dirichlet", mode="lucene")
+    py = PyIndex(corpus)
+    tbl = norm_table().astype(np.float64)
+    term = "w0003"
+    ttf = sum(len(ps) for ps in py.postings[term].values())
+    got = {r["doc_id"]: r["score"] for r in s.scored(TermQuery(term)).collect()}
+    assert set(got) == set(py.postings[term])
+    for d, ps in py.postings[term].items():
+        dl_q = float(tbl[py.norm_byte[d]])
+        want = lm_dirichlet_score_scalar(len(ps), dl_q, ttf, py.sum_ttf)
+        assert got[d] == pytest.approx(want, rel=1e-6), d
