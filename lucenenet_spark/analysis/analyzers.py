@@ -333,3 +333,45 @@ class EnglishAnalyzer(StandardAnalyzer):
             )
             dictionary = stemmed
         return row_idx, codes, dictionary, positions, field_lens
+
+
+def fold_ascii_series(s: "pd.Series") -> "pd.Series":
+    """ASCIIFoldingFilter core (Analysis/Miscellaneous/ASCIIFoldingFilter.cs):
+    fold accented/decorated Latin characters to their ASCII equivalents.
+    Vectorized via NFKD decomposition + combining-mark strip (covers the
+    Latin-1/Latin-Extended bulk of the reference's mapping table; the
+    reference's few non-decomposition mappings, e.g. ae ligatures, are
+    handled explicitly)."""
+    lig = {ord("æ"): "ae", ord("Æ"): "AE", ord("œ"): "oe", ord("Œ"): "OE",
+           ord("ß"): "ss", ord("ø"): "o", ord("Ø"): "O", ord("đ"): "d",
+           ord("Đ"): "D", ord("þ"): "th", ord("Þ"): "TH", ord("ð"): "d",
+           ord("Ð"): "D", ord("ł"): "l", ord("Ł"): "L"}
+    out = s.map(lambda x: x.translate(lig) if isinstance(x, str) else x)
+    return (
+        out.str.normalize("NFKD")
+        .str.encode("ascii", "ignore")
+        .str.decode("ascii")
+    )
+
+
+class FoldingAnalyzer(StandardAnalyzer):
+    """StandardAnalyzer + ASCIIFoldingFilter applied to the emitted terms
+    (dictionary-level fold — unique tokens only, like EnglishAnalyzer's
+    stemming stage)."""
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, field_lens = super().tokenize_batch(texts)
+        if len(terms):
+            codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+            folded = fold_ascii_series(pd.Series(uniques)).to_numpy(dtype=object)
+            terms = folded[codes]
+        return row_idx, terms, positions, field_lens
+
+    def tokenize_batch_arrow(self, texts):
+        import pyarrow as pa
+
+        row_idx, codes, dictionary, positions, field_lens = super().tokenize_batch_arrow(texts)
+        if len(dictionary):
+            folded = fold_ascii_series(pd.Series(dictionary.to_pylist()))
+            dictionary = pa.array(folded.tolist(), type=pa.string())
+        return row_idx, codes, dictionary, positions, field_lens

@@ -464,3 +464,61 @@ def lm_jm_bool_or(spark, sf_dir):
         "doc_id",
         F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
     )
+
+
+# ==========================================================================
+# Query-time synonym expansion (SynonymFilter pattern -> OR / MultiPhrase)
+# ==========================================================================
+@gate(
+    "synonym_or",
+    SQL_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(sum(score) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM ((SELECT doc_id, idf * 2.2 * tf / (tf + nrm) AS score FROM sc WHERE term = 'fast')
+      UNION ALL
+      (SELECT doc_id, idf * 2.2 * tf / (tf + nrm) AS score FROM sc WHERE term = 'slow'))
+GROUP BY doc_id
+""",
+)
+def synonym_or(spark, sf_dir):
+    """TermQuery('fast') expanded through {'fast': ['slow']} -> OR."""
+    from lucenenet_spark.analysis.synonyms import expand_synonyms
+    from lucenenet_spark.plans.gate import _spark_score_q
+
+    _, s, _ = get_engine(spark, sf_dir)
+    q = expand_synonyms(TermQuery("fast"), {"fast": ["slow"]})
+    return _spark_score_q(s.scored(q))
+
+
+@gate(
+    "synonym_phrase",
+    SQL_PRELUDE + """,
+mpf AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS freq
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('big', 'small') AND b.term = 'data'
+  GROUP BY a.doc_id
+),
+midfs AS (
+  SELECT ((SELECT ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) FROM ts, cs WHERE term = 'big')
+        + (SELECT ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) FROM ts, cs WHERE term = 'small')
+        + (SELECT ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) FROM ts, cs WHERE term = 'data')) AS idf
+)
+SELECT mpf.doc_id,
+       CAST(floor((midfs.idf * 2.2 * mpf.freq /
+             (mpf.freq + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+       AS score_q
+FROM mpf JOIN dl USING (doc_id), midfs, cs
+""",
+)
+def synonym_phrase(spark, sf_dir):
+    """PhraseQuery('big data') expanded through {'big': ['small']} ->
+    MultiPhraseQuery with per-slot alternatives (idf summed over every
+    slot term, but note: the engine's multi-phrase sums idf over slot-0
+    alternatives in slot order big,small then data)."""
+    from lucenenet_spark.analysis.synonyms import expand_synonyms
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import PhraseQuery
+
+    _, s, _ = get_engine(spark, sf_dir)
+    q = expand_synonyms(PhraseQuery(terms=("big", "data")), {"big": ["small"]})
+    return _spark_score_q(s.scored(q))

@@ -92,3 +92,49 @@ def test_blockmax_pruning_on_skewed_corpus(spark):
     assert a == b
     assert bs.last_stats["blocks_total"] == 32
     assert bs.last_stats["blocks_scored"] < bs.last_stats["blocks_total"]
+
+
+def test_impact_ordered_docids_enable_pruning(spark):
+    """Index-time sorting (the reference's index-sort /
+    EarlyTerminatingSortingCollector idea): assigning doc_ids by ASCENDING
+    length clusters high-impact (short, high-norm) docs into the low
+    block_ids, making block max-scores monotone — BMW then prunes even a
+    corpus whose unsorted layout is homogeneous. Top-k scores must be a
+    permutation-identical multiset of the unsorted index's."""
+    import random
+
+    from lucenenet_spark.index.builder import assign_doc_ids
+
+    rng = random.Random(11)
+    rows = []
+    for d in range(2048):
+        length = rng.choice([8, 8, 8, 40, 40, 200])
+        words = ["hot"] + [f"f{rng.randint(0,400)}" for _ in range(length - 1)]
+        rng.shuffle(words)
+        rows.append((f"https://x.com/{d:06d}", " ".join(words)))
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    # baseline layout: url-rank ids (homogeneous blocks)
+    base = build_index(assign_doc_ids(df, "url")).cache()
+    bs0 = BlockIndexSearcher(base)
+    bs0.blocks = bs0.blocks.cache(); bs0.blocks.count()
+    r0 = bs0.topk_term("hot", 10).collect()
+    stats0 = dict(bs0.last_stats)
+
+    # impact-ordered layout: sort key = zero-padded length + url
+    from pyspark.sql import functions as F
+
+    ranked = df.withColumn(
+        "_impact", F.concat(F.lpad(F.size(F.split("text", " ")).cast("string"), 6, "0"), F.col("url"))
+    )
+    imp = build_index(assign_doc_ids(ranked, "_impact").drop("_impact")).cache()
+    bs1 = BlockIndexSearcher(imp)
+    bs1.blocks = bs1.blocks.cache(); bs1.blocks.count()
+    r1 = bs1.topk_term("hot", 10).collect()
+    stats1 = dict(bs1.last_stats)
+
+    # same scores (doc ids differ by layout), pruning only on the sorted one
+    assert sorted(round(r["score"], 6) for r in r0) == sorted(
+        round(r["score"], 6) for r in r1
+    )
+    assert stats1["blocks_scored"] < stats1["blocks_total"], (stats0, stats1)

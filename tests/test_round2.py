@@ -500,3 +500,32 @@ def test_lm_engine_parity(spark, corpus, corpus_df):
         dl_q = float(tbl[py.norm_byte[d]])
         want = lm_dirichlet_score_scalar(len(ps), dl_q, ttf, py.sum_ttf)
         assert got[d] == pytest.approx(want, rel=1e-6), d
+
+
+# ------------------------------------------------------------- folding/synonyms
+def test_ascii_folding_end_to_end(spark):
+    """FoldingAnalyzer: accented corpus searchable through folded query
+    terms (query side uses the same analyzer)."""
+    from lucenenet_spark.analysis.analyzers import FoldingAnalyzer
+
+    docs = {0: "Café au lait", 1: "cafe plain", 2: "naïve résumé", 3: "unrelated"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    s = IndexSearcher(build_index(df, analyzer=FoldingAnalyzer()))
+    assert sorted(r["doc_id"] for r in s.search_text("cafe", 10).collect()) == [0, 1]
+    assert sorted(r["doc_id"] for r in s.search_text("café", 10).collect()) == [0, 1]
+    assert sorted(r["doc_id"] for r in s.search_text("naive resume", 10).collect()) == [2]
+
+
+def test_synonym_expansion_end_to_end(spark):
+    from lucenenet_spark.analysis.synonyms import expand_synonyms
+
+    docs = {0: "the quick fox", 1: "a fast fox", 2: "a rapid response", 3: "slow snail"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    s = IndexSearcher(build_index(df))
+    syn = {"quick": ["fast", "rapid"]}
+    q = expand_synonyms(TermQuery("quick"), syn)
+    assert sorted(r["doc_id"] for r in s.scored(q).collect()) == [0, 1, 2]
+    # phrase slot expansion -> MultiPhraseQuery
+    q2 = expand_synonyms(PhraseQuery(terms=("quick", "fox")), syn)
+    assert isinstance(q2, MultiPhraseQuery)
+    assert sorted(r["doc_id"] for r in s.scored(q2).collect()) == [0, 1]
