@@ -26,7 +26,11 @@ def expand_synonyms(q: Query, synonyms: dict[str, list[str]]) -> Query:
     (map values EXCLUDE the key itself; expansion keeps the original)."""
 
     def alts(t: str) -> tuple[str, ...]:
-        return (t, *synonyms.get(t, ()))
+        seen: list[str] = [t]
+        for s in synonyms.get(t, ()):
+            if s not in seen:  # a self/duplicate synonym must not double-count
+                seen.append(s)
+        return tuple(seen)
 
     if isinstance(q, TermQuery):
         a = alts(q.term)
