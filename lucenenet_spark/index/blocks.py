@@ -151,17 +151,58 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def pack_postings(postings: DataFrame, with_positions: bool = True) -> DataFrame:
-    """postings rows -> 128-doc packed blocks (one bounded-size group each)."""
+def pack_postings(
+    postings: DataFrame, with_positions: bool = True, num_partitions: int | None = None
+) -> DataFrame:
+    """postings rows -> 128-doc packed blocks (one bounded-size group each).
+
+    Implementation: ONE shuffle co-locating each (field, term, block) group,
+    then a partition-level mapInPandas that packs every group of the
+    partition in-process (pandas groupby loop over numpy kernels). A
+    per-group applyInPandas would schedule one Python-worker round trip per
+    group AND inherit spark.sql.shuffle.partitions as its worker count —
+    on this host >16 concurrent Python workers collapse (TODO.md gotcha),
+    so the partition count is capped."""
     cols = ["field", "term", "doc_id", "tf", "norm_byte"] + (
         ["positions"] if with_positions else []
     )
-    return (
-        postings.select(*cols)
-        .withColumn("block_id", (F.col("doc_id") / F.lit(BLOCK_SIZE)).cast("long"))
-        .groupBy("field", "term", "block_id")
-        .applyInPandas(lambda pdf: _pack_group(pdf), BLOCKS_SCHEMA)
+    df = postings.select(*cols).withColumn(
+        "block_id", (F.col("doc_id") / F.lit(BLOCK_SIZE)).cast("long")
     )
+    n = num_partitions or min(
+        16, max(1, postings.sparkSession.sparkContext.defaultParallelism)
+    )
+    # sortWithinPartitions makes each group contiguous, so a group can only
+    # straddle an Arrow-batch boundary as (last of batch k, first of k+1) —
+    # the carry-over below re-joins it without materializing the partition
+    df = df.repartition(n, "field", "term", "block_id").sortWithinPartitions(
+        "field", "term", "block_id"
+    )
+    keys = ["field", "term", "block_id"]
+
+    def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            is_last_group = (
+                (pdf["field"] == last["field"])
+                & (pdf["term"] == last["term"])
+                & (pdf["block_id"] == last["block_id"])
+            )
+            carry = pdf[is_last_group]
+            body = pdf[~is_last_group]
+            if len(body):
+                out = [_pack_group(g) for _, g in body.groupby(keys, sort=False)]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            yield _pack_group(carry)
+
+    return df.mapInPandas(pack_partition, BLOCKS_SCHEMA)
 
 
 UNPACKED_SCHEMA = T.StructType(

@@ -376,10 +376,16 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | 
     strictly below partition i+1, so offset+local == global dense rank.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # PERSIST before the two jobs: repartitionByRange picks its range
+    # boundaries by SAMPLING with a seed derived from the RDD id, so
+    # recomputing the plan for the counts job and the id-assignment job can
+    # yield DIFFERENT partition boundaries -> duplicate/missing doc_ids.
+    # Materializing once pins the boundaries for both reads.
     parted = (
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets = {}

@@ -522,3 +522,68 @@ def synonym_phrase(spark, sf_dir):
     _, s, _ = get_engine(spark, sf_dir)
     q = expand_synonyms(PhraseQuery(terms=("big", "data")), {"big": ["small"]})
     return _spark_score_q(s.scored(q))
+
+
+# ==========================================================================
+# Inventory completion: RegexpQuery, SpanNot, DrillSideways as first-class
+# oracle-checked gates (previously pytest-only / covered-by-proxy)
+# ==========================================================================
+@gate(
+    "regexp_query",
+    SQL_PRELUDE + """
+SELECT DISTINCT doc_id FROM post WHERE regexp_matches(term, '^gro.p$')
+""",
+)
+def regexp_query(spark, sf_dir):
+    """RegexpQuery (anchored, Search/RegexpQuery.cs) as a term-dictionary
+    automaton -> pushdown rlike."""
+    from lucenenet_spark.search.queries import RegexpQuery
+
+    _, s, _ = get_engine(spark, sf_dir)
+    return s.docset(RegexpQuery("gro.p"))
+
+
+@gate(
+    "span_not",
+    SQL_PRELUDE + """,
+inc AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+),
+overlap AS (
+  SELECT DISTINCT i.doc_id
+  FROM tok i JOIN tok e ON e.doc_id = i.doc_id
+  WHERE i.term = 'key' AND e.term = 'dup'
+    AND e.pos >= i.pos - 2 AND e.pos <= i.pos + 1 + 2
+)
+SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM overlap)
+""",
+)
+def span_not_gate(spark, sf_dir):
+    """SpanNotQuery: 'key agg' spans minus docs where 'dup' falls within
+    2 positions of a 'key' occurrence (Search/Spans/SpanNotQuery.cs)."""
+    from lucenenet_spark.search.spans import span_not_docs
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return span_not_docs(idx, ["key", "agg"], "dup", slop=0, dist=2)
+
+
+@gate(
+    "drill_sideways_source",
+    SQL_PRELUDE + """
+SELECT d.source, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'vector') m
+JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+GROUP BY d.source
+""",
+)
+def drill_sideways_source(spark, sf_dir):
+    """DrillSideways (Facet/DrillSideways.cs): source-dimension counts with
+    every OTHER drilldown filter applied (lang='en') but its own removed."""
+    from lucenenet_spark.search.collectors import drill_sideways
+
+    _, s, docs = get_engine(spark, sf_dir)
+    out = drill_sideways(s, TermQuery("vector"), docs, {"source": "src3", "lang": "en"})
+    return out["source"]

@@ -529,3 +529,24 @@ def test_synonym_expansion_end_to_end(spark):
     q2 = expand_synonyms(PhraseQuery(terms=("quick", "fox")), syn)
     assert isinstance(q2, MultiPhraseQuery)
     assert sorted(r["doc_id"] for r in s.scored(q2).collect()) == [0, 1]
+
+
+# ------------------------------------------------------------- doc-id integrity
+def test_assign_doc_ids_dense_unique(spark):
+    """Regression: repartitionByRange samples range boundaries with an
+    RDD-id-derived seed, so recomputing the partitioning between the
+    counts job and the assignment job could shift rows across boundaries,
+    producing DUPLICATE and MISSING doc_ids (observed: 2048-row corpus
+    with ids 1024-1027 duplicated, 507-511 missing). The partitioned frame
+    is now persisted so both jobs read one materialization."""
+    from lucenenet_spark.index.builder import assign_doc_ids
+
+    rows = [(f"https://x.com/{d:06d}", f"w{d % 7} text") for d in range(2048)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = assign_doc_ids(df, "url")
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == list(range(2048))
+    # and stable: re-running assigns the same id per url
+    a = {r["url"]: r["doc_id"] for r in out.collect()}
+    b = {r["url"]: r["doc_id"] for r in assign_doc_ids(df, "url").collect()}
+    assert a == b
