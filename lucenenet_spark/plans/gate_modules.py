@@ -587,3 +587,37 @@ def drill_sideways_source(spark, sf_dir):
     _, s, docs = get_engine(spark, sf_dir)
     out = drill_sideways(s, TermQuery("vector"), docs, {"source": "src3", "lang": "en"})
     return out["source"]
+
+
+@gate(
+    "dfr_pl2_term",
+    SQL_PRELUDE + """,
+consts AS (
+  SELECT CAST(CAST(cs.sttf AS FLOAT) / cs.n AS FLOAT) AS avg, cs.n AS n FROM cs
+)
+SELECT p.doc_id,
+       CAST(floor(
+         (1.0 * (tfn * log2(tfn / lam)
+                 + (lam + 1.0 / (12.0 * tfn) - tfn) * 1.4426950408889634
+                 + 0.5 * log2(6.283185307179586 * tfn))
+              * (1.0 / (tfn + 1.0))) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (
+  SELECT p.doc_id,
+         p.tf * log2(1 + 1.0 * consts.avg / dl.dl) AS tfn,
+         CAST((1.0 + ts.ttf) / (1.0 + consts.n) AS FLOAT) AS lam
+  FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), consts
+  WHERE p.term = 'vector'
+) p
+""",
+)
+def dfr_pl2_term(spark, sf_dir):
+    """TermQuery under DFR PL2 (BasicModelP + AfterEffectL +
+    NormalizationH2; Search/Similarities/DFRSimilarity.cs)."""
+    from lucenenet_spark.search.lm import LMSearcher
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    s = LMSearcher(idx, model="pl2", mode="double")
+    return s.scored(TermQuery("vector")).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )

@@ -48,6 +48,27 @@ def lm_dirichlet_score_scalar(
     return float(score if score > 0.0 else f32(0.0))
 
 
+_LOG2E = 1.4426950408889634  # SimilarityBase.Log2(Math.E)
+
+
+def dfr_pl2_score_scalar(
+    freq: float, doc_len: float, ttf: int, n_docs: int, avgdl: float,
+    c: float = 1.0, boost: float = 1.0,
+) -> float:
+    """Pure-scalar DFRSimilarity(BasicModelP, AfterEffectL, NormalizationH2)
+    — the PL2 model (DFRSimilarity.cs; golden value in
+    TestSimilarityBase.TestPL2)."""
+    tfn = f32(freq * math.log2(1.0 + c * avgdl / doc_len))
+    lam = f32((1.0 + ttf) / (1.0 + n_docs))
+    l_ae = f32(1.0 / (tfn + 1.0))
+    p = f32(
+        tfn * math.log2(tfn / float(lam))
+        + (float(lam) + 1.0 / (12.0 * tfn) - tfn) * _LOG2E
+        + 0.5 * math.log2(2.0 * math.pi * tfn)
+    )
+    return float(f32(f32(f32(boost) * p) * l_ae))
+
+
 def lm_jm_score_scalar(
     freq: float, doc_len: float, ttf: int, field_tokens: int, lam: float = 0.1,
     boost: float = 1.0,
@@ -65,8 +86,10 @@ class LMSearcher:
     are identity)."""
 
     def __init__(self, index: InvertedIndex, model: str = "dirichlet",
-                 mu: float = 2000.0, lam: float = 0.1, mode: str = "lucene"):
-        assert model in ("dirichlet", "jm")
+                 mu: float = 2000.0, lam: float = 0.1, mode: str = "lucene",
+                 c: float = 1.0):
+        assert model in ("dirichlet", "jm", "pl2")
+        self.c = c
         assert mode in ("lucene", "double")
         self.index = index
         self.model = model
@@ -90,6 +113,25 @@ class LMSearcher:
     def _term_score_col(self, cp: float, boost: float):
         freq = F.col("tf").cast("double")
         dl = self._dl_col
+        if self.model == "pl2":
+            # cp here carries lambda = f32((1+ttf)/(1+N)); avgdl f32 literal
+            avg = self._avgdl_f32
+            tfn = (freq * F.log2(F.lit(1.0) + F.lit(self.c) * F.lit(avg) / dl))
+            if self.mode == "lucene":
+                tfn = tfn.cast("float").cast("double")
+            l_ae = F.lit(1.0) / (tfn + F.lit(1.0))
+            p = (
+                tfn * F.log2(tfn / F.lit(cp))
+                + (F.lit(cp) + F.lit(1.0) / (F.lit(12.0) * tfn) - tfn) * F.lit(1.4426950408889634)
+                + F.lit(0.5) * F.log2(F.lit(2.0 * 3.141592653589793) * tfn)
+            )
+            if self.mode == "lucene":
+                l_ae = l_ae.cast("float")
+                p = p.cast("float")
+                return (
+                    (F.lit(float(f32(boost))).cast("float") * p).cast("float") * l_ae
+                ).cast("float").cast("double")
+            return F.lit(boost) * p * l_ae
         if self.model == "dirichlet":
             raw = F.log(F.lit(1.0) + freq / F.lit(self.mu * cp)) + F.log(
                 F.lit(self.mu) / (dl + F.lit(self.mu))
@@ -125,12 +167,18 @@ class LMSearcher:
         if not musts and not shoulds:
             raise ValueError("pure-negation BooleanQuery matches nothing")
         stats = self._stats([(fld, t.term) for t in musts + shoulds])
+        # SimilarityBase.FillBasicStats: avgFieldLength = (float)tokens / N
+        self._avgdl_f32 = float(f32(f32(field_tokens) / self.index.max_doc))
 
         def part(t: TermQuery) -> DataFrame:
             ttf = stats.get((fld, t.term), (0, 0))[1]
-            # cp computed float32 then used as a double literal, mirroring
-            # LMStats.CollectionProbability (a float field)
-            cp = float(f32((ttf + 1) / (field_tokens + 1.0)))
+            if self.model == "pl2":
+                # lambda = (1+ttf)/(1f+N) (BasicModelP), a float
+                cp = float(f32((1.0 + ttf) / (1.0 + self.index.max_doc)))
+            else:
+                # cp computed float32 then used as a double literal, mirroring
+                # LMStats.CollectionProbability (a float field)
+                cp = float(f32((ttf + 1) / (field_tokens + 1.0)))
             p = self.index.postings.filter(
                 (F.col("field") == fld) & (F.col("term") == t.term)
             )

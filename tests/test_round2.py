@@ -550,3 +550,31 @@ def test_assign_doc_ids_dense_unique(spark):
     a = {r["url"]: r["doc_id"] for r in out.collect()}
     b = {r["url"]: r["doc_id"] for r in assign_doc_ids(df, "url").collect()}
     assert a == b
+
+
+def test_pl2_golden_and_engine(spark, corpus, corpus_df):
+    """DFR PL2 golden value (TestSimilarityBase.TestPL2: 2.2923636 for
+    freq=7, dl=40, avg=50, ttf=70, N=100) + engine parity with quantized
+    docLen."""
+    import numpy as np
+
+    from lucenenet_spark.index.smallfloat import norm_table
+    from lucenenet_spark.oracle import PyIndex
+    from lucenenet_spark.search.lm import LMSearcher, dfr_pl2_score_scalar
+
+    assert dfr_pl2_score_scalar(7.0, 40.0, 70, 100, 50.0) == pytest.approx(
+        2.2923636, abs=1e-5
+    )
+    idx = build_index(corpus_df).cache()
+    s = LMSearcher(idx, model="pl2", mode="lucene")
+    py = PyIndex(corpus)
+    tbl = norm_table().astype(np.float64)
+    term = "w0003"
+    ttf = sum(len(ps) for ps in py.postings[term].values())
+    avg = float(np.float32(np.float32(py.sum_ttf) / py.max_doc))
+    got = {r["doc_id"]: r["score"] for r in s.scored(TermQuery(term)).collect()}
+    assert set(got) == set(py.postings[term])
+    for d, ps in py.postings[term].items():
+        dl_q = float(tbl[py.norm_byte[d]])
+        want = dfr_pl2_score_scalar(len(ps), dl_q, ttf, py.max_doc, avg)
+        assert got[d] == pytest.approx(want, rel=1e-5), d
