@@ -48,10 +48,15 @@ class BlockIndexSearcher:
     """Top-k serving over packed 128-doc blocks (mode='lucene' scoring —
     blocks carry the quantized norm byte, exactly what BM25 needs)."""
 
-    def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None):
+    def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None,
+                 collect_stats: bool = True):
+        """collect_stats=False skips the blocks_total / blocks_scored
+        counts (2 of the 4 Spark actions per query) — the serving-latency
+        mode; stats mode is for benchmarking/verification."""
         self.index = index
         self.blocks = blocks if blocks is not None else pack_postings(index.postings)
         self.inner = IndexSearcher(index, mode="lucene")
+        self.collect_stats = collect_stats
         self.last_stats: dict = {}
 
     # ------------------------------------------------------------- helpers
@@ -115,7 +120,7 @@ class BlockIndexSearcher:
                 # term present in its block
                 by_block = by_block.filter(F.col("terms_present") >= n_terms)
             by_block = by_block.persist()
-            total = by_block.count()
+            total = by_block.count() if self.collect_stats else None
             if total == 0:
                 self.last_stats = {"blocks_total": 0, "blocks_scored": 0}
                 return self._score_decoded(metas.limit(0), weights, fld, mode, n_terms)
@@ -138,6 +143,9 @@ class BlockIndexSearcher:
                 if covered >= k and len(seed_ids) >= 4:
                     break
             seed_metas = metas.filter(F.col("block_id").isin(seed_ids))
+            if not seed_rows:
+                self.last_stats = {"blocks_total": 0, "blocks_scored": 0}
+                return self._score_decoded(metas.limit(0), weights, fld, mode, n_terms)
             seed_topk = (
                 self._score_decoded(seed_metas, weights, fld, mode, n_terms)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -154,7 +162,7 @@ class BlockIndexSearcher:
                 F.col("ub_sum") >= F.lit(theta * (1.0 - _EPS))
             ).select("block_id")
             survivors = metas.join(F.broadcast(surviving_ids), "block_id")
-            n_scored = surviving_ids.count()
+            n_scored = surviving_ids.count() if self.collect_stats else None
             self.last_stats = {"blocks_total": total, "blocks_scored": n_scored}
             out = self._score_decoded(survivors, weights, fld, mode, n_terms)
             return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
