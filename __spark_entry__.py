@@ -24,6 +24,7 @@ from lucenenet_spark.plans import gate_pipeline as _gate_pipeline  # noqa: E402 
 from lucenenet_spark.plans import gate_more as _gate_more  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_fields as _gate_fields  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_modules as _gate_modules  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round3 as _gate_round3  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

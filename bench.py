@@ -4,6 +4,14 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <dir>, "docs_per_sec": ...}
 
+The headline q_term_topk / q_bool_or / q_bool_and / q_phrase are served
+from the PACKED-BLOCK path (BlockIndexSearcher, serving mode — driver-side
+block metadata, one seed collect + one scan per query); the *_exploded
+rows are the same queries on the exploded-postings path for comparison.
+q_wand_skew is the pruning-evidence row: a length-skewed corpus where
+block-max WAND skips most blocks, with rank-identity checked against the
+exploded searcher.
+
 Environment:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32)
@@ -31,6 +39,7 @@ def main() -> None:
     from lucenenet_spark import IndexSearcher, build_index
     from lucenenet_spark.functions import dedup as fdedup
     from lucenenet_spark.functions import similarity as fsim
+    from lucenenet_spark.search.block_searcher import BlockIndexSearcher
     from lucenenet_spark.search.queries import (
         BooleanQuery,
         Occur,
@@ -55,6 +64,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def timed(name: str, mk) -> None:
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            mk().collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
     # ---- index build (docs/sec headline) ----
     t0 = time.time()
     idx = build_index(docs, text_col="text", id_col="doc_id").cache()
@@ -65,15 +82,31 @@ def main() -> None:
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 4)
 
+    # ---- pack blocks (the serving layout) ----
+    t0 = time.time()
+    bsearcher = BlockIndexSearcher(idx)  # serving mode (collect_stats=False)
+    bsearcher.blocks = bsearcher.blocks.cache()
+    n_blocks = bsearcher.blocks.count()
+    timings["block_pack"] = round(time.time() - t0, 4)
+
     searcher = IndexSearcher(idx, mode="lucene")
 
-    queries = {
-        "q_term_topk": lambda: searcher.search(TermQuery("vector"), 10),
-        "q_bool_and": lambda: searcher.search(
-            BooleanQuery.of((TermQuery("vector"), Occur.MUST), (TermQuery("merge"), Occur.MUST)),
-            10,
-        ),
-        "q_bool_or": lambda: searcher.search(
+    # ---- headline queries: PACKED-BLOCK serving path ----
+    wand_stats: dict[str, dict] = {}
+    block_queries = {
+        "q_term_topk": lambda: bsearcher.topk_term("vector", 10),
+        "q_bool_or": lambda: bsearcher.topk_or({"key": 1.0, "agg": 1.0, "scan": 1.0}, 10),
+        "q_bool_and": lambda: bsearcher.topk_and(["vector", "merge"], 10),
+        "q_phrase": lambda: bsearcher.topk_phrase(("key", "agg"), 10),
+    }
+    for name, mk in block_queries.items():
+        timed(name, mk)
+        wand_stats[name] = dict(bsearcher.last_stats)
+
+    # ---- same queries on the exploded-postings path (comparison) ----
+    exploded_queries = {
+        "q_term_exploded": lambda: searcher.search(TermQuery("vector"), 10),
+        "q_or_exploded": lambda: searcher.search(
             BooleanQuery.of(
                 (TermQuery("key"), Occur.SHOULD),
                 (TermQuery("agg"), Occur.SHOULD),
@@ -81,11 +114,15 @@ def main() -> None:
             ),
             10,
         ),
+        "q_and_exploded": lambda: searcher.search(
+            BooleanQuery.of((TermQuery("vector"), Occur.MUST), (TermQuery("merge"), Occur.MUST)),
+            10,
+        ),
+        "q_phrase_exploded": lambda: searcher.search(PhraseQuery(terms=("key", "agg")), 10),
         "q_bool_not": lambda: searcher.search(
             BooleanQuery.of((TermQuery("table"), Occur.MUST), (TermQuery("dup"), Occur.MUST_NOT)),
             10,
         ),
-        "q_phrase": lambda: searcher.search(PhraseQuery(terms=("key", "agg")), 10),
         "q_prefix": lambda: searcher.docset(PrefixQuery("du")),
         "q_minhash_lsh": lambda: fdedup.minhash_lsh_pairs(
             fdedup.capped_shingles(docs, n=3).withColumnRenamed("shingle", "term")
@@ -103,37 +140,38 @@ def main() -> None:
         ]
         return fsim.cosine_topk_arrays_q(emb, qvec, 10)
 
-    for name, mk in queries.items():
-        runs = []
-        for _ in range(repeats):
-            t0 = time.time()
-            mk().collect()
-            runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+    for name, mk in exploded_queries.items():
+        timed(name, mk)
 
-    # ---- packed-block serving path (production layout; BMW pruning) ----
-    from lucenenet_spark.search.block_searcher import BlockIndexSearcher
-
-    t0 = time.time()
-    bsearcher = BlockIndexSearcher(idx)
-    bsearcher.blocks = bsearcher.blocks.cache()
-    n_blocks = bsearcher.blocks.count()
-    timings["block_pack"] = round(time.time() - t0, 4)
-    wand_stats = {}
-    for name, mk in {
-        "q_block_term": lambda: bsearcher.topk_term("vector", 10),
-        "q_block_or": lambda: bsearcher.topk_or(
-            {"key": 1.0, "agg": 1.0, "scan": 1.0}, 10
-        ),
-        "q_block_and": lambda: bsearcher.topk_and(["vector", "merge"], 10),
-    }.items():
-        runs = []
-        for _ in range(repeats):
-            t0 = time.time()
-            mk().collect()
-            runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 4)
-        wand_stats[name] = dict(bsearcher.last_stats)
+    # ---- pruning evidence: length-skewed corpus (BMW actually bites) ----
+    # All docs contain the query term once; doc length grows with doc_id,
+    # so low blocks hold the short (high-scoring) docs and the block-max
+    # bound proves the rest non-competitive — the Ding & Suel case.
+    skew_rows = [
+        (d, "hot " + " ".join(f"f{(d * 31 + j) % 700:03d}" for j in range(5 + d // 40)))
+        for d in range(20_000)
+    ]
+    skew_df = spark.createDataFrame(skew_rows, "doc_id long, text string")
+    skew_idx = build_index(skew_df).cache()
+    skew_idx.postings.count()
+    skew_bs = BlockIndexSearcher(skew_idx)
+    skew_bs.blocks = skew_bs.blocks.cache()
+    skew_bs.blocks.count()
+    timed("q_wand_skew", lambda: skew_bs.topk_term("hot", 10))
+    skew_stats = dict(skew_bs.last_stats)
+    skew_exact = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in IndexSearcher(skew_idx).search(TermQuery("hot"), 10).collect()
+    ]
+    skew_block = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in skew_bs.topk_term("hot", 10).collect()
+    ]
+    skew_stats["rank_identical"] = skew_exact == skew_block
+    skew_stats["pruned_pct"] = round(
+        100.0 * (1 - skew_stats["blocks_scored"] / max(1, skew_stats["blocks_total"])), 1
+    )
+    wand_stats["q_wand_skew"] = skew_stats
 
     total = round(sum(timings.values()), 4)
     out = {

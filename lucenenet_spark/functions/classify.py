@@ -57,9 +57,18 @@ def naive_bayes_class_scores(
     field: str | None = None,
 ) -> DataFrame:
     """(class, nb_q): quantized log-score
-    ln(docs_c / N) + sum_t ln((tf(t,c) + 1) / (tokens_c + V))
-    (SimpleNaiveBayesClassifier.cs GetWordFreqForClass / CalculateLogPrior /
-    CalculateLogLikelihood, add-one smoothing). nb_q = floor(s*10000+0.5)."""
+    ln(docs_c / N) + sum_t ln((tf(t,c) + 1) / (tokens_c + V)),
+    nb_q = floor(s*10000+0.5).
+
+    This is the TEXTBOOK multinomial naive Bayes with add-one smoothing —
+    a deliberate deviation from the reference's
+    SimpleNaiveBayesClassifier.cs, which counts per-word DOCUMENT hits
+    (TotalHitCountCollector per word) and smooths with
+    avgUniqueTermsPerDoc * docsWithC + |docsWithC| as the denominator.
+    The classifier role (argmax over classes of prior x likelihood) and
+    the add-one idea match; the sufficient statistics differ (sum(tf) vs
+    doc hits), chosen because sum(tf) is a single map-side-combined
+    aggregate here versus one collector pass per (word, class) there."""
     fld = field or index.default_field
     post = index.postings.filter(F.col("field") == fld).select("doc_id", "term", "tf")
     labeled = post.join(meta.select("doc_id", class_col), "doc_id")

@@ -98,7 +98,10 @@ def capped_shingles(
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
-    return sh.join(F.broadcast(heavy), "shingle", "left_anti")
+    # No forced broadcast: the heavy-shingle set grows with the corpus (at
+    # 10^12 docs it can exceed driver memory); AQE picks broadcast when the
+    # aggregated side is actually small, else a shuffle anti-join.
+    return sh.join(heavy, "shingle", "left_anti")
 
 
 def minhash_signatures(terms: DataFrame, n_hashes: int = DEFAULT_MINHASH_N) -> DataFrame:
@@ -150,7 +153,9 @@ def minhash_lsh_pairs(
             .filter(F.col("sz") > max_bucket_size)
             .select("band", "bucket")
         )
-        bands_df = bands_df.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        # unforced: an oversized-bucket set is usually tiny but is corpus-
+        # dependent — AQE chooses broadcast vs shuffle anti-join at runtime
+        bands_df = bands_df.join(big, ["band", "bucket"], "left_anti")
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (

@@ -152,7 +152,7 @@ def ann_lsh_topk(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 16,
     seed: int = 42,
     dim: int = 64,
     n_probes: int = 1,
@@ -188,7 +188,11 @@ def ann_lsh_topk(
                 cand[p] = "1" if cand[p] == "0" else "0"
             probes.add("".join(cand))
     cands = buckets.filter(F.col("bucket").isin(sorted(probes))).select("vec_id")
-    sub = emb.join(F.broadcast(cands), "vec_id")
+    # left-semi, no forced broadcast: a bucket holds ~N/2^n_planes vectors —
+    # corpus-sized, not driver-sized. AQE broadcasts only when actually small;
+    # at 10^9+ vectors raise n_planes (default 16 ≈ 65k buckets) so buckets
+    # stay join-friendly.
+    sub = emb.join(cands, "vec_id", "left_semi")
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()[0][0]

@@ -416,7 +416,7 @@ def sessionize_gate(spark, sf_dir):
 SELECT p.doc_id,
        CAST(floor(
          greatest(
-           1.0 * (ln(1 + p.tf / (2000.0 * CAST((ts.ttf + 1) / (cs.sttf + 1.0) AS FLOAT)))
+           1.0 * (ln(1 + p.tf / (2000.0 * CAST(CAST(ts.ttf + 1 AS FLOAT) / CAST(cs.sttf + 1 AS FLOAT) AS FLOAT)))
                   + ln(2000.0 / (dl.dl + 2000.0))),
            0.0
          ) * 10000 + 0.5) AS BIGINT) AS score_q
@@ -441,7 +441,7 @@ def lm_dirichlet_term(spark, sf_dir):
     SQL_PRELUDE + """,
 parts AS (
   SELECT p.doc_id,
-         1.0 * ln(1 + ((0.9 * p.tf / dl.dl) / (0.1 * CAST((ts.ttf + 1) / (cs.sttf + 1.0) AS FLOAT)))) AS part
+         1.0 * ln(1 + ((0.9 * p.tf / dl.dl) / (0.1 * CAST(CAST(ts.ttf + 1 AS FLOAT) / CAST(cs.sttf + 1 AS FLOAT) AS FLOAT)))) AS part
   FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
   WHERE p.term IN ('vector', 'merge')
 )
@@ -604,7 +604,7 @@ SELECT p.doc_id,
 FROM (
   SELECT p.doc_id,
          p.tf * log2(1 + 1.0 * consts.avg / dl.dl) AS tfn,
-         CAST((1.0 + ts.ttf) / (1.0 + consts.n) AS FLOAT) AS lam
+         CAST(CAST(1 + ts.ttf AS FLOAT) / CAST(1 + consts.n AS FLOAT) AS FLOAT) AS lam
   FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), consts
   WHERE p.term = 'vector'
 ) p

@@ -41,7 +41,10 @@ def lm_dirichlet_score_scalar(
     boost: float = 1.0,
 ) -> float:
     """Pure-scalar LMDirichletSimilarity.Score (golden-test oracle)."""
-    cp = f32((ttf + 1) / (field_tokens + 1.0))
+    # C# float-division order: (ttf + 1F) / (tokens + 1F) — each operand
+    # rounds to float32 BEFORE the float32 divide (same cast-order class as
+    # the round-2 encode_norm fix; up to 1 ulp vs dividing in double)
+    cp = (f32(ttf) + f32(1.0)) / (f32(field_tokens) + f32(1.0))
     score = f32(boost) * f32(
         math.log(1 + freq / (mu * float(cp))) + math.log(mu / (doc_len + mu))
     )
@@ -59,7 +62,9 @@ def dfr_pl2_score_scalar(
     — the PL2 model (DFRSimilarity.cs; golden value in
     TestSimilarityBase.TestPL2)."""
     tfn = f32(freq * math.log2(1.0 + c * avgdl / doc_len))
-    lam = f32((1.0 + ttf) / (1.0 + n_docs))
+    # BasicModelP: lambda = (1L + ttf) float-divided by (1L + N) — integer
+    # adds, float32 operands, float32 division (see lm_dirichlet note)
+    lam = f32(1 + ttf) / f32(1 + n_docs)
     l_ae = f32(1.0 / (tfn + 1.0))
     p = f32(
         tfn * math.log2(tfn / float(lam))
@@ -74,10 +79,63 @@ def lm_jm_score_scalar(
     boost: float = 1.0,
 ) -> float:
     """Pure-scalar LMJelinekMercerSimilarity.Score."""
-    cp = f32((ttf + 1) / (field_tokens + 1.0))
+    cp = (f32(ttf) + f32(1.0)) / (f32(field_tokens) + f32(1.0))
     return float(
         f32(boost) * f32(math.log(1 + ((1 - lam) * freq / doc_len) / (lam * float(cp))))
     )
+
+
+def compose_terms_bool(index, q: BooleanQuery, fld: str, part, mode: str) -> DataFrame:
+    """Shared SimilarityBase boolean composition (coord == queryNorm == 1,
+    so scores are plain additive): MUST = N-way join + sum, SHOULD = union +
+    groupBy sum with msm, MUST_NOT = left anti. `part(TermQuery) ->
+    DataFrame[doc_id, _p]` supplies the per-term scorer — the Similarity
+    seam. Used by LMSearcher and DFRSearcher."""
+    musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
+    shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
+    nots = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]
+    if not musts and not shoulds:
+        raise ValueError("pure-negation BooleanQuery matches nothing")
+    req = None
+    if musts:
+        parts = [part(m).withColumnRenamed("_p", f"_m{i}") for i, m in enumerate(musts)]
+        req = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+        ssum = reduce(lambda a, c: a + c, [F.col(f"_m{i}") for i in range(len(musts))])
+        req = req.select("doc_id", ssum.alias("score"))
+    opt = None
+    if shoulds:
+        union = reduce(lambda a, b: a.unionByName(b), [part(s) for s in shoulds])
+        opt = union.groupBy("doc_id").agg(
+            F.sum("_p").alias("score"), F.count(F.lit(1)).alias("n_should")
+        )
+    msm = q.minimum_should_match
+    if req is not None and opt is not None:
+        out = req.join(
+            opt.select("doc_id", F.col("score").alias("opt"), "n_should"),
+            "doc_id",
+            "left",
+        )
+        if msm > 0:
+            out = out.filter(F.coalesce(F.col("n_should"), F.lit(0)) >= msm)
+        out = out.select(
+            "doc_id", (F.col("score") + F.coalesce(F.col("opt"), F.lit(0.0))).alias("score")
+        )
+    elif req is not None:
+        out = req
+    else:
+        if msm > 0:
+            opt = opt.filter(F.col("n_should") >= msm)
+        out = opt.select("doc_id", "score")
+    for t in nots:
+        excl = index.postings.filter(
+            (F.col("field") == fld) & (F.col("term") == t.term)
+        ).select("doc_id")
+        out = out.join(excl, "doc_id", "left_anti")
+    if mode == "lucene":
+        out = out.select(
+            "doc_id", F.col("score").cast("float").cast("double").alias("score")
+        )
+    return out
 
 
 class LMSearcher:
@@ -160,6 +218,12 @@ class LMSearcher:
         ):
             raise TypeError("LMSearcher supports TermQuery / BooleanQuery-of-terms")
         fld = self.index.default_field
+        bad = {c.query.field for c in q.clauses if c.query.field and c.query.field != fld}
+        if bad:
+            # LM stats (field token count, avgdl) are bound to one field;
+            # silently scoring another field's terms against them would be
+            # wrong-field scores — fail loudly like ClassicSearcher does
+            raise TypeError(f"LMSearcher scores field {fld!r} only, got {sorted(bad)}")
         field_tokens = self.index._sttf(fld)
         musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
         shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
@@ -173,12 +237,14 @@ class LMSearcher:
         def part(t: TermQuery) -> DataFrame:
             ttf = stats.get((fld, t.term), (0, 0))[1]
             if self.model == "pl2":
-                # lambda = (1+ttf)/(1f+N) (BasicModelP), a float
-                cp = float(f32((1.0 + ttf) / (1.0 + self.index.max_doc)))
+                # lambda = (1+ttf)/(1f+N) (BasicModelP): float32 operands,
+                # float32 division — not a rounded double division
+                cp = float(f32(1 + ttf) / f32(1 + self.index.max_doc))
             else:
-                # cp computed float32 then used as a double literal, mirroring
-                # LMStats.CollectionProbability (a float field)
-                cp = float(f32((ttf + 1) / (field_tokens + 1.0)))
+                # cp computed as a float32 division then used as a double
+                # literal, mirroring LMStats.CollectionProbability (a float
+                # field assigned (ttf+1F)/(tokens+1F))
+                cp = float((f32(ttf) + f32(1.0)) / (f32(field_tokens) + f32(1.0)))
             p = self.index.postings.filter(
                 (F.col("field") == fld) & (F.col("term") == t.term)
             )
@@ -187,43 +253,4 @@ class LMSearcher:
                 self._term_score_col(cp, t.boost * q.boost).alias("_p"),
             )
 
-        req = None
-        if musts:
-            parts = [part(m).withColumnRenamed("_p", f"_m{i}") for i, m in enumerate(musts)]
-            req = reduce(lambda a, b: a.join(b, "doc_id"), parts)
-            ssum = reduce(lambda a, c: a + c, [F.col(f"_m{i}") for i in range(len(musts))])
-            req = req.select("doc_id", ssum.alias("score"))
-        opt = None
-        if shoulds:
-            union = reduce(lambda a, b: a.unionByName(b), [part(s) for s in shoulds])
-            opt = union.groupBy("doc_id").agg(
-                F.sum("_p").alias("score"), F.count(F.lit(1)).alias("n_should")
-            )
-        msm = q.minimum_should_match
-        if req is not None and opt is not None:
-            out = req.join(
-                opt.select("doc_id", F.col("score").alias("opt"), "n_should"),
-                "doc_id",
-                "left",
-            )
-            if msm > 0:
-                out = out.filter(F.coalesce(F.col("n_should"), F.lit(0)) >= msm)
-            out = out.select(
-                "doc_id", (F.col("score") + F.coalesce(F.col("opt"), F.lit(0.0))).alias("score")
-            )
-        elif req is not None:
-            out = req
-        else:
-            if msm > 0:
-                opt = opt.filter(F.col("n_should") >= msm)
-            out = opt.select("doc_id", "score")
-        for t in nots:
-            excl = self.index.postings.filter(
-                (F.col("field") == fld) & (F.col("term") == t.term)
-            ).select("doc_id")
-            out = out.join(excl, "doc_id", "left_anti")
-        if self.mode == "lucene":
-            out = out.select(
-                "doc_id", F.col("score").cast("float").cast("double").alias("score")
-            )
-        return out
+        return compose_terms_bool(self.index, q, fld, part, self.mode)
