@@ -375,3 +375,124 @@ class FoldingAnalyzer(StandardAnalyzer):
             folded = fold_ascii_series(pd.Series(dictionary.to_pylist()))
             dictionary = pa.array(folded.tolist(), type=pa.string())
         return row_idx, codes, dictionary, positions, field_lens
+
+
+# ---------------------------------------------------------------------------
+# UAX29URLEmailTokenizer subset (Analysis/Standard/UAX29URLEmailTokenizer.cs):
+# URLs and e-mail addresses survive as SINGLE tokens; everything else follows
+# the standard word-break rules. Subset scope (documented): scheme://... and
+# www.-prefixed URLs over the RFC-3986 unreserved/reserved ASCII alphabet,
+# and local@domain.tld e-mails — the web-corpus 99% case; IDN hosts, IPv6
+# literals, and bare-domain URLs fall back to standard tokenization.
+# Alternation order matters: URL before EMAIL before the standard token, so
+# the scheme's "https" never splits off.
+# ---------------------------------------------------------------------------
+_URL_EMAIL_RE = re.compile(
+    r"(?:https?|ftp)://[A-Za-z0-9._~:/?#@!$&'()*+,;=%\-\[\]]+"
+    r"|www\.[A-Za-z0-9._~:/?#@!$&'()*+,;=%\-\[\]]+"
+    r"|[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    r"|" + _TOKEN_RE.pattern
+)
+
+
+class UAX29URLEmailAnalyzer(StandardAnalyzer):
+    """StandardAnalyzer with the URL/e-mail-preserving tokenizer (the
+    UAX29URLEmailAnalyzer composition of the reference). Uses the pandas
+    tokenize path (custom regex disables the Arrow fast path)."""
+
+    def __init__(self, **kw) -> None:
+        kw.setdefault("token_re", _URL_EMAIL_RE)
+        super().__init__(**kw)
+
+
+class MappingAnalyzer(StandardAnalyzer):
+    """MappingCharFilter subset (Analysis/CharFilter/MappingCharFilter.cs)
+    in front of the standard chain: literal string replacements applied to
+    the RAW text before tokenization, longest mapping key first. Subset
+    scope: replacements run sequentially per key (longest first) rather
+    than through the reference's simultaneous NormalizeCharMap FST — for
+    non-overlapping mapping keys (the typical normalization table) the
+    output is identical."""
+
+    def __init__(self, mappings: dict[str, str], **kw) -> None:
+        super().__init__(**kw)
+        self.mappings = dict(
+            sorted(mappings.items(), key=lambda kv: (-len(kv[0]), kv[0]))
+        )
+
+    def _map(self, texts: pd.Series) -> pd.Series:
+        s = pd.Series(texts).fillna("").astype(str)
+        for k, v in self.mappings.items():
+            s = s.str.replace(k, v, regex=False)
+        return s
+
+    def tokenize_batch(self, texts: pd.Series):
+        return super().tokenize_batch(self._map(texts))
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False
+
+
+class EdgeNGramAnalyzer(StandardAnalyzer):
+    """Standard chain + EdgeNGramTokenFilter
+    (Analysis.Common/Analysis/NGram/EdgeNGramTokenFilter.cs, 4.4+
+    behavior): each emitted token expands to its leading n-grams of
+    lengths [min_gram, min(max_gram, len)], ALL at the token's position
+    (first gram posIncr=1, rest posIncr=0). Norm length counts each
+    source token once (discountOverlaps=true drops the posIncr=0 grams),
+    and only tokens long enough to emit at least one gram count —
+    tokens shorter than min_gram vanish, as in the reference filter.
+    The canonical typeahead-indexing stage: a prefix query becomes an
+    exact term lookup on the gram dictionary."""
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 5, **kw) -> None:
+        super().__init__(**kw)
+        assert 1 <= min_gram <= max_gram
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+
+    def _expand(self, token: str) -> list[str]:
+        lo, hi = self.min_gram, min(self.max_gram, len(token))
+        return [token[:n] for n in range(lo, hi + 1)]
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, _ = super().tokenize_batch(texts)
+        n_rows = len(pd.Series(texts))
+        out_t: list[str] = []
+        out_r: list[int] = []
+        out_p: list[int] = []
+        src_rows: list[int] = []
+        for r, t, p in zip(row_idx.tolist(), terms.tolist(), positions.tolist()):
+            grams = self._expand(t)
+            if grams:
+                src_rows.append(r)
+                out_t.extend(grams)
+                out_r.extend([r] * len(grams))
+                out_p.extend([p] * len(grams))
+        field_lens = np.bincount(
+            np.asarray(src_rows, dtype=np.int64), minlength=n_rows
+        ).astype(np.int32)
+        return (
+            np.asarray(out_r, dtype=np.int64),
+            np.asarray(out_t, dtype=object),
+            np.asarray(out_p, dtype=np.int32),
+            field_lens,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False
+
+
+class NGramAnalyzer(EdgeNGramAnalyzer):
+    """Standard chain + NGramTokenFilter (NGram/NGramTokenFilter.cs):
+    ALL substrings of lengths [min_gram, max_gram] per token, same
+    position — the substring-search indexing primitive."""
+
+    def _expand(self, token: str) -> list[str]:
+        lo, hi = self.min_gram, min(self.max_gram, len(token))
+        out = []
+        for n in range(lo, hi + 1):
+            out.extend(token[i : i + n] for i in range(len(token) - n + 1))
+        return out

@@ -35,6 +35,7 @@ from lucenenet_spark.search.queries import (
 
 _TOKEN = re.compile(
     r"""\s*(?:
+        (?P<gfield>[A-Za-z_][A-Za-z0-9_]*):\( |
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
         (?P<plus>\+) | (?P<minus>-) |
@@ -80,12 +81,17 @@ class QueryParser:
             if not m or m.end() == pos:
                 break
             pos = m.end()
-            if m.group("lparen"):
+            if m.group("lparen") or m.group("gfield"):
                 depth, j = 1, pos
                 while j < len(s) and depth:
                     depth += {"(": 1, ")": -1}.get(s[j], 0)
                     j += 1
                 inner = self.parse(s[pos : j - 1])
+                if m.group("gfield"):
+                    # grouped field syntax field:(a b) — the group's field
+                    # overrides the default for every field-less leaf
+                    # (classic grammar: SetField applies to the clause list)
+                    inner = _with_field(inner, m.group("gfield"))
                 boost = 1.0
                 bm = re.match(r"\^([0-9.]+)", s[j:])
                 if bm:
@@ -210,3 +216,23 @@ def _boosted(q: Query, boost: float) -> Query:
     import dataclasses
 
     return dataclasses.replace(q, boost=q.boost * boost)
+
+
+def _with_field(q: Query, f: str) -> Query:
+    """Recursively bind grouped-field syntax: set `field=f` on every leaf
+    whose field is unset (explicit per-leaf field:term inside the group
+    still wins, as in the classic grammar)."""
+    import dataclasses
+
+    if isinstance(q, BooleanQuery):
+        return dataclasses.replace(
+            q,
+            clauses=tuple(
+                BooleanClause(_with_field(c.query, f), c.occur) for c in q.clauses
+            ),
+        )
+    if hasattr(q, "query"):  # BoostQuery / ConstantScoreQuery wrappers
+        return dataclasses.replace(q, query=_with_field(q.query, f))
+    if hasattr(q, "field") and getattr(q, "field") is None:
+        return dataclasses.replace(q, field=f)
+    return q

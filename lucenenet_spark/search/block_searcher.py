@@ -297,6 +297,47 @@ class BlockIndexSearcher:
             use = bids
         return self._scan_plan(terms, weights, fld, use, k, mode, n_terms)
 
+    def _local_topk_phrase(self, rows, terms: tuple[str, ...], wv: float,
+                           fld: str, k: int) -> DataFrame:
+        """Driver-side exact-phrase top-k over fetched candidate blocks:
+        per-term doc->positions maps, shifted-set intersection
+        (ExactPhraseScorer semantics), float32 BM25 with the phrase's
+        summed-idf weight — identical values to the distributed plan."""
+        pos_of: dict[str, dict[int, list]] = {t: {} for t in set(terms)}
+        norm_of: dict[int, int] = {}
+        for r in rows:
+            t = r["term"]
+            docs, _tfs, norms, pos = unpack_block_bytes(
+                t, int(r["block_id"]), bytes(r["packed"]), with_positions=True
+            )
+            dst = pos_of[t]
+            for d, p, nb in zip(docs.tolist(), pos or [], norms.tolist()):
+                dst[d] = p
+                norm_of[d] = nb
+        cands = set(pos_of[terms[0]])
+        for t in set(terms[1:]):
+            cands &= set(pos_of[t])
+        cache = self._cache_np(fld)  # float32
+        wv32 = np.float32(wv)
+        items = []
+        for d in cands:
+            inter = {p - 0 for p in pos_of[terms[0]][d]}
+            for i, t in enumerate(terms[1:], start=1):
+                inter &= {p - i for p in pos_of[t][d]}
+                if not inter:
+                    break
+            pf = len(inter)
+            if pf == 0:
+                continue
+            pf32 = np.float32(pf)
+            sc = np.float32(
+                np.float32(wv32 * pf32) / np.float32(pf32 + cache[norm_of[d]])
+            )
+            items.append((int(d), float(sc)))
+        items.sort(key=lambda x: (-x[1], x[0]))
+        spark = self.index.postings.sparkSession
+        return spark.createDataFrame(items[:k], "doc_id long, score double")
+
     def _local_topk(self, rows, weights: dict[str, float], fld: str, k: int,
                     mode: str, n_terms: int) -> DataFrame:
         """Driver-side exact top-k over fetched packed blocks; returns a
@@ -454,6 +495,11 @@ class BlockIndexSearcher:
             self.last_stats = {"blocks_total": total, "blocks_scored": len(cand_ids)}
             if not cand_ids:
                 return self._empty()
+            if len(cand_ids) * len(uniq) * 128 <= self.max_driver_docs:
+                # small candidate set: fetch the packed bytes (positions are
+                # inside) and run the shifted-positions intersect driver-side
+                rows = self._fetch_packed(fld, uniq, [int(b) for b in cand_ids])
+                return self._local_topk_phrase(rows, terms, wv, fld, k)
             if len(cand_ids) <= _MAX_INLIST:
                 pred = pred & F.col("block_id").isin([int(b) for b in cand_ids])
             survivors = self.blocks.filter(pred).select("field", "term", "block_id", "packed")

@@ -148,3 +148,45 @@ def rescore(
 def total_hits(searcher: IndexSearcher, query: Query) -> int:
     """TotalHitCountCollector."""
     return searcher.count(query)
+
+
+def facet_sum_association(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    dim: str,
+    value_col: str,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Association facets (Lucene.Net.Facet/Taxonomy/
+    TaxonomyFacetSumValueSource.cs / sum-int associations): per facet
+    label, SUM of a per-doc association value over the matching docs —
+    one shuffle on the label, map-side combined."""
+    m = searcher.docset(query).join(meta.select("doc_id", dim, value_col), "doc_id")
+    out = m.groupBy(dim).agg(F.sum(F.col(value_col)).alias("assoc_sum"))
+    if top_n:
+        out = out.orderBy(F.desc("assoc_sum"), F.asc(dim)).limit(top_n)
+    return out
+
+
+def sampled_facet_counts(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    dim: str,
+    percent: int = 20,
+    seed_mult: int = 2654435761,
+) -> DataFrame:
+    """RandomSamplingFacetsCollector analogue: facet counts over a
+    deterministic pseudo-random doc sample (Knuth multiplicative hash of
+    doc_id mod 100 < percent) — the fixed-seed variant of the reference's
+    sampled collector, scaled back up by 100/percent (AmortizeFacetCounts
+    idea). Engine-portable arithmetic: the identical expression runs in
+    SQL."""
+    sample = searcher.docset(query).filter(
+        (F.col("doc_id") * F.lit(seed_mult)) % F.lit(100) < F.lit(percent)
+    )
+    m = sample.join(meta.select("doc_id", dim), "doc_id")
+    return m.groupBy(dim).agg(
+        (F.count(F.lit(1)) * F.lit(100 // percent)).cast("long").alias("est_cnt")
+    )
