@@ -25,6 +25,7 @@ from lucenenet_spark.plans import gate_more as _gate_more  # noqa: E402  (regist
 from lucenenet_spark.plans import gate_fields as _gate_fields  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_modules as _gate_modules  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round3 as _gate_round3  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round3b as _gate_round3b  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

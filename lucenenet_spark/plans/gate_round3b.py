@@ -1,0 +1,214 @@
+"""Round-3b gates: MemoryIndex percolation, PostingsHighlighter,
+ComplexPhrase + Surround parser dialects.  Full DuckDB oracles."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import SQL_PRELUDE, gate, get_engine
+
+
+# ==========================================================================
+# MemoryIndex percolation (Lucene.Net.Memory/MemoryIndex.cs): a registry of
+# stored queries matched against each document, zero-shuffle mapInPandas.
+# ==========================================================================
+@gate(
+    "percolate_matches",
+    SQL_PRELUDE + """
+SELECT doc_id, 'q_term' AS query_id FROM post WHERE term = 'vector'
+UNION ALL
+SELECT a.doc_id, 'q_and' FROM (SELECT doc_id FROM post WHERE term = 'merge') a
+JOIN (SELECT doc_id FROM post WHERE term = 'key') b USING (doc_id)
+UNION ALL
+SELECT doc_id, 'q_not' FROM post WHERE term = 'table'
+  AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'dup')
+UNION ALL
+SELECT DISTINCT a.doc_id, 'q_phrase' FROM tokf a
+JOIN tokf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'key' AND b.term = 'agg'
+UNION ALL
+SELECT DISTINCT doc_id, 'q_prefix' FROM post WHERE term LIKE 'du%'
+UNION ALL
+SELECT doc_id, 'q_msm' FROM post WHERE term IN ('scan', 'agg', 'hash')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+""",
+)
+def percolate_matches(spark, sf_dir):
+    """Percolate the corpus against 6 registered queries covering every
+    MemoryIndex.matches branch (term/AND/NOT/phrase/prefix/msm)."""
+    from lucenenet_spark.search.memory import percolate
+    from lucenenet_spark.search.queries import (
+        BooleanQuery,
+        Occur,
+        PhraseQuery,
+        PrefixQuery,
+        TermQuery,
+    )
+
+    _, _, docs = get_engine(spark, sf_dir)
+    registry = {
+        "q_term": TermQuery("vector"),
+        "q_and": BooleanQuery.of(
+            (TermQuery("merge"), Occur.MUST), (TermQuery("key"), Occur.MUST)
+        ),
+        "q_not": BooleanQuery.of(
+            (TermQuery("table"), Occur.MUST), (TermQuery("dup"), Occur.MUST_NOT)
+        ),
+        "q_phrase": PhraseQuery(terms=("key", "agg")),
+        "q_prefix": PrefixQuery(prefix="du"),
+        "q_msm": BooleanQuery.of(
+            (TermQuery("scan"), Occur.SHOULD),
+            (TermQuery("agg"), Occur.SHOULD),
+            (TermQuery("hash"), Occur.SHOULD),
+            minimum_should_match=2,
+        ),
+    }
+    return percolate(docs, registry)
+
+
+# ==========================================================================
+# PostingsHighlighter (Highlighter/PostingsHighlight/PostingsHighlighter.cs
+# + PassageScorer.cs): best passage per matching doc, PassageScorer math,
+# window breaks (documented BreakIterator substitute on this corpus).
+# ==========================================================================
+@gate(
+    "postings_highlight",
+    """
+WITH tok AS (
+  SELECT doc_id, length(text) AS clen,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+woff AS (
+  SELECT *, sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) - (length(tok) + 1) AS off
+  FROM tok
+),
+w AS (SELECT *, CAST(floor(pos / 8.0) AS INT) AS win FROM woff),
+wl AS (
+  SELECT doc_id, win,
+         CAST(min(off) AS BIGINT) AS pstart,
+         sum(length(tok)) + count(*) - 1 AS plen,
+         sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS f0,
+         string_agg(CASE WHEN tok = 'vector' THEN '<b>' || tok || '</b>'
+                         ELSE tok END, ' ' ORDER BY pos) AS snippet,
+         any_value(clen) AS clen
+  FROM w GROUP BY doc_id, win
+),
+dl AS (
+  SELECT doc_id, sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS ttf
+  FROM w GROUP BY doc_id HAVING ttf > 0
+),
+sc AS (
+  SELECT wl.doc_id, wl.pstart, wl.snippet,
+         (1.0 + 1.0 / ln(87.0 + wl.pstart)) *
+         (2.2 * ln(1.0 + ((1.0 + wl.clen / 87.0) + 0.5) / (dl.ttf + 0.5))
+          * (wl.f0 / (wl.f0 + 1.2 * (0.25 + 0.75 * wl.plen / 87.0)))) AS score
+  FROM wl JOIN dl USING (doc_id)
+  WHERE wl.f0 > 0
+),
+q AS (
+  SELECT doc_id, pstart, snippet,
+         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY CAST(floor(score * 10000 + 0.5) AS BIGINT) DESC, pstart ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, pstart, score_q, snippet FROM q WHERE rn = 1
+""",
+)
+def postings_highlight(spark, sf_dir):
+    """Best passage for TermQuery('vector') over every matching doc."""
+    from lucenenet_spark.search.postings_highlight import highlight_postings
+
+    _, _, docs = get_engine(spark, sf_dir)
+    out = highlight_postings(docs, ["vector"], window=8, max_passages=1)
+    return out.select(
+        "doc_id", F.col("pstart").cast("long").alias("pstart"), "score_q", "snippet"
+    )
+
+
+# ==========================================================================
+# ComplexPhraseQueryParser (QueryParser/ComplexPhrase/): wildcards inside
+# phrases -> span rewrite with pushed-down term-dictionary predicates.
+# ==========================================================================
+@gate(
+    "complex_phrase_query",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id FROM tokf a
+JOIN tokf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term LIKE 'sc%' AND b.term LIKE 'ta%'
+""",
+)
+def complex_phrase_query(spark, sf_dir):
+    '''"sc* ta*": a term starting sc immediately followed by one starting ta.'''
+    from lucenenet_spark.queryparser.complex_phrase import complex_phrase_docs
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return complex_phrase_docs(idx, '"sc* ta*"')
+
+
+@gate(
+    "complex_phrase_sloppy",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id FROM tokf a
+JOIN tokf b ON a.doc_id = b.doc_id
+WHERE a.term IN ('merge', 'batch') AND b.term = 'key'
+  AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 2
+""",
+)
+def complex_phrase_sloppy(spark, sf_dir):
+    '''"(merge batch) key"~2 — alternatives group + slop>0 => UNORDERED
+    span near (ComplexPhraseQuery.Rewrite: inOrder only when slop == 0).'''
+    from lucenenet_spark.queryparser.complex_phrase import complex_phrase_docs
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return complex_phrase_docs(idx, '"(merge batch) key"~2')
+
+
+# ==========================================================================
+# Surround query language (QueryParser/Surround/): prefix-notation
+# W/N distance ops + boolean algebra.
+# ==========================================================================
+@gate(
+    "surround_query",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id FROM tokf a
+JOIN tokf b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 4
+WHERE a.term = 'merge' AND b.term = 'key'
+  AND a.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'dup')
+""",
+)
+def surround_query(spark, sf_dir):
+    """not(4w(merge, key), dup): ordered distance-4 span minus dup docs
+    (DistanceQuery slop = opDistance - 1; NotQuery)."""
+    from lucenenet_spark.queryparser.surround import surround_docs
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return surround_docs(idx, "not(4w(merge, key), dup)")
+
+
+@gate(
+    "surround_or_n",
+    SQL_PRELUDE + """
+SELECT doc_id FROM (
+  SELECT a.doc_id FROM (SELECT doc_id FROM post WHERE term = 'scan') a
+  JOIN (SELECT doc_id FROM post WHERE term = 'agg') b USING (doc_id)
+  UNION
+  SELECT DISTINCT a.doc_id FROM tokf a
+  JOIN tokf b ON a.doc_id = b.doc_id
+  WHERE a.term = 'vector' AND b.term = 'merge'
+    AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 1
+)
+""",
+)
+def surround_or_n(spark, sf_dir):
+    """or(and(scan, agg), 2n(vector, merge)): boolean algebra over an
+    unordered distance op."""
+    from lucenenet_spark.queryparser.surround import surround_docs
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return surround_docs(idx, "or(and(scan, agg), 2n(vector, merge))")

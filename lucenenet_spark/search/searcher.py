@@ -728,7 +728,8 @@ class IndexSearcher:
         # fall back: anything scorable
         return self._scored(q, 1.0).select("doc_id")
 
-    def _term_predicate(self, q: MultiTermQuery):
+    @staticmethod
+    def _term_predicate(q: MultiTermQuery):
         """Compile a MultiTermQuery to a term-dictionary predicate —
         our automaton-intersection analogue (pushed to the parquet scan)."""
         col = F.col("term")

@@ -143,3 +143,55 @@ def field_masked_span_near_docs(
     distinct_pos = F.size(F.array_distinct(F.array(*cols))) == n
     width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
     return joined.filter(distinct_pos & (width <= slop)).select("doc_id").distinct()
+
+
+def _slot_positions(
+    index: InvertedIndex, slot, alias: str, field: str | None = None
+) -> DataFrame:
+    """Positions for one span slot.  `slot` is either a plain term or a
+    MultiTermQuery (SpanMultiTermQueryWrapper semantics,
+    Search/Spans/SpanMultiTermQueryWrapper.cs): the slot's positions are
+    the UNION of positions of every dictionary term matching the pattern —
+    compiled to a term-dictionary predicate pushed to the parquet scan,
+    never an expanded driver-side term list."""
+    from lucenenet_spark.search.queries import MultiTermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    fld = field or index.default_field
+    base = index.postings.filter(F.col("field") == fld)
+    if isinstance(slot, MultiTermQuery):
+        pred = IndexSearcher._term_predicate(slot)
+        base = base.filter(pred)
+    else:
+        base = base.filter(F.col("term") == slot)
+    return (
+        base.select("doc_id", F.explode("positions").alias(alias))
+        .distinct()  # two pattern terms may share a (doc, position) slot
+    )
+
+
+def span_near_pattern_docs(
+    index: InvertedIndex,
+    slots: list,
+    slop: int = 0,
+    in_order: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """SpanNearQuery whose clauses may be SpanMultiTermQueryWrapper-wrapped
+    patterns (the ComplexPhraseQueryParser / Surround execution shape):
+    per-slot position unions joined with the same ordered/unordered window
+    predicates as span_near_docs."""
+    n = len(slots)
+    assert n >= 2
+    parts = [_slot_positions(index, s, f"p{i}", field) for i, s in enumerate(slots)]
+    if in_order:
+        joined = parts[0]
+        for i in range(1, n):
+            joined = joined.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+        width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+        return joined.filter(width <= slop).select("doc_id").distinct()
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    cols = [F.col(f"p{i}") for i in range(n)]
+    distinct_pos = F.size(F.array_distinct(F.array(*cols))) == n
+    width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
+    return joined.filter(distinct_pos & (width <= slop)).select("doc_id").distinct()
