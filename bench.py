@@ -5,9 +5,11 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <dir>, "docs_per_sec": ...}
 
 The headline q_term_topk / q_bool_or / q_bool_and / q_phrase are served
-from the PACKED-BLOCK path (BlockIndexSearcher, serving mode — driver-side
-block metadata, one seed collect + one scan per query); the *_exploded
-rows are the same queries on the exploded-postings path for comparison.
+from the PACKED-BLOCK path (BlockIndexSearcher, serving mode — driver-
+resident impact metadata computes the WAND threshold and pruning with
+zero pre-actions; each query is ONE lazy job over surviving blocks); the
+*_exploded rows are the same queries on the exploded-postings path for
+comparison.
 q_wand_skew is the pruning-evidence row: a length-skewed corpus where
 block-max WAND skips most blocks, with rank-identity checked against the
 exploded searcher.
@@ -83,9 +85,19 @@ def main() -> None:
     timings["index_build"] = round(build_sec, 4)
 
     # ---- pack blocks (the serving layout) ----
+    # Serving table layout = the .tim/.tip term dictionary shape: range-
+    # partitioned + sorted by (field, term, block_id), sized ~10k blocks
+    # per partition so a term's blocks are contiguous (cached-batch stats
+    # prune non-matching batches) and tiny corpora don't pay 16 tasks of
+    # scheduling per query.
     t0 = time.time()
     bsearcher = BlockIndexSearcher(idx)  # serving mode (collect_stats=False)
-    bsearcher.blocks = bsearcher.blocks.cache()
+    nb_est = max(2, n_postings // (128 * 10_000) + 1)
+    bsearcher.blocks = (
+        bsearcher.blocks.repartitionByRange(nb_est, "field", "term", "block_id")
+        .sortWithinPartitions("field", "term", "block_id")
+        .cache()
+    )
     n_blocks = bsearcher.blocks.count()
     timings["block_pack"] = round(time.time() - t0, 4)
 
@@ -179,6 +191,7 @@ def main() -> None:
     skew_bs = BlockIndexSearcher(skew_idx)
     skew_bs.blocks = skew_bs.blocks.cache()
     skew_bs.blocks.count()
+    skew_bs.topk_term("hot", 10).collect()  # warm reader (metadata collect)
     timed("q_wand_skew", lambda: skew_bs.topk_term("hot", 10))
     skew_stats = dict(skew_bs.last_stats)
     skew_exact = [

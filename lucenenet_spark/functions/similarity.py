@@ -200,3 +200,85 @@ def ann_lsh_topk(
     if quantized:
         return cosine_topk_arrays_q(sub, qvec, k)
     return cosine_topk_arrays(sub, qvec, k)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> posting lists per centroid
+# -> probe top-nprobe centroids -> exact cosine within candidates.
+# The FAISS IVF-Flat shape re-expressed as DataFrame ops; complements the
+# hyperplane-LSH path (LSH: data-independent buckets; IVF: centroid cells
+# whose size tracks data density).
+# --------------------------------------------------------------------------
+def ivf_centroids(n_centroids: int = 16, seed: int = 7, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random centroids (sin-based, like
+    hyperplanes()) — a data-independent coarse quantizer whose literals the
+    SQL oracle can embed. A trained k-means quantizer drops in by replacing
+    this function; every downstream op is quantizer-agnostic."""
+    import math
+
+    return [
+        [math.sin(seed * 999983 + c * 20011 + i) for i in range(dim)]
+        for c in range(n_centroids)
+    ]
+
+
+def _dot_lit(vec_col: str, vals: list[float]):
+    """Sequential-fold dot product with a literal vector (deterministic
+    accumulation order -> bit-identical to the oracle's sequential sum)."""
+    qlit = F.array(*[F.lit(float(x)) for x in vals])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid): nearest centroid by max dot product, ties to the
+    smallest cid (first-match CASE chain — same convention in the oracle).
+    Pure Column expressions; one narrow scan, no shuffle."""
+    dots = [_dot_lit(vec_col, c) for c in centroids]
+    best = F.greatest(*dots)
+    cid = F.coalesce(
+        *[F.when(dots[c] == best, F.lit(c)) for c in range(len(centroids))]
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), cid.alias("cid"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    dim: int = 64,
+    quantized: bool = False,
+) -> DataFrame:
+    """IVF ANN: assign every vector to its centroid cell, probe the
+    query's top-nprobe cells, exact cosine inside them. Candidate cost is
+    O(nprobe * N / n_centroids); at 10^9+ vectors raise n_centroids so
+    cells stay shuffle-join-friendly (same guidance as LSH n_planes)."""
+    cents = ivf_centroids(n_centroids, seed, dim)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    qd = [sum(a * b for a, b in zip(qvec, c)) for c in cents]  # sequential sum
+    probes = sorted(range(n_centroids), key=lambda c: (-qd[c], c))[:nprobe]
+    cand = (
+        ivf_assign(emb, cents)
+        .filter(F.col("cid").isin(probes))
+        .select("vec_id")
+    )
+    sub = emb.join(cand, "vec_id", "left_semi")
+    if quantized:
+        return cosine_topk_arrays_q(sub, qvec, k)
+    return cosine_topk_arrays(sub, qvec, k)

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:375
+IMPACT_CAP = 8  # impact pairs kept per block (score-descending)
 
 
 # --------------------------------------------------------------------------
@@ -102,12 +103,50 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("max_doc", T.LongType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("max_norm_byte", T.IntegerType(), False),
+        # impact list (Lucene 8+ impacts, Codecs/.../ImpactsEnum — the
+        # reference's 4.8 codec predates them; Ding & Suel motivate the
+        # block-max family): the block's top distinct (tf, norm_byte)
+        # pairs WITH exact doc counts, score-descending, capped at
+        # IMPACT_CAP. Each pair guarantees "icnt docs in this block score
+        # exactly w*tf/(tf+cache[nb])" — the searcher derives a safe
+        # k-th-score threshold from metadata alone, zero pre-actions.
+        T.StructField("imp_tf", T.ArrayType(T.IntegerType()), False),
+        T.StructField("imp_nb", T.ArrayType(T.IntegerType()), False),
+        T.StructField("imp_cnt", T.ArrayType(T.IntegerType()), False),
+        # columnar in-block postings — the SERVING representation: plain
+        # int arrays that Spark explodes/scores inside whole-stage codegen
+        # (no Python decode in the query path) and that parquet stores
+        # bit-packed/RLE'd — the FOR-compression role ForUtil.cs plays in
+        # the reference. `packed` below is the delta+varint stream
+        # (.doc/.pos wire format parity artifact); both carry the same
+        # postings (roundtrip-tested).
+        T.StructField("doc_offs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("nbs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("poss", T.ArrayType(T.ArrayType(T.IntegerType())), True),
         T.StructField("packed", T.BinaryType(), False),
     ]
 )
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _impacts(tfs: np.ndarray, norm: np.ndarray, norm_cache: np.ndarray | None):
+    """Top-IMPACT_CAP distinct (tf, norm_byte) pairs with exact counts,
+    ordered by descending tf/(tf + c[nb]).  With the real norm cache the
+    ordering is the true BM25 score shape; without it a monotone proxy
+    (c decreasing in nb, like the cache) is used — pair COUNTS stay exact
+    either way, so thresholds derived from kept pairs are always safe,
+    only pair *selection* is approximate."""
+    key = tfs * np.int64(512) + norm
+    uk, cnt = np.unique(key, return_counts=True)
+    utf = (uk // 512).astype(np.int64)
+    unb = (uk % 512).astype(np.int64)
+    c = norm_cache[unb] if norm_cache is not None else (256.0 - unb)
+    proxy = utf / (utf + c)
+    top = np.argsort(-proxy, kind="stable")[:IMPACT_CAP]
+    return utf[top], unb[top], cnt[top]
+
+
+def _pack_group(pdf: pd.DataFrame, norm_cache: np.ndarray | None = None) -> pd.DataFrame:
     """applyInPandas: one (term, block) group -> one packed row."""
     pdf = pdf.sort_values("doc_id")
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -136,6 +175,7 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
             deltas[firsts] = flat[firsts]
             parts.append(varint_encode(deltas.astype(np.uint64)))
     packed = b"".join(parts)
+    itf, inb, icnt = _impacts(tfs, norm, norm_cache)
     return pd.DataFrame(
         {
             "field": [pdf["field"].iloc[0]],
@@ -146,13 +186,25 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "max_doc": [int(docs.max())],
             "max_tf": [int(tfs.max())],
             "max_norm_byte": [int(norm.max())],
+            "imp_tf": [itf.astype(np.int32).tolist()],
+            "imp_nb": [inb.astype(np.int32).tolist()],
+            "imp_cnt": [icnt.astype(np.int32).tolist()],
+            "doc_offs": [(docs - block_id * BLOCK_SIZE).astype(np.int32).tolist()],
+            "tfs": [tfs.astype(np.int32).tolist()],
+            "nbs": [norm.astype(np.int32).tolist()],
+            "poss": [
+                [list(map(int, p)) for p in pdf["positions"].tolist()]
+                if has_pos
+                else None
+            ],
             "packed": [packed],
         }
     )
 
 
 def pack_postings(
-    postings: DataFrame, with_positions: bool = True, num_partitions: int | None = None
+    postings: DataFrame, with_positions: bool = True, num_partitions: int | None = None,
+    norm_cache: np.ndarray | None = None,
 ) -> DataFrame:
     """postings rows -> 128-doc packed blocks (one bounded-size group each).
 
@@ -197,10 +249,13 @@ def pack_postings(
             carry = pdf[is_last_group]
             body = pdf[~is_last_group]
             if len(body):
-                out = [_pack_group(g) for _, g in body.groupby(keys, sort=False)]
+                out = [
+                    _pack_group(g, norm_cache)
+                    for _, g in body.groupby(keys, sort=False)
+                ]
                 yield pd.concat(out, ignore_index=True)
         if carry is not None and len(carry):
-            yield _pack_group(carry)
+            yield _pack_group(carry, norm_cache)
 
     return df.mapInPandas(pack_partition, BLOCKS_SCHEMA)
 

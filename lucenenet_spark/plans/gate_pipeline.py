@@ -4,10 +4,11 @@ Jaccard), text analysis (token counts, quality, language-ID, fingerprints),
 and embedding similarity search.
 
 Determinism notes:
-- All hash-based ops use md5 (identical hex output in Spark and DuckDB);
-  MinHash permutations are simulated as lexicographic-min of
-  md5(term || '#' || i) — a uniform hash family that both engines compute
-  bit-identically, avoiding engine-specific hash() functions.
+- All hash-based ops bottom out in md5 (identical hex output in Spark and
+  DuckDB); MinHash uses ONE md5 per term as the 32-bit base hash and a
+  shared (a_i*x + b_i) mod P integer permutation table
+  (fdedup.minhash_perms) — bit-identical across engines and ~100x cheaper
+  than a digest per permutation.
 - Ratios/cosines are quantized to bigints (floor(x*10000+0.5)) before
   comparison, and thresshold filters are applied on the quantized value so
   both sides select identical row sets.
@@ -48,16 +49,34 @@ def dedup_exact(spark, sf_dir):
     return fdedup.exact_duplicates(_docs_table(spark, sf_dir))
 
 
+_HEXDIG = "(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1)"
+
+
+def _hex8_sql() -> str:
+    """First 8 hex chars of md5(shingle) as a big-endian 32-bit integer —
+    the same base hash fdedup.minhash_base computes with F.conv."""
+    return " + ".join(
+        f"({_HEXDIG.format(p=j + 1)}) * {16 ** (7 - j)}" for j in range(8)
+    )
+
+
 def _lsh_sql_ctes() -> str:
     """Shared CTE chain: raw 3-gram shingles -> df-capped shingles ->
     128-perm MinHash signature -> 16 banded buckets (size-capped) ->
     candidate pairs. Mirrors fdedup.capped_shingles + minhash_lsh_pairs
-    exactly (md5 hex strings are identical across engines)."""
+    exactly: base hash = first 8 md5 hex chars as int, permutations
+    (a_i*x + b_i) mod P with the coefficient table imported from fdedup
+    (single source of truth), bucket = md5 of the '#'-joined signature
+    slice."""
+    perms = fdedup.minhash_perms(_MINHASH_N)
+    p = fdedup.MINHASH_P
     mins = ",\n         ".join(
-        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_MINHASH_N)
+        f"min(({a} * x + {b}) % {p}) AS h{i}" for i, (a, b) in enumerate(perms)
     )
     bands = ", ".join(
-        "md5(" + " || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)) + f") AS b{b}"
+        "md5(concat_ws('#', "
+        + ", ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        + f")) AS b{b}"
         for b in range(_MINHASH_BANDS)
     )
     band_union = "\nUNION ALL\n".join(
@@ -75,10 +94,13 @@ sh AS (
     SELECT shingle FROM shx GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP}
   )
 ),
+shb AS (
+  SELECT doc_id, CAST({_hex8_sql()} AS BIGINT) AS x FROM sh
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh
+  FROM shb
   GROUP BY doc_id
 ),
 sigb AS (SELECT doc_id, {bands} FROM sig),

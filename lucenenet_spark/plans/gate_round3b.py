@@ -212,3 +212,79 @@ def surround_or_n(spark, sf_dir):
 
     idx, _, _ = get_engine(spark, sf_dir)
     return surround_docs(idx, "or(and(scan, agg), 2n(vector, merge))")
+
+
+# ==========================================================================
+# IVF ANN (beyond reference; the FAISS IVF-Flat shape as DataFrame ops):
+# coarse-quantizer cells -> probe top-nprobe cells -> exact cosine.
+# ==========================================================================
+_IVF_N = 16
+_IVF_PROBE = 2
+_IVF_SEED = 7
+_IVF_DIM = 64
+
+
+def _ivf_sql() -> str:
+    from lucenenet_spark.functions import similarity as fsim
+
+    cents = fsim.ivf_centroids(_IVF_N, _IVF_SEED, _IVF_DIM)
+    lits = [("[" + ", ".join(repr(x) for x in c) + "]") for c in cents]
+    dots = ",\n         ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {lits[c]}) AS d{c}"
+        for c in range(_IVF_N)
+    )
+    g = "greatest(" + ", ".join(f"d{c}" for c in range(_IVF_N)) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN d{c} = {g} THEN {c}" for c in range(_IVF_N)
+    ) + " END"
+    cent_values = ",\n    ".join(f"({c}, {lits[c]})" for c in range(_IVF_N))
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+    {cent_values}
+),
+dots AS (
+  SELECT vec_id,
+         {dots}
+  FROM embeddings
+),
+assign AS (SELECT vec_id, {argmax} AS cid FROM dots),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, qv
+  ORDER BY list_dot_product(cv, q) DESC, cid ASC LIMIT {_IVF_PROBE}
+),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe)),
+e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings JOIN cand USING (vec_id)
+),
+qe AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT e.vec_id, sum(e.v * qe.v) AS dot, sum(e.v * e.v) AS n2
+  FROM e JOIN qe USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sum(v * v) AS n2 FROM qe)
+SELECT d.vec_id,
+       CAST(floor(d.dot / sqrt(d.n2 * qn.n2) * 10000 + 0.5) AS BIGINT) AS cos_q
+FROM d, qn
+ORDER BY cos_q DESC, d.vec_id ASC LIMIT 10
+"""
+
+
+@gate("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN: nearest-centroid assignment (argmax dot, ties to
+    smallest cid), probe 2 cells, exact quantized cosine within them."""
+    from lucenenet_spark.functions import similarity as fsim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return fsim.ivf_topk(
+        emb, query_vec_id=0, k=10, n_centroids=_IVF_N, nprobe=_IVF_PROBE,
+        seed=_IVF_SEED, dim=_IVF_DIM, quantized=True,
+    )

@@ -19,22 +19,27 @@ bounds therefore compose by block_id:
         skip-list analogue); same summed-ub bound.
 
 Execution model (the round-3 redesign): block METADATA — (block_id,
-n_docs, max_tf, max_norm_byte) per (field, term) — lives in a driver-side
-dictionary, exactly as the reference keeps the FST term index and skip
-data memory-resident per open SegmentReader (BlockTreeTermsReader /
-Lucene41SkipReader). Seed selection, the WAND threshold, and the pruning
-decision are then pure driver arithmetic:
+n_docs, block-max pair, capped impact list) per (field, term) — lives in
+a driver-side dictionary, exactly as the reference keeps the FST term
+index and skip data memory-resident per open SegmentReader
+(BlockTreeTermsReader / Lucene41SkipReader). The WAND threshold and the
+pruning decision are then pure driver arithmetic — ZERO Spark actions
+before the caller's own:
 
-  1. SEED: pick the highest-ub_sum blocks covering >= k docs; fetch ONLY
-     their packed bytes (pushdown filter on the cached blocks table — no
-     shuffle) and score them in numpy with the same float32 ops the
-     distributed scorer uses -> theta = k-th best score.
+  1. THETA from metadata alone: each (term, block)'s impact list holds
+     its top distinct (tf, norm_byte) pairs WITH exact doc counts — the
+     term's per-doc score distribution. Sorting a term's impact scores
+     descending and accumulating counts to k yields g_t, a score >= k
+     distinct docs are guaranteed to reach; theta = max_t g_t.
   2. PRUNE: surviving block_ids = {b : ub_sum(b) >= theta*(1-eps)} —
-     computed in the driver, applied as an IN-list pushdown filter; the
-     returned plan decodes + scores only surviving blocks.
+     driver arithmetic, applied as an IN-list pushdown filter; the
+     returned LAZY plan explodes + scores only surviving blocks, fully
+     inside whole-stage codegen (the columnar in-block arrays, not the
+     varint bytes, feed the query path — no Python decode per query).
 
-Cost per query: ONE small collect (seed packed bytes) + the caller's
-action on the returned top-k plan. Pruning stats are free (driver
+Cost per query: driver arithmetic + the caller's ONE action on the
+returned top-k plan (the same single-job shape as the exploded path, but
+scanning only surviving blocks). Pruning stats are free (driver
 arithmetic), so last_stats is always populated.
 
 Scale guard: the metadata dict is bounded by meta_cache_max_rows; a term
@@ -52,7 +57,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lucenenet_spark.index.blocks import pack_postings, unpack_block_bytes, unpack_blocks
+from lucenenet_spark.index.blocks import BLOCK_SIZE, pack_postings
 from lucenenet_spark.index.builder import InvertedIndex
 from lucenenet_spark.index.smallfloat import bm25_norm_cache
 from lucenenet_spark.search.searcher import IndexSearcher, _f32
@@ -68,25 +73,24 @@ class BlockIndexSearcher:
     blocks carry the quantized norm byte, exactly what BM25 needs)."""
 
     def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None,
-                 collect_stats: bool = False, meta_cache_max_rows: int = 2_000_000,
-                 max_driver_docs: int = 100_000):
+                 collect_stats: bool = False, meta_cache_max_rows: int = 2_000_000):
         """collect_stats matters only on the distributed fallback path,
         where pruning stats cost extra count() actions; the driver-metadata
         path fills last_stats for free. False (serving-latency mode) is the
-        default.
-
-        max_driver_docs: when the WAND-surviving blocks hold at most this
-        many postings, the final top-k is finished driver-side from the
-        fetched packed bytes (total transfer <= ~3 bytes/posting) instead
-        of scheduling a cluster job — the Lucene serving model, where a
-        query reads only its surviving blocks. Larger survivor sets run
-        the distributed scan plan."""
+        default. Every query kind returns ONE lazy pruned plan — the
+        caller's action is the query's only Spark job."""
         self.index = index
-        self.blocks = blocks if blocks is not None else pack_postings(index.postings)
         self.inner = IndexSearcher(index, mode="lucene")
+        if blocks is None:
+            blocks = pack_postings(
+                index.postings,
+                norm_cache=bm25_norm_cache(
+                    index.avgdl_for(index.default_field), self.inner.k1, self.inner.b
+                ),
+            )
+        self.blocks = blocks
         self.collect_stats = collect_stats
         self.meta_cache_max_rows = meta_cache_max_rows
-        self.max_driver_docs = max_driver_docs
         self.last_stats: dict = {}
         # (field, term) -> dict of numpy arrays {bid, nd, mtf, mnb}, or None
         # when the term's block count exceeds the cache bound
@@ -121,23 +125,30 @@ class BlockIndexSearcher:
                 self.blocks.filter(
                     (F.col("field") == fld) & (F.col("term").isin(missing))
                 )
-                .select("term", "block_id", "n_docs", "max_tf", "max_norm_byte")
+                .select("term", "block_id", "n_docs", "max_tf", "max_norm_byte",
+                        "imp_tf", "imp_nb", "imp_cnt")
                 .collect()
             )
             by_term: dict[str, list] = {t: [] for t in missing}
             for r in rows:
                 by_term[r["term"]].append(
-                    (r["block_id"], r["n_docs"], r["max_tf"], r["max_norm_byte"])
+                    (r["block_id"], r["n_docs"], r["max_tf"], r["max_norm_byte"],
+                     r["imp_tf"], r["imp_nb"], r["imp_cnt"])
                 )
             for t, lst in by_term.items():
                 if self._meta_rows + len(lst) > self.meta_cache_max_rows:
                     self._meta[(fld, t)] = None
                     continue
-                lst.sort()
-                arr = np.array(lst, dtype=np.int64).reshape(-1, 4)
+                lst.sort(key=lambda x: x[0])
+                arr = np.array([x[:4] for x in lst], dtype=np.int64).reshape(-1, 4)
+                # flattened impact multiset (block association not needed:
+                # the threshold only consumes the term-wide distribution)
                 self._meta[(fld, t)] = {
                     "bid": arr[:, 0], "nd": arr[:, 1],
                     "mtf": arr[:, 2], "mnb": arr[:, 3],
+                    "itf": np.array([v for x in lst for v in x[4]], dtype=np.int64),
+                    "inb": np.array([v for x in lst for v in x[5]], dtype=np.int64),
+                    "icnt": np.array([v for x in lst for v in x[6]], dtype=np.int64),
                 }
                 self._meta_rows += len(lst)
         return {t: self._meta[(fld, t)] for t in terms}
@@ -162,67 +173,50 @@ class BlockIndexSearcher:
             nd_max[idx] = np.maximum(nd_max[idx], m["nd"])
         return all_bids, ub_sum, present, nd_max
 
-    def _fetch_packed(self, fld: str, terms: list[str], block_ids: list[int]):
-        """One pushdown collect of packed block bytes (narrow: filter on a
-        cached table, no shuffle)."""
-        return (
-            self.blocks.filter(
-                (F.col("field") == fld)
-                & F.col("term").isin(terms)
-                & F.col("block_id").isin(block_ids)
-            )
-            .select("term", "block_id", "packed")
-            .collect()
+    @staticmethod
+    def _explode_cols(surv: DataFrame, with_positions: bool = False) -> DataFrame:
+        """Columnar block -> per-posting rows, entirely inside whole-stage
+        codegen (arrays_zip + explode of the int arrays; no Python)."""
+        cols = ["doc_offs", "tfs", "nbs"] + (["poss"] if with_positions else [])
+        ex = surv.select(
+            "term", "block_id", F.explode(F.arrays_zip(*cols)).alias("e")
         )
+        out = ex.select(
+            "term",
+            (F.col("block_id") * F.lit(BLOCK_SIZE) + F.col("e.doc_offs"))
+            .cast("long")
+            .alias("doc_id"),
+            F.col("e.tfs").alias("tf"),
+            F.col("e.nbs").alias("norm_byte"),
+            *([F.col("e.poss").alias("positions")] if with_positions else []),
+        )
+        return out
 
-    def _score_packed_rows(self, rows, weights: dict[str, float], fld: str) -> dict:
-        """Decode + score packed rows in numpy with the exact float32 op
-        order of the distributed scorer. Returns doc_id -> [f64 score sum
-        of per-term f32 scores, matched-term count]."""
-        cache = self._cache_np(fld)  # float32
-        acc: dict[int, list] = {}
-        for r in rows:
-            docs, tfs, norms, _ = unpack_block_bytes(
-                r["term"], int(r["block_id"]), bytes(r["packed"]), with_positions=False
-            )
-            w32 = np.float32(weights[r["term"]])
-            tf32 = tfs.astype(np.float32)
-            sc = (
-                (w32 * tf32).astype(np.float32)
-                / (tf32 + cache[norms]).astype(np.float32)
-            ).astype(np.float32).astype(np.float64)
-            for d, s in zip(docs.tolist(), sc.tolist()):
-                e = acc.setdefault(d, [0.0, 0])
-                e[0] += s
-                e[1] += 1
-        return acc
-
-    def _seed_theta(self, bids: np.ndarray, ub_sum: np.ndarray, nd: np.ndarray,
-                    terms: list[str], weights: dict[str, float], fld: str,
-                    k: int, mode: str, n_terms: int) -> tuple[float | None, list[int], list]:
-        """Pick seed blocks (highest ub_sum covering >= k docs, min 4 — a
-        single 128-doc block's k-th score is a weak theta), fetch their
-        packed bytes (one pushdown collect), score them driver-side, and
-        return (theta, seed_ids, fetched_rows). theta=None => seed held
-        < k docs, no pruning."""
-        order = np.lexsort((bids, -ub_sum))
-        covered, seed_ids = 0, []
-        for i in order[: max(k, 4) * 4]:
-            seed_ids.append(int(bids[i]))
-            covered += int(nd[i])
-            if covered >= k and len(seed_ids) >= 4:
-                break
-        rows = self._fetch_packed(fld, terms, seed_ids)
-        acc = self._score_packed_rows(rows, weights, fld)
-        if mode == "and":
-            scores = [v[0] for v in acc.values() if v[1] >= n_terms]
-        else:
-            scores = [v[0] for v in acc.values()]
-        if len(scores) < k:
-            return None, seed_ids, rows
-        # the distributed plan's final cast: f32(sum) viewed as double
-        scores = np.sort(np.float32(scores).astype(np.float64))[::-1]
-        return float(scores[k - 1]), seed_ids, rows
+    def _meta_theta(self, meta: dict[str, dict], weights: dict[str, float],
+                    fld: str, k: int) -> float | None:
+        """Guaranteed k-th-best-score threshold from the impact lists
+        alone.  Per term t, the flattened impact multiset {(score, count)}
+        is the term's EXACT per-doc score distribution (up to pairs beyond
+        IMPACT_CAP, whose omission only weakens, never unsafes, the
+        bound): sorting scores descending and accumulating counts to k
+        gives g_t = a score >= the k-th best single-term contribution of
+        >= k DISTINCT docs.  theta = max_t g_t — any doc's OR sum is >=
+        its single-term contribution, so at least k docs score >= theta."""
+        cache = self._cache_np(fld).astype(np.float64)
+        theta = None
+        for t, m in meta.items():
+            if len(m["itf"]) == 0:
+                continue
+            s = weights[t] * m["itf"] / (m["itf"] + cache[m["inb"]])
+            order = np.argsort(-s, kind="stable")
+            covered = np.cumsum(m["icnt"][order])
+            hit = np.searchsorted(covered, k)
+            if hit >= len(order):
+                continue
+            g = float(s[order[hit]])
+            if theta is None or g > theta:
+                theta = g
+        return theta
 
     def _scan_plan(self, terms: list[str], weights: dict[str, float], fld: str,
                    surviving: np.ndarray | None, k: int, mode: str,
@@ -232,8 +226,7 @@ class BlockIndexSearcher:
         pred = (F.col("field") == fld) & F.col("term").isin(terms)
         if surviving is not None and len(surviving) <= _MAX_INLIST:
             pred = pred & F.col("block_id").isin([int(b) for b in surviving])
-        metas = self.blocks.filter(pred).select("field", "term", "block_id", "packed")
-        decoded = unpack_blocks(metas, with_positions=False)
+        decoded = self._explode_cols(self.blocks.filter(pred))
         wmap = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))])
         per_term = decoded.select(
             "doc_id",
@@ -260,35 +253,29 @@ class BlockIndexSearcher:
     def _driver_two_phase(self, meta: dict[str, dict], terms: list[str],
                           weights: dict[str, float], fld: str, k: int,
                           mode: str, n_terms: int) -> DataFrame:
+        """Driver-arithmetic WAND: metadata-only theta + ub pruning, then
+        ONE lazy plan over the surviving blocks. No Spark action happens
+        here — serving cost is exactly the caller's single job."""
         bids, ub_sum, present, nd = self._ub_arrays(meta, weights, fld)
         if mode == "and":
             keep = present >= n_terms
-            bids, ub_sum, present, nd = bids[keep], ub_sum[keep], present[keep], nd[keep]
+            bids, ub_sum, nd = bids[keep], ub_sum[keep], nd[keep]
         total = len(bids)
         if total == 0:
             self.last_stats = {"blocks_total": 0, "blocks_scored": 0}
             return self._empty()
-        theta, seed_ids, seed_rows = self._seed_theta(
-            bids, ub_sum, nd, terms, weights, fld, k, mode, n_terms
-        )
+        theta = None
+        if mode != "and":
+            # AND: a block containing all terms still guarantees no single
+            # doc matches, so metadata gives no safe theta — the candidate
+            # intersection (skip-list Advance analogue) is the pruning.
+            theta = self._meta_theta(meta, weights, fld, k)
         if theta is None:
-            surviving, surv_docs = bids, int(nd.sum())
+            surviving = bids
         else:
             keep = ub_sum >= theta * (1.0 - _EPS)
-            surviving, surv_docs = bids[keep], int(nd[keep].sum())
+            surviving = bids[keep]
         self.last_stats = {"blocks_total": total, "blocks_scored": len(surviving)}
-
-        if surv_docs <= self.max_driver_docs:
-            # Small survivor set (the pruned common case): finish the top-k
-            # driver-side from the packed bytes — at most one more narrow
-            # collect for survivor blocks the seed fetch didn't cover. This
-            # is Lucene's serving shape: the query reads only its surviving
-            # blocks; no cluster job is scheduled for a k-row answer.
-            extra = sorted(set(surviving.tolist()) - set(seed_ids))
-            rows = list(seed_rows)
-            if extra:
-                rows += self._fetch_packed(fld, terms, extra)
-            return self._local_topk(rows, weights, fld, k, mode, n_terms)
 
         use = None if len(surviving) == total else surviving
         if mode == "and" and use is None:
@@ -296,62 +283,6 @@ class BlockIndexSearcher:
             # keep that pushdown even when theta prunes nothing further
             use = bids
         return self._scan_plan(terms, weights, fld, use, k, mode, n_terms)
-
-    def _local_topk_phrase(self, rows, terms: tuple[str, ...], wv: float,
-                           fld: str, k: int) -> DataFrame:
-        """Driver-side exact-phrase top-k over fetched candidate blocks:
-        per-term doc->positions maps, shifted-set intersection
-        (ExactPhraseScorer semantics), float32 BM25 with the phrase's
-        summed-idf weight — identical values to the distributed plan."""
-        pos_of: dict[str, dict[int, list]] = {t: {} for t in set(terms)}
-        norm_of: dict[int, int] = {}
-        for r in rows:
-            t = r["term"]
-            docs, _tfs, norms, pos = unpack_block_bytes(
-                t, int(r["block_id"]), bytes(r["packed"]), with_positions=True
-            )
-            dst = pos_of[t]
-            for d, p, nb in zip(docs.tolist(), pos or [], norms.tolist()):
-                dst[d] = p
-                norm_of[d] = nb
-        cands = set(pos_of[terms[0]])
-        for t in set(terms[1:]):
-            cands &= set(pos_of[t])
-        cache = self._cache_np(fld)  # float32
-        wv32 = np.float32(wv)
-        items = []
-        for d in cands:
-            inter = {p - 0 for p in pos_of[terms[0]][d]}
-            for i, t in enumerate(terms[1:], start=1):
-                inter &= {p - i for p in pos_of[t][d]}
-                if not inter:
-                    break
-            pf = len(inter)
-            if pf == 0:
-                continue
-            pf32 = np.float32(pf)
-            sc = np.float32(
-                np.float32(wv32 * pf32) / np.float32(pf32 + cache[norm_of[d]])
-            )
-            items.append((int(d), float(sc)))
-        items.sort(key=lambda x: (-x[1], x[0]))
-        spark = self.index.postings.sparkSession
-        return spark.createDataFrame(items[:k], "doc_id long, score double")
-
-    def _local_topk(self, rows, weights: dict[str, float], fld: str, k: int,
-                    mode: str, n_terms: int) -> DataFrame:
-        """Driver-side exact top-k over fetched packed blocks; returns a
-        local k-row DataFrame (doc_id, score) matching the distributed
-        plan's schema and float32-cast score values."""
-        acc = self._score_packed_rows(rows, weights, fld)
-        items = [
-            (d, float(np.float32(v[0])))
-            for d, v in acc.items()
-            if mode != "and" or v[1] >= n_terms
-        ]
-        items.sort(key=lambda x: (-x[1], x[0]))
-        spark = self.index.postings.sparkSession
-        return spark.createDataFrame(items[:k], "doc_id long, score double")
 
     # ---------------------------------------------- distributed fallback
     def _metas(self, terms: list[str], weights: dict[str, float], fld: str) -> DataFrame:
@@ -364,12 +295,11 @@ class BlockIndexSearcher:
         ub = (wmap[F.col("term")] * mt / (mt + cmin.cast("double"))).alias("ub")
         return self.blocks.filter(
             (F.col("field") == fld) & (F.col("term").isin(terms))
-        ).select("field", "term", "block_id", "n_docs", "packed", ub)
+        ).select("field", "term", "block_id", "n_docs", "doc_offs", "tfs", "nbs", ub)
 
     def _score_decoded(self, metas: DataFrame, weights: dict[str, float], fld: str,
                        mode: str, n_terms: int = 0) -> DataFrame:
-        decoded = unpack_blocks(metas.select("field", "term", "block_id", "packed"),
-                                with_positions=False)
+        decoded = self._explode_cols(metas)
         wmap = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))])
         per_term = decoded.select(
             "doc_id",
@@ -488,24 +418,22 @@ class BlockIndexSearcher:
         uniq = sorted(set(terms))
         meta = self._load_meta(fld, uniq)
         pred = (F.col("field") == fld) & F.col("term").isin(list(terms))
+        cols = ["field", "term", "block_id", "doc_offs", "tfs", "nbs", "poss"]
         if all(m is not None for m in meta.values()):
+            # candidate blocks = intersection of the terms' block-id sets
+            # (skip-list Advance analogue) — driver arithmetic, no actions
             sets = [set(m["bid"].tolist()) if m is not None else set() for m in meta.values()]
             cand_ids = sorted(reduce(lambda a, b: a & b, sets)) if sets else []
             total = len(reduce(lambda a, b: a | b, sets)) if sets else 0
             self.last_stats = {"blocks_total": total, "blocks_scored": len(cand_ids)}
             if not cand_ids:
                 return self._empty()
-            if len(cand_ids) * len(uniq) * 128 <= self.max_driver_docs:
-                # small candidate set: fetch the packed bytes (positions are
-                # inside) and run the shifted-positions intersect driver-side
-                rows = self._fetch_packed(fld, uniq, [int(b) for b in cand_ids])
-                return self._local_topk_phrase(rows, terms, wv, fld, k)
             if len(cand_ids) <= _MAX_INLIST:
                 pred = pred & F.col("block_id").isin([int(b) for b in cand_ids])
-            survivors = self.blocks.filter(pred).select("field", "term", "block_id", "packed")
+            survivors = self.blocks.filter(pred).select(*cols)
         else:
             # fallback: distributed candidate intersection
-            metas = self.blocks.filter(pred).select("field", "term", "block_id", "packed")
+            metas = self.blocks.filter(pred).select(*cols)
             cand = (
                 metas.groupBy("block_id")
                 .agg(F.count(F.lit(1)).alias("tp"))
@@ -520,7 +448,7 @@ class BlockIndexSearcher:
             else:
                 self.last_stats = {}
             survivors = metas.join(cand, "block_id")
-        decoded = unpack_blocks(survivors, with_positions=True)
+        decoded = self._explode_cols(survivors, with_positions=True)
 
         def _shift(r: int):
             # NB: a 2-arg lambda in F.transform is called as (element,

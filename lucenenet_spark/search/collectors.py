@@ -190,3 +190,61 @@ def sampled_facet_counts(
     return m.groupBy(dim).agg(
         (F.count(F.lit(1)) * F.lit(100 // percent)).cast("long").alias("est_cnt")
     )
+
+
+class TimeExceededError(Exception):
+    """TimeLimitingCollector.TimeExceededException analogue."""
+
+
+def time_limited_collect(df: DataFrame, timeout_sec: float):
+    """TimeLimitingCollector (Search/TimeLimitingCollector.cs): run the
+    query's action under a wall-clock budget; past it, the Spark job group
+    is cancelled (all running tasks interrupted cluster-wide — the
+    distributed analogue of the collector's per-hit clock check) and
+    TimeExceededError is raised."""
+    import threading
+    import uuid
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    group = f"time-limited-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "time_limited_collect", interruptOnCancel=True)
+    fired = threading.Event()
+
+    def cancel():
+        fired.set()
+        sc.cancelJobGroup(group)
+
+    timer = threading.Timer(timeout_sec, cancel)
+    timer.start()
+    try:
+        return df.collect()
+    except Exception as e:  # noqa: BLE001 — py4j surfaces cancellation as JavaError
+        if fired.is_set():
+            raise TimeExceededError(
+                f"query exceeded {timeout_sec}s time budget"
+            ) from e
+        raise
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
+
+
+def caching_collector(searcher: IndexSearcher, query: Query) -> DataFrame:
+    """CachingCollector (Search/CachingCollector.cs): materialize the
+    docset once (persisted), replay it into any number of downstream
+    collectors (facets, grouping, rescoring) without re-running the
+    query. Caller unpersists when done."""
+    return searcher.docset(query).persist()
+
+
+def early_terminating_topk(sorted_docs: DataFrame, k: int) -> DataFrame:
+    """EarlyTerminatingSortingCollector (Search/EarlyTerminatingSortingCollector.cs):
+    when the index layout is globally range-sorted by the sort key
+    (builder.assign_doc_ids(order_col=...) — the index-sorting analogue),
+    top-k by that key is `limit(k)`: CollectLimit executes partitions
+    incrementally (1, then 4x more, ...) so only the leading partitions
+    of the sorted layout are ever read — the other segments terminate
+    early exactly as the reference collector throws
+    CollectionTerminatedException per segment."""
+    return sorted_docs.limit(k)

@@ -1,0 +1,95 @@
+"""Round-3c: IVF ANN, collector combinators (time-limiting, caching,
+early-terminating)."""
+
+import time
+
+import pytest
+
+from lucenenet_spark import IndexSearcher, TermQuery, build_index
+from lucenenet_spark.functions import similarity as fsim
+from lucenenet_spark.search.collectors import (
+    TimeExceededError,
+    caching_collector,
+    early_terminating_topk,
+    time_limited_collect,
+)
+
+
+# ------------------------------------------------------------- IVF ANN
+def test_ivf_assignment_deterministic_and_partitioned(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fsim.ivf_centroids(8, seed=7, dim=64)
+    a1 = {r["vec_id"]: r["cid"] for r in fsim.ivf_assign(emb, cents).collect()}
+    a2 = {r["vec_id"]: r["cid"] for r in fsim.ivf_assign(emb, cents).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(8))
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [r["vec_id"] for r in fsim.cosine_topk(emb, 0, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in fsim.ivf_topk(emb, 0, 10, n_centroids=8, nprobe=4, quantized=True).collect()
+    ]
+    # query's own cell always probed -> query itself is always recalled;
+    # generous probe count keeps recall meaningful on the tiny fixture
+    assert approx[0] == exact[0] == 0
+    assert len(set(approx) & set(exact)) >= 5
+
+
+# ------------------------------------------------------------- collectors
+@pytest.fixture(scope="module")
+def idx(spark):
+    rows = [(d, f"hot f{d % 97} f{(d * 7) % 89}") for d in range(2000)]
+    return build_index(spark.createDataFrame(rows, "doc_id long, text string")).cache()
+
+
+def test_time_limited_collect_passes_fast_query(idx, spark):
+    s = IndexSearcher(idx)
+    out = time_limited_collect(s.search(TermQuery("hot"), 5), timeout_sec=120.0)
+    assert len(out) == 5
+
+
+def test_time_limited_collect_cancels(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def slow(x):
+        time.sleep(20)
+        return x
+
+    df = spark.range(64).repartition(8).select(slow("id").alias("v"))
+    t0 = time.time()
+    with pytest.raises(TimeExceededError):
+        time_limited_collect(df, timeout_sec=1.5)
+    assert time.time() - t0 < 15  # cancelled well before the 20s sleeps finish
+
+
+def test_caching_collector_replay(idx, spark):
+    s = IndexSearcher(idx)
+    cached = caching_collector(s, TermQuery("f11"))
+    try:
+        n = cached.count()
+        # replay into two downstream "collectors"
+        assert cached.join(idx.doclens, "doc_id").count() == n
+        assert cached.count() == n
+    finally:
+        cached.unpersist()
+
+
+def test_early_terminating_topk_plan_and_rows(spark):
+    # range-sorted layout by the sort key = index sorting; limit(k) reads
+    # leading partitions only (CollectLimit incremental execution)
+    df = (
+        spark.range(0, 100_000)
+        .selectExpr("id", "id % 1000 AS price")
+        .repartitionByRange(16, "price", "id")
+        .sortWithinPartitions("price", "id")
+    )
+    out = early_terminating_topk(df, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+    rows = out.collect()
+    assert [r["price"] for r in rows] == [0, 0, 0, 0, 0]
