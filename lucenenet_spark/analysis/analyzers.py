@@ -434,6 +434,30 @@ class MappingAnalyzer(StandardAnalyzer):
         return False
 
 
+class PatternReplaceAnalyzer(StandardAnalyzer):
+    """PatternReplaceCharFilter (Analysis/Pattern/PatternReplaceCharFilter.cs)
+    in front of the standard chain: a regex substitution applied to the RAW
+    text before tokenization (the reference rewrites the char stream and
+    corrects offsets; we tokenize the rewritten text — same tokens, and the
+    row store keeps the original for offset-based consumers)."""
+
+    def __init__(self, pattern: str, replacement: str, **kw) -> None:
+        super().__init__(**kw)
+        self.pattern = pattern
+        self.replacement = replacement
+
+    def _map(self, texts: pd.Series) -> pd.Series:
+        s = pd.Series(texts).fillna("").astype(str)
+        return s.str.replace(self.pattern, self.replacement, regex=True)
+
+    def tokenize_batch(self, texts: pd.Series):
+        return super().tokenize_batch(self._map(texts))
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False
+
+
 class EdgeNGramAnalyzer(StandardAnalyzer):
     """Standard chain + EdgeNGramTokenFilter
     (Analysis.Common/Analysis/NGram/EdgeNGramTokenFilter.cs, 4.4+

@@ -7,7 +7,15 @@ import os
 
 from pyspark.sql import functions as F
 
-from lucenenet_spark.plans.gate import SQL_PRELUDE, gate, get_engine
+from lucenenet_spark.plans.gate import (
+    SQL_PRELUDE,
+    _SQL_SCORED,
+    _spark_score_q,
+    _tsc,
+    gate,
+    get_engine,
+)
+from lucenenet_spark.search.queries import TermQuery
 
 
 # ==========================================================================
@@ -288,3 +296,68 @@ def ann_ivf_topk(spark, sf_dir):
         emb, query_vec_id=0, k=10, n_centroids=_IVF_N, nprobe=_IVF_PROBE,
         seed=_IVF_SEED, dim=_IVF_DIM, quantized=True,
     )
+
+
+# ==========================================================================
+# PatternReplaceCharFilter (Analysis/Pattern/PatternReplaceCharFilter.cs):
+# regex normalization of the raw char stream before tokenization.
+# ==========================================================================
+@gate(
+    "pattern_replace_term",
+    SQL_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (""" + _tsc("vector") + """)
+""",
+)
+def pattern_replace_term(spark, sf_dir):
+    """PatternReplaceCharFilter round-trip: leet-corrupt every 'vector' in
+    the raw text (v3ct0r), then index through
+    PatternReplaceAnalyzer(r'v[0-9]ct[0-9]r' -> 'vector') — the char
+    filter must restore the original token stream, so BM25 for 'vector'
+    matches the UNMODIFIED corpus oracle exactly (scores, dl, positions)."""
+    from lucenenet_spark.analysis.analyzers import PatternReplaceAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _, _, docs = get_engine(spark, sf_dir)
+    docs2 = docs.select(
+        "doc_id", F.regexp_replace("text", "vector", "v3ct0r").alias("text")
+    )
+    idx = build_index(docs2, analyzer=PatternReplaceAnalyzer(r"v[0-9]ct[0-9]r", "vector"))
+    s = IndexSearcher(idx, mode="double")
+    return _spark_score_q(s.scored(TermQuery("vector")))
+
+
+# ==========================================================================
+# SweetSpotSimilarity (Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs):
+# plateau lengthNorm + baselineTf behind the Classic weight lifecycle.
+# ==========================================================================
+@gate(
+    "sweetspot_term",
+    SQL_PRELUDE + """,
+w AS (
+  SELECT ln(cs.n / (ts.df + 1)) + 1 AS idf FROM ts, cs WHERE term = 'vector'
+),
+vals AS (
+  SELECT idf * ((1 / sqrt((idf * idf) * (1.0 * 1.0))) * 1.0) * idf AS value FROM w
+)
+SELECT p.doc_id,
+       CAST(floor((
+         (CASE WHEN p.tf <= 1.0 THEN 1.0 ELSE sqrt(p.tf + 1.0*1.0 - 1.0) END)
+         * vals.value
+         * (1 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 40) - 20) + 1.0))
+       ) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM post p JOIN dl USING (doc_id), vals
+WHERE p.term = 'vector'
+""",
+)
+def sweetspot_term(spark, sf_dir):
+    """TermQuery under SweetSpotSimilarity(ln 20..40 plateau, steepness
+    0.5; baselineTf base=1 min=1): docs inside the length sweet spot get
+    the full norm 1.0, tf saturates to base below min."""
+    from lucenenet_spark.search.sweetspot import SweetSpotSearcher
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    s = SweetSpotSearcher(idx, ln_min=20, ln_max=40, steepness=0.5,
+                          tf_base=1.0, tf_min=1.0)
+    return _spark_score_q(s.scored(TermQuery("vector")))

@@ -47,6 +47,19 @@ class ClassicSearcher:
             tbl = self.sim.decode_table_f32()
             self._decode_col = F.array(*[F.lit(float(v)) for v in tbl])
 
+    # -------- per-posting factor hooks (SweetSpotSearcher overrides) ----
+    def _tf_col_lucene(self):
+        return F.sqrt(F.col("tf").cast("float")).cast("float")
+
+    def _tf_col_double(self):
+        return F.sqrt(F.col("tf").cast("double"))
+
+    def _norm_col_lucene(self):
+        return F.element_at(self._decode_col, F.col("norm_byte") + F.lit(1))
+
+    def _norm_col_double(self):
+        return F.lit(1.0) / F.sqrt(F.col("dl").cast("double"))
+
     # ------------------------------------------------------------- public
     def search(self, query: Query, k: int = 10) -> DataFrame:
         scored = self.scored(query)
@@ -106,13 +119,11 @@ class ClassicSearcher:
             )
             v = values[id(t)]
             if self.mode == "lucene":
-                tf_col = F.sqrt(F.col("tf").cast("float")).cast("float")
-                dec = F.element_at(self._decode_col, F.col("norm_byte") + F.lit(1))
+                tf_col = self._tf_col_lucene()
+                dec = self._norm_col_lucene()
                 sc = ((tf_col * F.lit(v).cast("float")).cast("float") * dec.cast("float")).cast("float")
             else:
-                tf_col = F.sqrt(F.col("tf").cast("double"))
-                dec = F.lit(1.0) / F.sqrt(F.col("dl").cast("double"))
-                sc = tf_col * F.lit(v) * dec
+                sc = self._tf_col_double() * F.lit(v) * self._norm_col_double()
             return p.select("doc_id", sc.cast("double").alias("_p"))
 
         req = None

@@ -93,3 +93,62 @@ def test_early_terminating_topk_plan_and_rows(spark):
     assert "CollectLimit" in plan or "GlobalLimit" in plan
     rows = out.collect()
     assert [r["price"] for r in rows] == [0, 0, 0, 0, 0]
+
+
+# ------------------------------------------------------------- sweet spot
+def test_sweetspot_norm_degrades_to_default():
+    """SweetSpotSimilarityTest.cs TestSweetSpotComputeNorm base case:
+    min=max=1, steepness=0.5 must produce DefaultSimilarity's norm BYTE
+    for every length 1..999."""
+    import numpy as np
+
+    from lucenenet_spark.index.smallfloat import float_to_byte315
+    from lucenenet_spark.search.sweetspot import compute_length_norm
+
+    for i in range(1, 1000):
+        d = int(float_to_byte315(np.float32(1.0 / np.sqrt(np.float64(i)))))
+        s = int(float_to_byte315(np.float32(compute_length_norm(i, 1, 1, 0.5))))
+        assert d == s, i
+
+
+def test_sweetspot_plateau_and_shift():
+    import numpy as np
+
+    from lucenenet_spark.index.smallfloat import byte315_to_float, float_to_byte315
+    from lucenenet_spark.search.sweetspot import compute_length_norm
+
+    # 3..10 plateau: encode+decode == 1.0 exactly (reference asserts 0 delta)
+    for i in range(3, 11):
+        b = int(float_to_byte315(np.float32(compute_length_norm(i, 3, 10, 0.5))))
+        assert float(byte315_to_float(b)) == 1.0, i
+    # beyond the plateau: norm(i; 3,10) == default norm(i - 9)
+    for i in range(10, 1000):
+        d = int(float_to_byte315(np.float32(1.0 / np.sqrt(np.float64(i - 9)))))
+        s = int(float_to_byte315(np.float32(compute_length_norm(i, 3, 10, 0.5))))
+        assert d == s, i
+
+
+def test_sweetspot_baseline_and_hyperbolic_tf():
+    import math
+
+    from lucenenet_spark.search.sweetspot import baseline_tf, hyperbolic_tf
+
+    # degrades to sqrt(freq) at base=min=0
+    assert baseline_tf(0.0) == 0.0
+    assert abs(baseline_tf(4.0) - 2.0) < 1e-6
+    # base case: freq <= min -> base
+    assert baseline_tf(1.0, tf_base=1.5, tf_min=2.0) == pytest.approx(1.5)
+    assert baseline_tf(9.0, tf_base=1.5, tf_min=2.0) == pytest.approx(
+        math.sqrt(9.0 + 1.5 * 1.5 - 2.0), rel=1e-6
+    )
+    # hyperbolic: midpoint -> (min+max)/2, far right -> max, far left -> min
+    assert hyperbolic_tf(10.0) == pytest.approx(1.0, rel=1e-6)
+    assert hyperbolic_tf(1000.0) == pytest.approx(2.0, rel=1e-6)
+    assert hyperbolic_tf(0.5) < 0.2
+
+
+def test_pattern_replace_analyzer():
+    from lucenenet_spark.analysis.analyzers import PatternReplaceAnalyzer
+
+    a = PatternReplaceAnalyzer(r"v[0-9]ct[0-9]r", "vector")
+    assert a.terms("a v3ct0r and v9ct9r here") == ["vector", "vector", "here"]
