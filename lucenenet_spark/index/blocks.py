@@ -6,12 +6,16 @@ at :375; ForUtil.cs FOR bitpacking; Lucene41SkipWriter skip data), adapted
 to a columnar table:
 
     blocks(term, block_id, n_docs, min_doc, max_doc, max_tf,
-           max_norm_byte, packed BINARY)
+           max_norm_byte, impacts..., columnar arrays..., packed BINARY)
 
-- block_id = doc_id // 128: packing groups are bounded at 128 postings, so
-  the packing aggregation is skew-free no matter how frequent the term is
-  (a stopword-scale term with 10^10 postings becomes ~10^8 independent
-  groups — the df-heavy-term mitigation the north rule requires).
+- Blocks are Lucene-style runs of <= 128 CONSECUTIVE postings of one
+  term's doc-sorted posting list (utilization ~100% at any df), chunked
+  inside a shared RANGE_DOCS doc-id grid: block_id = range_id *
+  BLOCKS_PER_RANGE + chunk. The (field, term, range_id) pack key keeps
+  the aggregation skew-free no matter how frequent the term is (a
+  stopword-scale term with 10^10 postings becomes ~10^6 independent
+  range groups — the df-heavy-term mitigation the north rule requires),
+  and the shared grid is the WAND cross-term alignment grain.
 - packed = varint stream: doc-id deltas within the block, then tfs, then
   per-doc position-delta lists (the reference's .doc/.pos streams inlined;
   delta + variable-byte instead of FOR bitpacking — same asymptotics,
@@ -36,6 +40,16 @@ from pyspark.sql import types as T
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:375
 IMPACT_CAP = 8  # impact pairs kept per block (score-descending)
+# Coarse doc-id alignment span: a block never crosses a range boundary.
+# Blocks are Lucene-style runs of <= 128 CONSECUTIVE POSTINGS of one term
+# (so utilization ~100% regardless of df — a df=1000 term has ~8 blocks,
+# not 1000 near-empty ones), while the shared range grid is what lets
+# multi-term WAND compose upper bounds across terms (ub per range = max of
+# the term's blocks inside it). RANGE_DOCS also bounds the pack shuffle
+# key (field, term, range_id): a stopword-scale term becomes
+# N/RANGE_DOCS independent groups — skew-free, like the old design.
+RANGE_DOCS = BLOCK_SIZE * 256  # 32,768 docs per range
+BLOCKS_PER_RANGE = RANGE_DOCS // BLOCK_SIZE  # block_id = range*256 + chunk
 
 
 # --------------------------------------------------------------------------
@@ -147,59 +161,73 @@ def _impacts(tfs: np.ndarray, norm: np.ndarray, norm_cache: np.ndarray | None):
 
 
 def _pack_group(pdf: pd.DataFrame, norm_cache: np.ndarray | None = None) -> pd.DataFrame:
-    """applyInPandas: one (term, block) group -> one packed row."""
-    pdf = pdf.sort_values("doc_id")
-    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    norm = pdf["norm_byte"].to_numpy(dtype=np.int64)
-    has_pos = "positions" in pdf.columns
-    block_id = int(docs[0]) // BLOCK_SIZE
+    """One (field, term, range) group -> one row per <=128-posting chunk.
 
-    doc_deltas = np.diff(docs, prepend=docs[0] - (docs[0] - block_id * BLOCK_SIZE))
-    doc_deltas[0] = docs[0] - block_id * BLOCK_SIZE  # delta from block base
-    parts = [
-        varint_encode(np.array([len(docs)], dtype=np.uint64)),
-        varint_encode(doc_deltas.astype(np.uint64)),
-        varint_encode(tfs.astype(np.uint64)),
-        varint_encode(norm.astype(np.uint64)),
-    ]
-    if has_pos:
-        pos_lists = pdf["positions"].tolist()
-        lens = np.array([len(p) for p in pos_lists], dtype=np.uint64)
-        parts.append(varint_encode(lens))
-        if lens.sum() > 0:
-            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
-            # per-doc position deltas
-            firsts = np.concatenate(([0], np.cumsum(lens.astype(np.int64))[:-1]))
-            deltas = np.diff(flat, prepend=0)
-            deltas[firsts] = flat[firsts]
-            parts.append(varint_encode(deltas.astype(np.uint64)))
-    packed = b"".join(parts)
-    itf, inb, icnt = _impacts(tfs, norm, norm_cache)
-    return pd.DataFrame(
-        {
-            "field": [pdf["field"].iloc[0]],
-            "term": [pdf["term"].iloc[0]],
-            "block_id": [block_id],
-            "n_docs": [len(docs)],
-            "min_doc": [int(docs.min())],
-            "max_doc": [int(docs.max())],
-            "max_tf": [int(tfs.max())],
-            "max_norm_byte": [int(norm.max())],
-            "imp_tf": [itf.astype(np.int32).tolist()],
-            "imp_nb": [inb.astype(np.int32).tolist()],
-            "imp_cnt": [icnt.astype(np.int32).tolist()],
-            "doc_offs": [(docs - block_id * BLOCK_SIZE).astype(np.int32).tolist()],
-            "tfs": [tfs.astype(np.int32).tolist()],
-            "nbs": [norm.astype(np.int32).tolist()],
-            "poss": [
-                [list(map(int, p)) for p in pdf["positions"].tolist()]
-                if has_pos
-                else None
-            ],
-            "packed": [packed],
-        }
-    )
+    block_id = range_id * BLOCKS_PER_RANGE + chunk index, so block ids
+    sort by doc order within the term and two blocks of the same range
+    grid can be compared across terms. Doc ids are stored as offsets from
+    the block's min_doc (columnar) / delta+varint from min_doc (packed)."""
+    pdf = pdf.sort_values("doc_id")
+    all_docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    all_tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    all_norm = pdf["norm_byte"].to_numpy(dtype=np.int64)
+    has_pos = "positions" in pdf.columns
+    all_pos = pdf["positions"].tolist() if has_pos else None
+    range_id = int(all_docs[0]) // RANGE_DOCS
+    field = pdf["field"].iloc[0]
+    term = pdf["term"].iloc[0]
+
+    rows: dict[str, list] = {k: [] for k in (
+        "field", "term", "block_id", "n_docs", "min_doc", "max_doc",
+        "max_tf", "max_norm_byte", "imp_tf", "imp_nb", "imp_cnt",
+        "doc_offs", "tfs", "nbs", "poss", "packed",
+    )}
+    for j in range(0, len(all_docs), BLOCK_SIZE):
+        docs = all_docs[j : j + BLOCK_SIZE]
+        tfs = all_tfs[j : j + BLOCK_SIZE]
+        norm = all_norm[j : j + BLOCK_SIZE]
+        base = int(docs[0])
+        doc_deltas = np.diff(docs, prepend=base)
+        parts = [
+            varint_encode(np.array([len(docs)], dtype=np.uint64)),
+            varint_encode(doc_deltas.astype(np.uint64)),
+            varint_encode(tfs.astype(np.uint64)),
+            varint_encode(norm.astype(np.uint64)),
+        ]
+        pos_lists = all_pos[j : j + BLOCK_SIZE] if has_pos else None
+        if pos_lists is not None:
+            lens = np.array([len(p) for p in pos_lists], dtype=np.uint64)
+            parts.append(varint_encode(lens))
+            if lens.sum() > 0:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pos_lists]
+                )
+                firsts = np.concatenate(([0], np.cumsum(lens.astype(np.int64))[:-1]))
+                deltas = np.diff(flat, prepend=0)
+                deltas[firsts] = flat[firsts]
+                parts.append(varint_encode(deltas.astype(np.uint64)))
+        itf, inb, icnt = _impacts(tfs, norm, norm_cache)
+        rows["field"].append(field)
+        rows["term"].append(term)
+        rows["block_id"].append(range_id * BLOCKS_PER_RANGE + j // BLOCK_SIZE)
+        rows["n_docs"].append(len(docs))
+        rows["min_doc"].append(base)
+        rows["max_doc"].append(int(docs[-1]))
+        rows["max_tf"].append(int(tfs.max()))
+        rows["max_norm_byte"].append(int(norm.max()))
+        rows["imp_tf"].append(itf.astype(np.int32).tolist())
+        rows["imp_nb"].append(inb.astype(np.int32).tolist())
+        rows["imp_cnt"].append(icnt.astype(np.int32).tolist())
+        rows["doc_offs"].append((docs - base).astype(np.int32).tolist())
+        rows["tfs"].append(tfs.astype(np.int32).tolist())
+        rows["nbs"].append(norm.astype(np.int32).tolist())
+        rows["poss"].append(
+            [p.tolist() if hasattr(p, "tolist") else list(p) for p in pos_lists]
+            if pos_lists is not None
+            else None
+        )
+        rows["packed"].append(b"".join(parts))
+    return pd.DataFrame(rows)
 
 
 def pack_postings(
@@ -219,7 +247,7 @@ def pack_postings(
         ["positions"] if with_positions else []
     )
     df = postings.select(*cols).withColumn(
-        "block_id", (F.col("doc_id") / F.lit(BLOCK_SIZE)).cast("long")
+        "range_id", (F.col("doc_id") / F.lit(RANGE_DOCS)).cast("long")
     )
     n = num_partitions or min(
         16, max(1, postings.sparkSession.sparkContext.defaultParallelism)
@@ -227,10 +255,10 @@ def pack_postings(
     # sortWithinPartitions makes each group contiguous, so a group can only
     # straddle an Arrow-batch boundary as (last of batch k, first of k+1) —
     # the carry-over below re-joins it without materializing the partition
-    df = df.repartition(n, "field", "term", "block_id").sortWithinPartitions(
-        "field", "term", "block_id"
+    df = df.repartition(n, "field", "term", "range_id").sortWithinPartitions(
+        "field", "term", "range_id", "doc_id"
     )
-    keys = ["field", "term", "block_id"]
+    keys = ["field", "term", "range_id"]
 
     def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -244,7 +272,7 @@ def pack_postings(
             is_last_group = (
                 (pdf["field"] == last["field"])
                 & (pdf["term"] == last["term"])
-                & (pdf["block_id"] == last["block_id"])
+                & (pdf["range_id"] == last["range_id"])
             )
             carry = pdf[is_last_group]
             body = pdf[~is_last_group]
@@ -272,15 +300,16 @@ UNPACKED_SCHEMA = T.StructType(
 )
 
 
-def unpack_block_bytes(term: str, block_id: int, packed: bytes, with_positions: bool = True):
-    """Decode one packed block -> (doc_ids, tfs, norm_bytes, positions|None)."""
+def unpack_block_bytes(term: str, min_doc: int, packed: bytes, with_positions: bool = True):
+    """Decode one packed block -> (doc_ids, tfs, norm_bytes, positions|None).
+    Doc deltas are based at the block's min_doc (first delta is 0)."""
     vals = varint_decode(packed)
     off = 0
     n = int(vals[off]); off += 1
     doc_deltas = vals[off : off + n].astype(np.int64); off += n
     tfs = vals[off : off + n].astype(np.int64); off += n
     norms = vals[off : off + n].astype(np.int64); off += n
-    docs = np.cumsum(doc_deltas) + block_id * BLOCK_SIZE
+    docs = np.cumsum(doc_deltas) + min_doc
     pos_lists = None
     if with_positions and off < len(vals):
         lens = vals[off : off + n].astype(np.int64); off += n
@@ -303,7 +332,7 @@ def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
             out_fld, out_term, out_doc, out_tf, out_norm, out_pos = [], [], [], [], [], []
             for _, row in pdf.iterrows():
                 docs, tfs, norms, pos = unpack_block_bytes(
-                    row["term"], int(row["block_id"]), row["packed"], with_positions
+                    row["term"], int(row["min_doc"]), row["packed"], with_positions
                 )
                 out_fld.extend([row["field"]] * len(docs))
                 out_term.extend([row["term"]] * len(docs))

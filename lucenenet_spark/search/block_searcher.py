@@ -9,14 +9,18 @@ Codecs/Lucene41/Lucene41PostingsFormat.cs BLOCK_SIZE=128 + skip lists
 Codecs/MultiLevelSkipListWriter.cs; pruning per Ding & Suel SIGIR'11
 block-max WAND — Lucene 4.8 itself has no max-score metadata).
 
-The enabling property: block_id = doc_id // BLOCK_SIZE, so EVERY term's
-block b covers the same doc range [b*128, (b+1)*128). Aligned block-max
-bounds therefore compose by block_id:
+Layout (see index/blocks.py): a block is a run of <= 128 CONSECUTIVE
+postings of one term (Lucene's own block shape — full utilization at any
+df), chunked inside a shared RANGE_DOCS doc-id grid. Bounds compose at
+two granularities:
 
-  OR :  score(doc in b) <= sum over query terms t present in b of ub_t(b)
-  AND:  a doc matches only if every MUST term has a block b — candidate
-        blocks = block_ids where all terms are present (the Advance()/
-        skip-list analogue); same summed-ub bound.
+  single term: per-block ub_t(b) prunes directly against theta.
+  OR : per RANGE r, score(doc in r) <= sum over terms t of
+       (max ub over t's blocks inside r) — the shared grid is the
+       cross-term alignment grain.
+  AND/phrase: candidate blocks via per-block (min_doc, max_doc)
+       doc-interval intersection across terms — the skip-list Advance()
+       analogue, vectorized in the driver.
 
 Execution model (the round-3 redesign): block METADATA — (block_id,
 n_docs, block-max pair, capped impact list) per (field, term) — lives in
@@ -57,7 +61,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lucenenet_spark.index.blocks import BLOCK_SIZE, pack_postings
+from lucenenet_spark.index.blocks import BLOCK_SIZE, RANGE_DOCS, pack_postings
 from lucenenet_spark.index.builder import InvertedIndex
 from lucenenet_spark.index.smallfloat import bm25_norm_cache
 from lucenenet_spark.search.searcher import IndexSearcher, _f32
@@ -125,14 +129,15 @@ class BlockIndexSearcher:
                 self.blocks.filter(
                     (F.col("field") == fld) & (F.col("term").isin(missing))
                 )
-                .select("term", "block_id", "n_docs", "max_tf", "max_norm_byte",
-                        "imp_tf", "imp_nb", "imp_cnt")
+                .select("term", "block_id", "min_doc", "max_doc", "n_docs",
+                        "max_tf", "max_norm_byte", "imp_tf", "imp_nb", "imp_cnt")
                 .collect()
             )
             by_term: dict[str, list] = {t: [] for t in missing}
             for r in rows:
                 by_term[r["term"]].append(
-                    (r["block_id"], r["n_docs"], r["max_tf"], r["max_norm_byte"],
+                    (r["block_id"], r["min_doc"], r["max_doc"], r["n_docs"],
+                     r["max_tf"], r["max_norm_byte"],
                      r["imp_tf"], r["imp_nb"], r["imp_cnt"])
                 )
             for t, lst in by_term.items():
@@ -140,38 +145,79 @@ class BlockIndexSearcher:
                     self._meta[(fld, t)] = None
                     continue
                 lst.sort(key=lambda x: x[0])
-                arr = np.array([x[:4] for x in lst], dtype=np.int64).reshape(-1, 4)
+                arr = np.array([x[:6] for x in lst], dtype=np.int64).reshape(-1, 6)
                 # flattened impact multiset (block association not needed:
                 # the threshold only consumes the term-wide distribution)
                 self._meta[(fld, t)] = {
-                    "bid": arr[:, 0], "nd": arr[:, 1],
-                    "mtf": arr[:, 2], "mnb": arr[:, 3],
-                    "itf": np.array([v for x in lst for v in x[4]], dtype=np.int64),
-                    "inb": np.array([v for x in lst for v in x[5]], dtype=np.int64),
-                    "icnt": np.array([v for x in lst for v in x[6]], dtype=np.int64),
+                    "bid": arr[:, 0], "mind": arr[:, 1], "maxd": arr[:, 2],
+                    "nd": arr[:, 3], "mtf": arr[:, 4], "mnb": arr[:, 5],
+                    "rng": arr[:, 1] // RANGE_DOCS,
+                    "itf": np.array([v for x in lst for v in x[6]], dtype=np.int64),
+                    "inb": np.array([v for x in lst for v in x[7]], dtype=np.int64),
+                    "icnt": np.array([v for x in lst for v in x[8]], dtype=np.int64),
                 }
                 self._meta_rows += len(lst)
         return {t: self._meta[(fld, t)] for t in terms}
 
-    def _ub_arrays(self, meta: dict[str, dict], weights: dict[str, float],
-                   fld: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Compose per-term block bounds into aligned per-block arrays:
-        (block_ids, ub_sum, terms_present, n_docs_max), sorted by block_id.
+    def _block_ubs(self, meta: dict[str, dict], weights: dict[str, float],
+                   fld: str) -> dict[str, np.ndarray]:
+        """Per-term per-block upper bounds, block order.
         ub_t(b) = w_t * max_tf / (max_tf + cache[max_norm_byte]) — cache is
         DECREASING in norm_byte, so max_norm_byte gives the smallest norm."""
         cache = self._cache_np(fld).astype(np.float64)
-        all_bids = np.unique(np.concatenate([m["bid"] for m in meta.values()]))
-        ub_sum = np.zeros(len(all_bids), dtype=np.float64)
-        present = np.zeros(len(all_bids), dtype=np.int64)
-        nd_max = np.zeros(len(all_bids), dtype=np.int64)
+        out = {}
         for t, m in meta.items():
-            idx = np.searchsorted(all_bids, m["bid"])
             mt = m["mtf"].astype(np.float64)
-            ub = weights[t] * mt / (mt + cache[m["mnb"]])
-            ub_sum[idx] += ub
+            out[t] = weights[t] * mt / (mt + cache[m["mnb"]])
+        return out
+
+    @staticmethod
+    def _overlaps_any(mind_b: np.ndarray, maxd_b: np.ndarray,
+                      mind_s: np.ndarray, maxd_s: np.ndarray) -> np.ndarray:
+        """For each block b (doc interval [mind_b, maxd_b]), does ANY block
+        of the other term overlap it?  Blocks of one term are doc-sorted
+        and non-overlapping, so one searchsorted answers it — the
+        skip-list Advance() analogue as vectorized driver arithmetic."""
+        if len(mind_s) == 0:
+            return np.zeros(len(mind_b), dtype=bool)
+        i = np.searchsorted(maxd_s, mind_b, side="left")
+        ok = i < len(mind_s)
+        res = np.zeros(len(mind_b), dtype=bool)
+        res[ok] = mind_s[np.minimum(i[ok], len(mind_s) - 1)] <= maxd_b[ok]
+        return res
+
+    def _interval_intersect(self, meta: dict[str, dict]) -> dict[str, np.ndarray]:
+        """Per term: mask of blocks whose doc interval overlaps at least
+        one block of EVERY other term (conjunction candidate set)."""
+        out = {}
+        for t, m in meta.items():
+            mask = np.ones(len(m["bid"]), dtype=bool)
+            for s, ms in meta.items():
+                if s == t:
+                    continue
+                mask &= self._overlaps_any(m["mind"], m["maxd"], ms["mind"], ms["maxd"])
+            out[t] = mask
+        return out
+
+    @staticmethod
+    def _range_compose(meta: dict[str, dict], ubs: dict[str, np.ndarray]):
+        """Compose per-term bounds on the shared RANGE_DOCS grid (blocks
+        of different terms only align at range granularity):
+        (range_ids, ub_sum, terms_present) where ub_sum[r] = sum over
+        terms of (max ub among the term's blocks inside range r) — an
+        upper bound on any doc's OR score within the range."""
+        all_r = np.unique(np.concatenate([m["rng"] for m in meta.values()]))
+        ub_sum = np.zeros(len(all_r), dtype=np.float64)
+        present = np.zeros(len(all_r), dtype=np.int64)
+        for t, m in meta.items():
+            rng = m["rng"]  # nondecreasing (blocks sorted by block_id)
+            starts = np.r_[0, np.flatnonzero(np.diff(rng)) + 1]
+            r_ids = rng[starts]
+            r_ub = np.maximum.reduceat(ubs[t], starts)
+            idx = np.searchsorted(all_r, r_ids)
+            ub_sum[idx] += r_ub
             present[idx] += 1
-            nd_max[idx] = np.maximum(nd_max[idx], m["nd"])
-        return all_bids, ub_sum, present, nd_max
+        return all_r, ub_sum, present
 
     @staticmethod
     def _explode_cols(surv: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -179,13 +225,11 @@ class BlockIndexSearcher:
         codegen (arrays_zip + explode of the int arrays; no Python)."""
         cols = ["doc_offs", "tfs", "nbs"] + (["poss"] if with_positions else [])
         ex = surv.select(
-            "term", "block_id", F.explode(F.arrays_zip(*cols)).alias("e")
+            "term", "min_doc", F.explode(F.arrays_zip(*cols)).alias("e")
         )
         out = ex.select(
             "term",
-            (F.col("block_id") * F.lit(BLOCK_SIZE) + F.col("e.doc_offs"))
-            .cast("long")
-            .alias("doc_id"),
+            (F.col("min_doc") + F.col("e.doc_offs")).cast("long").alias("doc_id"),
             F.col("e.tfs").alias("tf"),
             F.col("e.nbs").alias("norm_byte"),
             *([F.col("e.poss").alias("positions")] if with_positions else []),
@@ -219,13 +263,21 @@ class BlockIndexSearcher:
         return theta
 
     def _scan_plan(self, terms: list[str], weights: dict[str, float], fld: str,
-                   surviving: np.ndarray | None, k: int, mode: str,
+                   surviving: dict[str, np.ndarray] | None, k: int, mode: str,
                    n_terms: int) -> DataFrame:
-        """The returned (lazy) plan: pushdown-filter surviving blocks,
-        decode, score, top-k. No joins, no extra actions."""
+        """The returned (lazy) plan: pushdown-filter surviving blocks
+        (per-term IN-lists — block ids are per-term ordinals), decode,
+        score, top-k. No joins, no extra actions."""
         pred = (F.col("field") == fld) & F.col("term").isin(terms)
-        if surviving is not None and len(surviving) <= _MAX_INLIST:
-            pred = pred & F.col("block_id").isin([int(b) for b in surviving])
+        if surviving is not None and sum(len(v) for v in surviving.values()) <= _MAX_INLIST:
+            tpred = None
+            for t, bids in surviving.items():
+                c = (F.col("term") == t) & F.col("block_id").isin(
+                    [int(b) for b in bids]
+                )
+                tpred = c if tpred is None else (tpred | c)
+            if tpred is not None:
+                pred = pred & tpred
         decoded = self._explode_cols(self.blocks.filter(pred))
         wmap = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))])
         per_term = decoded.select(
@@ -255,33 +307,54 @@ class BlockIndexSearcher:
                           mode: str, n_terms: int) -> DataFrame:
         """Driver-arithmetic WAND: metadata-only theta + ub pruning, then
         ONE lazy plan over the surviving blocks. No Spark action happens
-        here — serving cost is exactly the caller's single job."""
-        bids, ub_sum, present, nd = self._ub_arrays(meta, weights, fld)
-        if mode == "and":
-            keep = present >= n_terms
-            bids, ub_sum, nd = bids[keep], ub_sum[keep], nd[keep]
-        total = len(bids)
+        here — serving cost is exactly the caller's single job.
+
+        Single-term queries prune at BLOCK granularity (ub_t(b) < theta);
+        multi-term queries prune at the shared RANGE grid, where bounds
+        of different terms compose (ub_sum(range) < theta) — plus, for
+        AND, the range-intersection candidate set (skip-list Advance)."""
+        ubs = self._block_ubs(meta, weights, fld)
+        total = sum(len(m["bid"]) for m in meta.values())
         if total == 0:
             self.last_stats = {"blocks_total": 0, "blocks_scored": 0}
             return self._empty()
         theta = None
         if mode != "and":
-            # AND: a block containing all terms still guarantees no single
-            # doc matches, so metadata gives no safe theta — the candidate
-            # intersection (skip-list Advance analogue) is the pruning.
+            # AND: a range containing all terms still guarantees no single
+            # doc matches them all, so metadata gives no safe theta — the
+            # candidate intersection below is the pruning.
             theta = self._meta_theta(meta, weights, fld, k)
-        if theta is None:
-            surviving = bids
-        else:
-            keep = ub_sum >= theta * (1.0 - _EPS)
-            surviving = bids[keep]
-        self.last_stats = {"blocks_total": total, "blocks_scored": len(surviving)}
 
-        use = None if len(surviving) == total else surviving
-        if mode == "and" and use is None:
-            # the AND candidate set itself prunes blocks missing a term —
-            # keep that pushdown even when theta prunes nothing further
-            use = bids
+        if n_terms == 1 and mode != "and":
+            t = next(iter(meta))
+            m = meta[t]
+            if theta is None:
+                surviving = {t: m["bid"]}
+            else:
+                surviving = {t: m["bid"][ubs[t] >= theta * (1.0 - _EPS)]}
+        elif mode == "and":
+            # conjunction candidate set: per-block doc-interval
+            # intersection across terms (the skip-list Advance analogue)
+            masks = self._interval_intersect(meta)
+            if any(not masks[t].any() for t in meta):
+                self.last_stats = {"blocks_total": total, "blocks_scored": 0}
+                return self._empty()
+            surviving = {t: m["bid"][masks[t]] for t, m in meta.items()}
+        else:
+            all_r, ub_sum, present = self._range_compose(meta, ubs)
+            keep = np.ones(len(all_r), dtype=bool)
+            if theta is not None:
+                keep &= ub_sum >= theta * (1.0 - _EPS)
+            surv_r = all_r[keep]
+            if len(surv_r) == 0:
+                self.last_stats = {"blocks_total": total, "blocks_scored": 0}
+                return self._empty()
+            surviving = {
+                t: m["bid"][np.isin(m["rng"], surv_r)] for t, m in meta.items()
+            }
+        scored = sum(len(v) for v in surviving.values())
+        self.last_stats = {"blocks_total": total, "blocks_scored": scored}
+        use = None if scored == total else surviving
         return self._scan_plan(terms, weights, fld, use, k, mode, n_terms)
 
     # ---------------------------------------------- distributed fallback
@@ -293,9 +366,11 @@ class BlockIndexSearcher:
         cmin = F.element_at(cache, F.col("max_norm_byte") + F.lit(1))
         mt = F.col("max_tf").cast("double")
         ub = (wmap[F.col("term")] * mt / (mt + cmin.cast("double"))).alias("ub")
+        rng = (F.col("min_doc") / F.lit(RANGE_DOCS)).cast("long").alias("rng")
         return self.blocks.filter(
             (F.col("field") == fld) & (F.col("term").isin(terms))
-        ).select("field", "term", "block_id", "n_docs", "doc_offs", "tfs", "nbs", ub)
+        ).select("field", "term", "block_id", "min_doc", "n_docs",
+                 "doc_offs", "tfs", "nbs", ub, rng)
 
     def _score_decoded(self, metas: DataFrame, weights: dict[str, float], fld: str,
                        mode: str, n_terms: int = 0) -> DataFrame:
@@ -316,20 +391,23 @@ class BlockIndexSearcher:
 
     def _two_phase(self, metas: DataFrame, weights: dict[str, float], fld: str,
                    k: int, mode: str, n_terms: int) -> DataFrame:
-        """Distributed seed -> theta -> prune (fallback for terms whose
-        block metadata exceeds the driver cache bound)."""
-        by_block = metas.groupBy("block_id").agg(
+        """Distributed seed -> theta -> prune on the RANGE grid (fallback
+        for terms whose block metadata exceeds the driver cache bound)."""
+        per_tr = metas.groupBy("term", "rng").agg(
+            F.max("ub").alias("ub"), F.sum("n_docs").alias("nd")
+        )
+        by_range = per_tr.groupBy("rng").agg(
             F.sum("ub").alias("ub_sum"),
-            F.max("n_docs").alias("nd"),
+            F.max("nd").alias("nd"),
             F.count(F.lit(1)).alias("terms_present"),
         )
         if mode == "and":
-            by_block = by_block.filter(F.col("terms_present") >= n_terms)
-        total = by_block.count() if self.collect_stats else None
+            by_range = by_range.filter(F.col("terms_present") >= n_terms)
+        total = by_range.count() if self.collect_stats else None
 
         seed_rows = (
-            by_block.select("block_id", "nd", "ub_sum")
-            .orderBy(F.desc("ub_sum"), F.asc("block_id"))
+            by_range.select("rng", "nd", "ub_sum")
+            .orderBy(F.desc("ub_sum"), F.asc("rng"))
             .limit(max(k, 4))
             .collect()
         )
@@ -338,11 +416,11 @@ class BlockIndexSearcher:
             return self._empty()
         covered, seed_ids = 0, []
         for r in seed_rows:
-            seed_ids.append(r["block_id"])
+            seed_ids.append(r["rng"])
             covered += r["nd"]
             if covered >= k and len(seed_ids) >= 4:
                 break
-        seed_metas = metas.filter(F.col("block_id").isin(seed_ids))
+        seed_metas = metas.filter(F.col("rng").isin(seed_ids))
         seed_topk = (
             self._score_decoded(seed_metas, weights, fld, mode, n_terms)
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -355,10 +433,10 @@ class BlockIndexSearcher:
             return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         theta = float(seed_topk[-1]["score"])
 
-        surviving_ids = by_block.filter(
+        surviving_ids = by_range.filter(
             F.col("ub_sum") >= F.lit(theta * (1.0 - _EPS))
-        ).select("block_id")
-        survivors = metas.join(surviving_ids, "block_id")
+        ).select("rng")
+        survivors = metas.join(surviving_ids, "rng")
         n_scored = surviving_ids.count() if self.collect_stats else None
         self.last_stats = {"blocks_total": total, "blocks_scored": n_scored}
         out = self._score_decoded(survivors, weights, fld, mode, n_terms)
@@ -418,36 +496,47 @@ class BlockIndexSearcher:
         uniq = sorted(set(terms))
         meta = self._load_meta(fld, uniq)
         pred = (F.col("field") == fld) & F.col("term").isin(list(terms))
-        cols = ["field", "term", "block_id", "doc_offs", "tfs", "nbs", "poss"]
+        cols = ["field", "term", "min_doc", "doc_offs", "tfs", "nbs", "poss"]
         if all(m is not None for m in meta.values()):
-            # candidate blocks = intersection of the terms' block-id sets
-            # (skip-list Advance analogue) — driver arithmetic, no actions
-            sets = [set(m["bid"].tolist()) if m is not None else set() for m in meta.values()]
-            cand_ids = sorted(reduce(lambda a, b: a & b, sets)) if sets else []
-            total = len(reduce(lambda a, b: a | b, sets)) if sets else 0
-            self.last_stats = {"blocks_total": total, "blocks_scored": len(cand_ids)}
-            if not cand_ids:
+            # candidate blocks = per-block doc-interval intersection
+            # across the phrase's terms (skip-list Advance analogue) —
+            # driver arithmetic, no actions
+            total = sum(len(m["bid"]) for m in meta.values())
+            masks = self._interval_intersect(meta)
+            if any(not masks[t].any() for t in meta):
+                self.last_stats = {"blocks_total": total, "blocks_scored": 0}
                 return self._empty()
-            if len(cand_ids) <= _MAX_INLIST:
-                pred = pred & F.col("block_id").isin([int(b) for b in cand_ids])
+            surviving = {t: m["bid"][masks[t]] for t, m in meta.items()}
+            scored = sum(len(v) for v in surviving.values())
+            self.last_stats = {"blocks_total": total, "blocks_scored": scored}
+            if scored < total and scored <= _MAX_INLIST:
+                tpred = None
+                for t, bids in surviving.items():
+                    c = (F.col("term") == t) & F.col("block_id").isin(
+                        [int(b) for b in bids]
+                    )
+                    tpred = c if tpred is None else (tpred | c)
+                pred = pred & tpred
             survivors = self.blocks.filter(pred).select(*cols)
         else:
-            # fallback: distributed candidate intersection
-            metas = self.blocks.filter(pred).select(*cols)
+            # fallback: distributed candidate-range intersection
+            rng = (F.col("min_doc") / F.lit(RANGE_DOCS)).cast("long").alias("rng")
+            metas = self.blocks.filter(pred).select(*cols, rng)
             cand = (
-                metas.groupBy("block_id")
+                metas.select("term", "rng").distinct()
+                .groupBy("rng")
                 .agg(F.count(F.lit(1)).alias("tp"))
                 .filter(F.col("tp") >= len(set(terms)))
-                .select("block_id")
+                .select("rng")
             )
             if self.collect_stats:
                 self.last_stats = {
-                    "blocks_total": metas.select("block_id").distinct().count(),
-                    "blocks_scored": cand.count(),
+                    "blocks_total": metas.count(),
+                    "blocks_scored": metas.join(cand, "rng").count(),
                 }
             else:
                 self.last_stats = {}
-            survivors = metas.join(cand, "block_id")
+            survivors = metas.join(cand, "rng")
         decoded = self._explode_cols(survivors, with_positions=True)
 
         def _shift(r: int):

@@ -1,0 +1,107 @@
+"""Serving-layer query router: dispatch parsed queries to the packed-block
+single-job path when the shape allows, else the exploded-postings searcher.
+
+This is the reader-side composition the reference performs inside
+IndexSearcher.CreateNormalizedWeight/BulkScorer selection: pick the
+cheapest scorer for the query shape.  Block-eligible shapes (TermQuery,
+flat OR/AND over terms, exact phrase) cover the overwhelming share of a
+web query log; everything else (spans, fuzzy, ranges, msm, nested
+booleans) falls back to the exploded searcher, which handles the full
+query algebra.  Both paths are rank-identical (same float32 BM25), so
+routing is purely a physical decision — exactly what a planner is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from lucenenet_spark.index.builder import InvertedIndex
+from lucenenet_spark.search.block_searcher import BlockIndexSearcher
+from lucenenet_spark.search.queries import (
+    BooleanQuery,
+    BoostQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    rewrite,
+)
+from lucenenet_spark.search.searcher import IndexSearcher
+
+
+class RoutedSearcher:
+    """IndexSearcher facade that serves block-eligible shapes from
+    BlockIndexSearcher (one lazy job per query, WAND-pruned) and the rest
+    from the exploded path."""
+
+    def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None):
+        self.index = index
+        self.block = BlockIndexSearcher(index, blocks)
+        self.exploded = IndexSearcher(index, mode="lucene")
+        self.last_route: str = ""
+
+    def warm(self, terms: list[str] | None = None) -> None:
+        """Reader-open warm-up: load term stats + block metadata for the
+        given terms (or just force the lazy caches into existence)."""
+        if terms:
+            fld = self.index.default_field
+            self.exploded._term_stats([(fld, t) for t in terms])
+            self.block._load_meta(fld, terms)
+
+    def search(self, query: Query, k: int = 10) -> DataFrame:
+        q = rewrite(query)
+        plan = self._route(q, k)
+        if plan is not None:
+            self.last_route = "block"
+            return plan
+        self.last_route = "exploded"
+        return self.exploded.search(q, k)
+
+    # ------------------------------------------------------------- routing
+    def _route(self, q: Query, k: int) -> DataFrame | None:
+        def term_boost(c: Query):
+            if isinstance(c, TermQuery) and c.field is None:
+                return c.term, c.boost
+            if (
+                isinstance(c, BoostQuery)
+                and isinstance(c.query, TermQuery)
+                and c.query.field is None
+            ):
+                return c.query.term, c.boost * c.query.boost
+            return None
+
+        if isinstance(q, (TermQuery, BoostQuery)):
+            tb = term_boost(q)
+            if tb:
+                return self.block.topk_term(tb[0], k, boost=tb[1])
+            return None
+        if isinstance(q, PhraseQuery):
+            if (
+                q.slop == 0
+                and q.field is None
+                and q.boost == 1.0
+                and q.positions is None
+                and len(q.terms) >= 2
+            ):
+                return self.block.topk_phrase(tuple(q.terms), k)
+            return None
+        if isinstance(q, BooleanQuery):
+            if q.minimum_should_match or q.boost != 1.0:
+                return None
+            occurs = {c.occur for c in q.clauses}
+            tbs = [term_boost(c.query) for c in q.clauses]
+            if any(tb is None for tb in tbs):
+                return None
+            if occurs == {Occur.SHOULD}:
+                weights: dict[str, float] = {}
+                for t, b in tbs:
+                    if t in weights:  # duplicate terms: keep exploded semantics
+                        return None
+                    weights[t] = b
+                return self.block.topk_or(weights, k)
+            if occurs == {Occur.MUST} and all(b == 1.0 for _, b in tbs):
+                terms = [t for t, _ in tbs]
+                if len(set(terms)) == len(terms):
+                    return self.block.topk_and(terms, k)
+            return None
+        return None

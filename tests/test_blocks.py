@@ -49,12 +49,29 @@ def test_pack_unpack_roundtrip(packed):
 
 
 def test_block_metadata_bounds(packed):
+    from lucenenet_spark.index.blocks import BLOCKS_PER_RANGE, RANGE_DOCS
+
     idx, blocks = packed
     rows = blocks.collect()
+    per_term: dict[str, list] = {}
     for r in rows:
         assert r["n_docs"] <= 128
-        assert r["min_doc"] // 128 == r["block_id"]
-        assert r["max_doc"] // 128 == r["block_id"]
+        assert r["min_doc"] <= r["max_doc"]
+        # a block never crosses its coarse range
+        assert r["min_doc"] // RANGE_DOCS == r["max_doc"] // RANGE_DOCS
+        assert r["block_id"] // BLOCKS_PER_RANGE == r["min_doc"] // RANGE_DOCS
+        per_term.setdefault(r["term"], []).append(r)
+    for t, rs in per_term.items():
+        rs.sort(key=lambda r: r["block_id"])
+        # doc runs are consecutive and non-overlapping in block_id order
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_doc"] < b["min_doc"]
+        # Lucene-style utilization: only the last chunk of each range may
+        # be partial
+        for a, b in zip(rs, rs[1:]):
+            same_range = a["block_id"] // BLOCKS_PER_RANGE == b["block_id"] // BLOCKS_PER_RANGE
+            if same_range:
+                assert a["n_docs"] == 128
 
 
 def test_wand_rank_identity(packed):

@@ -152,3 +152,28 @@ def test_pattern_replace_analyzer():
 
     a = PatternReplaceAnalyzer(r"v[0-9]ct[0-9]r", "vector")
     assert a.terms("a v3ct0r and v9ct9r here") == ["vector", "vector", "here"]
+
+
+# ------------------------------------------------------------- router
+def test_routed_searcher_rank_identical_on_reference_queries(spark):
+    from lucenenet_spark.queryparser import QueryParser
+    from lucenenet_spark.search.router import RoutedSearcher
+    from lucenenet_spark.testgen import REFERENCE_QUERIES, corpus_parquet
+
+    docs = spark.read.parquet(corpus_parquet(3000, "/root/repo/.bench_cache"))
+    idx = build_index(docs).cache()
+    idx.postings.count()
+    routed = RoutedSearcher(idx)
+    routed.block.blocks = routed.block.blocks.cache()
+    routed.block.blocks.count()
+    base = IndexSearcher(idx, mode="lucene")
+    p = QueryParser()
+    routes = {}
+    for qid, qs in REFERENCE_QUERIES:
+        q = p.parse(qs)
+        a = [(r["doc_id"], round(r["score"], 5)) for r in base.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 5)) for r in routed.search(q, 10).collect()]
+        assert a == b, (qid, qs, a[:3], b[:3])
+        routes[qid] = routed.last_route
+    # the block path must actually carry the bulk of the log
+    assert sum(1 for v in routes.values() if v == "block") >= 10, routes
