@@ -76,11 +76,12 @@ class RoutedSearcher:
                 return self.block.topk_term(tb[0], k, boost=tb[1])
             return None
         if isinstance(q, PhraseQuery):
+            consecutive = q.resolved_positions() == tuple(range(len(q.terms)))
             if (
                 q.slop == 0
                 and q.field is None
                 and q.boost == 1.0
-                and q.positions is None
+                and consecutive
                 and len(q.terms) >= 2
             ):
                 return self.block.topk_phrase(tuple(q.terms), k)
