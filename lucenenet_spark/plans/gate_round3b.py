@@ -361,3 +361,25 @@ def sweetspot_term(spark, sf_dir):
     s = SweetSpotSearcher(idx, ln_min=20, ln_max=40, steepness=0.5,
                           tf_base=1.0, tf_min=1.0)
     return _spark_score_q(s.scored(TermQuery("vector")))
+
+
+# ==========================================================================
+# Streaming exact dedup (training-pipeline op; batch twin gate — the
+# stream-vs-batch pytest carries the streaming semantics)
+# ==========================================================================
+@gate(
+    "dedup_stream_survivors",
+    """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS text_hash
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_stream_survivors(spark, sf_dir):
+    """Surviving (doc_id, text_hash) after exact dedup — the batch twin
+    of the streaming dropDuplicates plan (first-by-id representative)."""
+    from lucenenet_spark.streaming.windows import dedup_exact_stream
+
+    _, _, docs = get_engine(spark, sf_dir)
+    return dedup_exact_stream(docs).select(
+        F.col("doc_id").cast("long"), "text_hash"
+    )

@@ -159,3 +159,41 @@ def _sessionize_streaming(
     return events.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
     )
+
+
+def dedup_exact_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first document per content hash survives.
+
+    Streaming mode: `dropDuplicates` on the md5 content digest — Spark
+    keeps the FIRST arrival and maintains one state row per distinct
+    hash; with `ts_col` a watermark bounds that state
+    (dropDuplicatesWithinWatermark semantics: duplicates later than the
+    watermark window may re-emit — the standard at-scale trade).
+
+    Batch twin: deterministic representative (smallest `id_col`) per
+    hash — equals the stream's first-arrival when the source replays in
+    id order, which is what the stream-vs-batch test pins.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col).cast("binary"))
+    if docs.isStreaming:
+        df = docs.withColumn("text_hash", h)
+        if ts_col is not None:
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            df = df.withWatermark(ts_col, watermark)
+            return df.dropDuplicatesWithinWatermark(["text_hash"])
+        return df.dropDuplicates(["text_hash"])
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("text_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

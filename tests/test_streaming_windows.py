@@ -85,3 +85,35 @@ def test_sessionize_stream_closes_sessions(spark, events, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_dedup_exact_stream_matches_batch(spark, tmp_path):
+    from lucenenet_spark.streaming.windows import dedup_exact_stream
+
+    rows = [(i, f"text {i % 40}") for i in range(200)]  # 5 dups per text
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    # write in doc_id order so the stream's first arrival == smallest id
+    docs.orderBy("doc_id").write.mode("overwrite").parquet(src)
+    batch = {
+        (r["doc_id"], r["text_hash"])
+        for r in dedup_exact_stream(spark.read.parquet(src)).collect()
+    }
+    assert len(batch) == 40
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = dedup_exact_stream(stream).select("doc_id", "text_hash")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["text_hash"])
+        for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    assert got == batch
