@@ -383,3 +383,46 @@ def dedup_stream_survivors(spark, sf_dir):
     return dedup_exact_stream(docs).select(
         F.col("doc_id").cast("long"), "text_hash"
     )
+
+
+# ==========================================================================
+# FastVectorHighlighter analogue (Highlighter/VectorHighlight/):
+# phrase-aware highlighting from stored positions.
+# ==========================================================================
+@gate(
+    "fvh_phrase_fragment",
+    SQL_PRELUDE + """,
+st AS (
+  SELECT a.doc_id, a.pos AS p0 FROM tokf a
+  JOIN tokf b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+),
+mm AS (
+  SELECT doc_id, min(p0) AS m0,
+         list_distinct(flatten(list([p0, p0 + 1]))) AS mset
+  FROM st GROUP BY doc_id
+),
+fr AS (
+  SELECT mm.doc_id, mm.m0, mm.mset,
+         string_split(d.text, ' ') AS toks
+  FROM mm JOIN documents d USING (doc_id)
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           range(CAST(greatest(0, m0 - 3) AS BIGINT),
+                 CAST(least(len(toks) - 1, m0 + 1 + 3) AS BIGINT) + 1),
+           i -> CASE WHEN list_contains(mset, i)
+                     THEN '<b>' || toks[i + 1] || '</b>'
+                     ELSE toks[i + 1] END),
+         ' ') AS frag
+FROM fr
+""",
+)
+def fvh_phrase_fragment(spark, sf_dir):
+    """Phrase "key agg": fragment around the first match, only
+    phrase-participating occurrences bolded (FieldPhraseList semantics)."""
+    from lucenenet_spark.search.fvh import fvh_phrase_fragments
+
+    idx, _, docs = get_engine(spark, sf_dir)
+    return fvh_phrase_fragments(idx, docs, ["key", "agg"])

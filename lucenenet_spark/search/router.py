@@ -34,11 +34,20 @@ class RoutedSearcher:
     BlockIndexSearcher (one lazy job per query, WAND-pruned) and the rest
     from the exploded path."""
 
-    def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None):
+    def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None,
+                 plan_cache_size: int = 1024):
         self.index = index
         self.block = BlockIndexSearcher(index, blocks)
         self.exploded = IndexSearcher(index, mode="lucene")
         self.last_route: str = ""
+        # driver-side plan cache: query values are frozen dataclasses, so
+        # (query, k) keys the compiled lazy DataFrame — a repeated query
+        # skips rewrite/routing/plan construction entirely (the analogue
+        # of the reference's LRUQueryCache/CachingWrapperFilter at the
+        # plan level; results stay fresh because the plan is lazy over
+        # the live blocks/postings tables)
+        self._plan_cache: dict = {}
+        self._plan_cache_size = plan_cache_size
 
     def warm(self, terms: list[str] | None = None) -> None:
         """Reader-open warm-up: load term stats + block metadata for the
@@ -49,13 +58,22 @@ class RoutedSearcher:
             self.block._load_meta(fld, terms)
 
     def search(self, query: Query, k: int = 10) -> DataFrame:
+        key = (query, k)
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            plan, route = hit
+            self.last_route = route + "+cached"
+            return plan
         q = rewrite(query)
         plan = self._route(q, k)
-        if plan is not None:
-            self.last_route = "block"
-            return plan
-        self.last_route = "exploded"
-        return self.exploded.search(q, k)
+        route = "block" if plan is not None else "exploded"
+        if plan is None:
+            plan = self.exploded.search(q, k)
+        self.last_route = route
+        if len(self._plan_cache) >= self._plan_cache_size:
+            self._plan_cache.pop(next(iter(self._plan_cache)))  # FIFO evict
+        self._plan_cache[key] = (plan, route)
+        return plan
 
     # ------------------------------------------------------------- routing
     def _route(self, q: Query, k: int) -> DataFrame | None:

@@ -177,3 +177,36 @@ def test_routed_searcher_rank_identical_on_reference_queries(spark):
         routes[qid] = routed.last_route
     # the block path must actually carry the bulk of the log
     assert sum(1 for v in routes.values() if v == "block") >= 10, routes
+
+
+# ------------------------------------------------------------- FVH
+def test_fvh_marks_only_phrase_participants(spark):
+    from lucenenet_spark.search.fvh import fvh_phrase_fragments
+
+    rows = [
+        (0, "key alone here then key agg match and more words after"),
+        (1, "agg key reversed no match"),
+        (2, "x y key agg z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs).cache()
+    out = {r["doc_id"]: r["frag"] for r in fvh_phrase_fragments(idx, docs, ["key", "agg"]).collect()}
+    assert set(out) == {0, 2}
+    # doc 0: the isolated leading 'key' (pos 0) is NOT bolded; match at 4
+    assert out[0] == "alone here then <b>key</b> <b>agg</b> match and more"
+    # doc 2: window clamps at doc start/end
+    assert out[2] == "x y <b>key</b> <b>agg</b> z"
+
+
+def test_router_plan_cache(spark):
+    from lucenenet_spark.search.router import RoutedSearcher
+
+    rows = [(d, f"hot w{d % 13}") for d in range(512)]
+    idx = build_index(spark.createDataFrame(rows, "doc_id long, text string")).cache()
+    s = RoutedSearcher(idx)
+    q = TermQuery("hot")
+    a = s.search(q, 5).collect()
+    assert s.last_route == "block"
+    b = s.search(TermQuery("hot"), 5).collect()  # equal (frozen dataclass) key
+    assert s.last_route == "block+cached"
+    assert a == b
