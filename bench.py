@@ -93,12 +93,17 @@ def main() -> None:
     t0 = time.time()
     bsearcher = BlockIndexSearcher(idx)  # serving mode (collect_stats=False)
     nb_est = max(2, n_postings // (128 * 10_000) + 1)
+    # persist BEFORE repartitionByRange: boundary sampling would otherwise
+    # re-execute the whole pack pipeline (TODO.md range-sampling gotcha)
+    packed_once = bsearcher.blocks.persist()
+    packed_once.count()
     bsearcher.blocks = (
-        bsearcher.blocks.repartitionByRange(nb_est, "field", "term", "block_id")
+        packed_once.repartitionByRange(nb_est, "field", "term", "block_id")
         .sortWithinPartitions("field", "term", "block_id")
         .cache()
     )
     n_blocks = bsearcher.blocks.count()
+    packed_once.unpersist()
     timings["block_pack"] = round(time.time() - t0, 4)
 
     searcher = IndexSearcher(idx, mode="lucene")

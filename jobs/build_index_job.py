@@ -68,9 +68,12 @@ def main() -> None:
     if args.pack_blocks:
         from lucenenet_spark.index.blocks import pack_postings
 
-        pack_postings(idx.postings).repartitionByRange(8, "term").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(args.output, "blocks"))
+        _blocks = pack_postings(idx.postings).persist()
+        _blocks.count()  # materialize before range sampling (gotcha)
+        _blocks.repartitionByRange(8, "term").write.mode("overwrite").parquet(
+            os.path.join(args.output, "blocks")
+        )
+        _blocks.unpersist()
 
     metrics = writer.metrics()
     metrics["index_dir"] = os.path.join(args.output, "index")

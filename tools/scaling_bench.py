@@ -54,12 +54,15 @@ build_sec = time.time() - t0
 from lucenenet_spark.search.router import RoutedSearcher
 t0 = time.time()
 searcher = RoutedSearcher(idx)
+_packed_once = searcher.block.blocks.persist()
+_packed_once.count()  # materialize before range sampling (gotcha)
 searcher.block.blocks = (
-    searcher.block.blocks.repartitionByRange(4, "field", "term", "block_id")
+    _packed_once.repartitionByRange(4, "field", "term", "block_id")
     .sortWithinPartitions("field", "term", "block_id")
     .cache()
 )
 searcher.block.blocks.count()
+_packed_once.unpersist()
 pack_sec = time.time() - t0
 
 parser = QueryParser()
