@@ -342,16 +342,27 @@ class BlockIndexSearcher:
             surviving = {t: m["bid"][masks[t]] for t, m in meta.items()}
         else:
             all_r, ub_sum, present = self._range_compose(meta, ubs)
-            keep = np.ones(len(all_r), dtype=bool)
-            if theta is not None:
-                keep &= ub_sum >= theta * (1.0 - _EPS)
-            surv_r = all_r[keep]
-            if len(surv_r) == 0:
-                self.last_stats = {"blocks_total": total, "blocks_scored": 0}
-                return self._empty()
-            surviving = {
-                t: m["bid"][np.isin(m["rng"], surv_r)] for t, m in meta.items()
-            }
+            if theta is None:
+                surviving = {t: m["bid"] for t, m in meta.items()}
+            else:
+                # mixed-granularity bound, strictly tighter than the range
+                # grid alone: a doc in block b of term t scores at most
+                # ub_t(b) + sum over OTHER terms of their range max, i.e.
+                # ub_sum(range) - rmax_t(range) + ub_t(b). Blocks below
+                # theta are pruned even when their range as a whole is not.
+                surviving = {}
+                for t, m in meta.items():
+                    rng = m["rng"]
+                    starts = np.r_[0, np.flatnonzero(np.diff(rng)) + 1]
+                    counts = np.diff(np.r_[starts, len(rng)])
+                    r_ub = np.maximum.reduceat(ubs[t], starts)
+                    rmax_per_block = np.repeat(r_ub, counts)
+                    idx = np.searchsorted(all_r, rng)
+                    bound = ub_sum[idx] - rmax_per_block + ubs[t]
+                    surviving[t] = m["bid"][bound >= theta * (1.0 - _EPS)]
+                if all(len(v) == 0 for v in surviving.values()):
+                    self.last_stats = {"blocks_total": total, "blocks_scored": 0}
+                    return self._empty()
         scored = sum(len(v) for v in surviving.values())
         self.last_stats = {"blocks_total": total, "blocks_scored": scored}
         use = None if scored == total else surviving

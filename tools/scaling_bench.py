@@ -70,6 +70,9 @@ parser = QueryParser()
 # warmup run): loads term stats + block metadata, compiles codegen
 for qid, qs in REFERENCE_QUERIES:
     searcher.search(parser.parse(qs), 10).collect()
+# the timed pass must measure FRESH plan construction, not cache hits
+# from the warm pass (equal frozen query dataclasses key the plan cache)
+searcher._plan_cache.clear()
 lat = []
 routes = {}
 t_all0 = time.time()
