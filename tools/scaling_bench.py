@@ -42,7 +42,15 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-corpus = spark.read.parquet(corpus_path).repartition(cpus * 2, "doc_id").persist()
+# Python-heavy stages (Arrow tokenizer) collapse this host past ~16
+# concurrent workers (memory bus; TODO.md gotcha) — cap the partition
+# count so higher core counts add JVM parallelism without oversubscribing
+# Python workers. On a real cluster this is executor sizing, not code.
+corpus = (
+    spark.read.parquet(corpus_path)
+    .repartition(min(cpus * 2, 16), "doc_id")
+    .persist()
+)
 corpus.count()  # warm the cache: generation/read excluded from the timed build
 
 t0 = time.time()
