@@ -28,10 +28,42 @@ the near-dup family generalizes it for training-data pipelines.
 
 from __future__ import annotations
 
+from collections import deque
 from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Persisted-intermediate lifecycle.  The dedup builders return LAZY plans, so
+# they cannot unpersist in a try/finally themselves (the caller's action
+# happens later).  Instead every internal .persist() is tracked in a bounded
+# FIFO: a new dedup invocation evicts (unpersists) the oldest entries beyond
+# _MAX_LIVE, so executor storage across repeated calls in a long-lived
+# session stays bounded at ~one invocation's worth instead of growing
+# forever.  _MAX_LIVE = 3 because one ngram_jaccard_pairs call persists at
+# most 3 intermediates (capped shingle base, verify-stage shingles, band
+# buckets) — eviction can never touch the in-flight call's own frames.
+# Callers that want deterministic cleanup call release_intermediates() after
+# their action; acting on a plan from an OLDER call after newer calls have
+# evicted its cache is still correct, just recomputes.
+# ---------------------------------------------------------------------------
+_MAX_LIVE = 3
+_INTERMEDIATES: deque = deque()
+
+
+def _track(df: DataFrame) -> DataFrame:
+    df.persist()
+    _INTERMEDIATES.append(df)
+    while len(_INTERMEDIATES) > _MAX_LIVE:
+        _INTERMEDIATES.popleft().unpersist()
+    return df
+
+
+def release_intermediates() -> None:
+    """Unpersist every live dedup intermediate (call after your action)."""
+    while _INTERMEDIATES:
+        _INTERMEDIATES.popleft().unpersist()
 
 # Web-scale defaults: 128 permutations x 16 bands (8 rows/band) puts the
 # LSH s-curve threshold at (1/16)^(1/8) ~= 0.707 — candidates are likely
@@ -91,7 +123,7 @@ def capped_shingles(
     A common shingle carries ~zero near-dup signal but O(df^2) join cost;
     dropping it is the CommonTermsQuery df-cutoff idea applied to dedup.
     """
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).persist()
+    sh = _track(shingles(docs, n=n, text_col=text_col, id_col=id_col))
     heavy = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -170,10 +202,9 @@ def minhash_lsh_pairs(
         # fixed-width — bands * n_docs digests, not per-posting cost
         bucket = F.md5(F.concat_ws("#", *cols).cast("binary"))
         band_structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    bands_df = (
+    bands_df = _track(
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()
     )
     if max_bucket_size is not None:
         big = (
@@ -255,7 +286,7 @@ def ngram_jaccard_pairs(
         if shingle_df_cap is not None
         else shingles(docs, n=n, text_col=text_col, id_col=id_col)
     )
-    sh = sh.persist()
+    sh = _track(sh)
     if candidates is None:
         candidates = minhash_lsh_pairs(
             sh.withColumnRenamed("shingle", "term"), n_hashes=n_hashes, bands=bands

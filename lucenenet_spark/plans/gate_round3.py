@@ -549,10 +549,11 @@ def facet_sum_assoc(spark, sf_dir):
 @gate(
     "facet_sampled",
     SQL_PRELUDE + """
-SELECT d.source AS source, CAST(count(*) * 5 AS BIGINT) AS est_cnt
+SELECT d.source AS source,
+       CAST(floor(count(*) * 100.0 / 20 + 0.5) AS BIGINT) AS est_cnt
 FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'vector') m
 JOIN documents d USING (doc_id)
-WHERE (m.doc_id * 2654435761) % 100 < 20
+WHERE (m.doc_id % 2147483648) * 2654435761 % 100 < 20
 GROUP BY d.source
 """,
 )

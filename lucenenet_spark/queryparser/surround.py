@@ -2,7 +2,7 @@
 
 Reference: QueryParser/Surround/ (Parser/QueryParser.jj grammar +
 Query/DistanceQuery.cs, OrQuery.cs, AndQuery.cs, NotQuery.cs,
-SimpleTerm.cs): queries like  `and(4w(merge, key), not(dup))` where
+SimpleTerm.cs): queries like  `not(4w(merge, key), dup)` where
   nW(a, b, ...)  — ordered proximity, distance n  (w == 1w, adjacency)
   nN(a, b, ...)  — unordered proximity, distance n
   and/or/not     — boolean composition (infix forms AND/OR/NOT also exist
@@ -119,7 +119,12 @@ def _eval(index: InvertedIndex, node, field) -> DataFrame:
             out = out.unionByName(p)
         return out.distinct()
     if op == "not":
-        # not(a, b, ...) = a minus (b or c ...)  (NotQuery.cs)
+        # not(a, b, ...) = a minus (b or c ...)  (NotQuery.cs — the
+        # reference's NotQuery is a >=2-operand composite; a 1-operand
+        # not() would silently return the operand's docset, i.e.
+        # INCLUSION instead of exclusion, so reject it)
+        if len(parts) < 2:
+            raise ValueError("not() requires at least 2 operands: not(a, b, ...)")
         out = parts[0]
         for p in parts[1:]:
             out = out.join(p, "doc_id", "left_anti")

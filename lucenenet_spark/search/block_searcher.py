@@ -125,6 +125,21 @@ class BlockIndexSearcher:
         to cache (use the distributed path)."""
         missing = [t for t in terms if (fld, t) not in self._meta]
         if missing:
+            # Guard the collect itself: a stopword-scale term has ~df/128
+            # blocks, and collecting those rows just to discover they exceed
+            # the cache bound would OOM the driver. df is already driver-
+            # resident (or an O(|terms|) pushdown lookup), so estimate first
+            # and mark over-budget terms None WITHOUT collecting their rows.
+            # df // BLOCK_SIZE is a lower bound on the true block count
+            # (range boundaries can split blocks), so the exact post-collect
+            # check below still applies to the terms we do fetch.
+            stats = self.inner._term_stats([(fld, t) for t in missing])
+            for t in list(missing):
+                est = max(1, stats.get((fld, t), (0, 0))[0] // BLOCK_SIZE)
+                if self._meta_rows + est > self.meta_cache_max_rows:
+                    self._meta[(fld, t)] = None
+                    missing.remove(t)
+        if missing:
             rows = (
                 self.blocks.filter(
                     (F.col("field") == fld) & (F.col("term").isin(missing))
@@ -269,6 +284,7 @@ class BlockIndexSearcher:
         (per-term IN-lists — block ids are per-term ordinals), decode,
         score, top-k. No joins, no extra actions."""
         pred = (F.col("field") == fld) & F.col("term").isin(terms)
+        applied = False
         if surviving is not None and sum(len(v) for v in surviving.values()) <= _MAX_INLIST:
             tpred = None
             for t, bids in surviving.items():
@@ -278,6 +294,15 @@ class BlockIndexSearcher:
                 tpred = c if tpred is None else (tpred | c)
             if tpred is not None:
                 pred = pred & tpred
+                applied = True
+        if surviving is not None and not applied:
+            # IN-list skipped (too weak to pay for itself): every candidate
+            # block is scanned, so report that honestly — pruning stats are
+            # bench evidence and must not overstate pruning in this regime.
+            self.last_stats["blocks_scored"] = self.last_stats.get(
+                "blocks_total", self.last_stats.get("blocks_scored")
+            )
+            self.last_stats["inlist_applied"] = False
         decoded = self._explode_cols(self.blocks.filter(pred))
         wmap = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))])
         per_term = decoded.select(

@@ -182,13 +182,24 @@ def sampled_facet_counts(
     doc_id mod 100 < percent) — the fixed-seed variant of the reference's
     sampled collector, scaled back up by 100/percent (AmortizeFacetCounts
     idea). Engine-portable arithmetic: the identical expression runs in
-    SQL."""
-    sample = searcher.docset(query).filter(
-        (F.col("doc_id") * F.lit(seed_mult)) % F.lit(100) < F.lit(percent)
+    SQL.
+
+    The hash multiplies only the LOW 31 BITS of doc_id (pmod first), so the
+    product is bounded by 2^31 * 2654435761 ~ 5.7e18 < int64 max — no
+    overflow-to-negative at any doc_id, and pmod keeps the remainder
+    non-negative (a raw % on an overflowed negative product would pass
+    `< percent` ~50% of the time instead of percent%). Scaling uses
+    100.0/percent so percents that do not divide 100 (e.g. 33) scale
+    correctly (x3.03, not x3)."""
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(seed_mult), F.lit(100)
     )
+    sample = searcher.docset(query).filter(h < F.lit(percent))
     m = sample.join(meta.select("doc_id", dim), "doc_id")
     return m.groupBy(dim).agg(
-        (F.count(F.lit(1)) * F.lit(100 // percent)).cast("long").alias("est_cnt")
+        F.floor(F.count(F.lit(1)) * F.lit(100.0) / F.lit(float(percent)) + F.lit(0.5))
+        .cast("long")
+        .alias("est_cnt")
     )
 
 

@@ -386,19 +386,31 @@ class FreeTextSuggester:
         ctx = self.analyzer.terms(context)
         cw = ctx[-1] if ctx else None
         uni = self.unigrams.filter(F.col("w2").startswith(prefix))
-        bi = self.bigrams.filter(
-            (F.col("w1") == F.lit(cw)) & F.col("w2").startswith(prefix)
-        )
-        ctx_count = self.unigrams.filter(F.col("w2") == F.lit(cw)).select(
-            F.col("c1").alias("cc")
-        )
-        joined = uni.join(bi.select("w2", "c2"), "w2", "left").crossJoin(ctx_count)
-        score = F.when(
-            F.col("c2").isNotNull(),
-            F.col("c2").cast("double") / F.col("cc").cast("double"),
-        ).otherwise(
+        cc = None
+        if cw is not None:
+            row = self.unigrams.filter(F.col("w2") == F.lit(cw)).select("c1").collect()
+            cc = int(row[0][0]) if row else None
+        backoff = (
             F.lit(self.ALPHA) * F.col("c1").cast("double") / F.lit(float(self.total))
         )
+        if cc is None:
+            # Empty/unanalyzable context, or a context word never seen in
+            # the corpus: the bigram numerator is 0 for every candidate, so
+            # stupid backoff degenerates to the ALPHA-scaled unigram
+            # ranking. (Joining against the empty ctx-count frame would
+            # instead return ZERO suggestions — the w1 == NULL comparison
+            # matches nothing and the count crossJoin empties the plan.)
+            joined = uni
+            score = backoff
+        else:
+            bi = self.bigrams.filter(
+                (F.col("w1") == F.lit(cw)) & F.col("w2").startswith(prefix)
+            )
+            joined = uni.join(bi.select("w2", "c2"), "w2", "left")
+            score = F.when(
+                F.col("c2").isNotNull(),
+                F.col("c2").cast("double") / F.lit(float(cc)),
+            ).otherwise(backoff)
         return (
             joined.select(
                 F.col("w2").alias("token"),

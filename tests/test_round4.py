@@ -1,0 +1,121 @@
+"""Round-4 regression tests: ADVICE r3 fixes + persisted-intermediate
+lifecycle for the dedup pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# dedup persist lifecycle: repeated invocations must not grow executor
+# storage (VERDICT r3 "What's wrong" #2)
+# ---------------------------------------------------------------------------
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_dedup_intermediates_bounded(spark, corpus_df):
+    from lucenenet_spark.functions import dedup
+
+    dedup.release_intermediates()
+    base = _n_persistent(spark)
+    counts = []
+    for _ in range(3):
+        pairs = dedup.ngram_jaccard_pairs(corpus_df, n=3, threshold_q=5000)
+        pairs.count()
+        counts.append(_n_persistent(spark) - base)
+    # bounded at one invocation's worth (3 tracked frames), not 3x growth
+    assert counts[0] <= dedup._MAX_LIVE
+    assert counts[-1] <= dedup._MAX_LIVE
+    dedup.release_intermediates()
+    assert _n_persistent(spark) - base == 0
+
+
+# ---------------------------------------------------------------------------
+# surround not() arity (ADVICE r3 #2)
+# ---------------------------------------------------------------------------
+def test_surround_not_single_operand_rejected(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.queryparser.surround import surround_docs
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="not\\(\\) requires"):
+        surround_docs(idx, "and(w(w0000, w0001), not(w0002))")
+    # 2-operand form still works: a minus b
+    a = {r.doc_id for r in surround_docs(idx, "not(w0000, w0001)").collect()}
+    has_a = {r.doc_id for r in idx.postings.filter(F.col("term") == "w0000")
+             .select("doc_id").distinct().collect()}
+    has_b = {r.doc_id for r in idx.postings.filter(F.col("term") == "w0001")
+             .select("doc_id").distinct().collect()}
+    assert a == has_a - has_b
+
+
+# ---------------------------------------------------------------------------
+# sampled facet: overflow-safe hash, non-divisor percent scaling (ADVICE #3)
+# ---------------------------------------------------------------------------
+def test_sampled_facet_large_doc_ids_and_odd_percent(spark):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.collectors import sampled_facet_counts
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    # doc_ids far beyond 2^32: the old doc_id * 2654435761 overflowed int64
+    big = 5_000_000_000
+    rows = [(big + i, f"apple common{i % 7}", "s" + str(i % 2)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    idx = build_index(docs, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    out = sampled_facet_counts(s, TermQuery("apple"), docs, "source", percent=33)
+    got = {r["source"]: r["est_cnt"] for r in out.collect()}
+    # exact expected: replicate hash + floor(n*100/33+0.5) in python
+    import collections
+    sampled = collections.Counter()
+    for did, _txt, src in rows:
+        if (did % 2147483648) * 2654435761 % 100 < 33:
+            sampled[src] += 1
+    exp = {s_: int(n * 100.0 / 33 + 0.5) for s_, n in sampled.items()}
+    assert got == exp
+    # sanity: sample rate is ~percent, not ~50%+ (the overflow symptom)
+    assert sum(sampled.values()) <= 60 * 0.5
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester: empty / unseen context falls back to unigram ranking
+# (ADVICE r3 #5)
+# ---------------------------------------------------------------------------
+def test_free_text_suggest_empty_context(spark):
+    from lucenenet_spark.search.suggest import FreeTextSuggester
+
+    docs = spark.createDataFrame(
+        [(0, "merge keys fast merge keys"), (1, "merge sort slow")],
+        "doc_id long, text string",
+    )
+    sug = FreeTextSuggester(docs).cache()
+    # empty context -> unigram backoff, NOT zero rows
+    out = sug.lookup("", "me", 5).collect()
+    assert [r["token"] for r in out] == ["merge"]
+    # context word never seen in the corpus -> same backoff
+    out2 = sug.lookup("zzzunseen", "me", 5).collect()
+    assert [r["token"] for r in out2] == ["merge"]
+    # normal context path unchanged: bigram (fast, merge) exists
+    out3 = sug.lookup("fast", "me", 5).collect()
+    assert [r["token"] for r in out3] == ["merge"]
+
+
+# ---------------------------------------------------------------------------
+# block searcher: stopword-scale meta is never collected (ADVICE r3 #1),
+# and skipped IN-lists report honest pruning stats (ADVICE r3 #4)
+# ---------------------------------------------------------------------------
+def test_load_meta_budget_without_collect(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.block_searcher import BlockIndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    bs = BlockIndexSearcher(idx, meta_cache_max_rows=0)
+    fld = idx.default_field
+    meta = bs._load_meta(fld, ["w0000"])
+    # over budget by estimate -> marked None with ZERO rows collected
+    assert meta["w0000"] is None
+    assert bs._meta_rows == 0
+    # queries still work through the distributed fallback
+    top = bs.topk_term("w0000", k=5).collect()
+    assert len(top) == 5
