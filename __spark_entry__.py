@@ -26,8 +26,40 @@ from lucenenet_spark.plans import gate_fields as _gate_fields  # noqa: E402  (re
 from lucenenet_spark.plans import gate_modules as _gate_modules  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round3 as _gate_round3  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round3b as _gate_round3b  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round4 as _gate_round4  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
+
+# The driver's correctness harness records only the FIRST 50 queries()
+# entries per round, so the dict order below ROTATES coverage: gates that
+# have never appeared in a CORRECTNESS_r* file come first (registry
+# insertion order — rounds 1-3 leftovers, then round-4 additions), and the
+# ones already driver-verified in rounds 1-3 (every name below has >= 1
+# fully green rows+schema+hash record) move to the back. All entries stay
+# present and stay green locally (tools/gate_check.py runs the full set).
+_DRIVER_VERIFIED_R123 = frozenset({
+    "term_query", "term_query_topk", "boolean_and", "boolean_or",
+    "boolean_not", "boolean_msm", "boolean_mixed", "boost_query",
+    "phrase_query", "dismax_query", "prefix_query", "wildcard_query",
+    "term_range_query", "fuzzy_query", "high_freq_terms", "total_hits",
+    "facet_lang", "facet_source_term", "facet_range_nchars", "sort_by_field",
+    "group_topk", "join_by_source", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "token_counts", "quality_stats", "language_id",
+    "doc_fingerprint", "cosine_topk", "numeric_range_events",
+    "time_bucket_counts", "span_near_ordered", "span_near_unordered",
+    "span_first", "rescore_topk", "mlt_topk", "phrase_sloppy",
+    "simhash_fingerprint", "ann_lsh_topk", "field_term_query",
+    "field_parser_query", "multi_phrase", "tfidf_term_query",
+    "tfidf_bool_or", "block_join_max", "block_join_avg", "knn_classify",
+    "naive_bayes", "span_or",
+})
+
+
+def _ordered() -> list[tuple[str, tuple]]:
+    items = list(GATE.items())
+    fresh = [x for x in items if x[0] not in _DRIVER_VERIFIED_R123]
+    seen = [x for x in items if x[0] in _DRIVER_VERIFIED_R123]
+    return fresh + seen
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,8 +69,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in GATE.items()}
+    return {name: fn for name, (fn, _sql) in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in GATE.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in _ordered() if sql is not None}

@@ -251,8 +251,19 @@ class BlockIndexSearcher:
         )
         return out
 
+    @staticmethod
+    def _keyset(after: tuple[float, int] | None):
+        """SearchAfter keyset predicate on the scored rows
+        (TopScoreDocCollector.cs:112-114 tie-break); None = first page."""
+        if after is None:
+            return None
+        a_score, a_doc = float(after[0]), int(after[1])
+        return (F.col("score") < F.lit(a_score)) | (
+            (F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc))
+        )
+
     def _meta_theta(self, meta: dict[str, dict], weights: dict[str, float],
-                    fld: str, k: int) -> float | None:
+                    fld: str, k: int, max_score: float | None = None) -> float | None:
         """Guaranteed k-th-best-score threshold from the impact lists
         alone.  Per term t, the flattened impact multiset {(score, count)}
         is the term's EXACT per-doc score distribution (up to pairs beyond
@@ -260,15 +271,31 @@ class BlockIndexSearcher:
         bound): sorting scores descending and accumulating counts to k
         gives g_t = a score >= the k-th best single-term contribution of
         >= k DISTINCT docs.  theta = max_t g_t — any doc's OR sum is >=
-        its single-term contribution, so at least k docs score >= theta."""
+        its single-term contribution, so at least k docs score >= theta.
+
+        max_score (SearchAfter pages, SINGLE-term only): truncate the
+        distribution to scores STRICTLY below the previous page's last
+        score before accumulating — the remaining multiset is exactly the
+        eligible docs minus same-score ties, so g_t underestimates (never
+        overestimates) the page's true k-th score: a safe theta.  Tie docs
+        themselves score == after.score > theta, so their blocks survive
+        the prune.  (For multi-term OR the filter applies to the SUM, not
+        the per-term contribution, so no sound truncation exists — callers
+        pass max_score only when len(meta) == 1.)"""
         cache = self._cache_np(fld).astype(np.float64)
         theta = None
         for t, m in meta.items():
             if len(m["itf"]) == 0:
                 continue
             s = weights[t] * m["itf"] / (m["itf"] + cache[m["inb"]])
+            cnt = m["icnt"]
+            if max_score is not None:
+                keep = s < max_score
+                s, cnt = s[keep], cnt[keep]
+                if len(s) == 0:
+                    continue
             order = np.argsort(-s, kind="stable")
-            covered = np.cumsum(m["icnt"][order])
+            covered = np.cumsum(cnt[order])
             hit = np.searchsorted(covered, k)
             if hit >= len(order):
                 continue
@@ -279,7 +306,7 @@ class BlockIndexSearcher:
 
     def _scan_plan(self, terms: list[str], weights: dict[str, float], fld: str,
                    surviving: dict[str, np.ndarray] | None, k: int, mode: str,
-                   n_terms: int) -> DataFrame:
+                   n_terms: int, after: tuple[float, int] | None = None) -> DataFrame:
         """The returned (lazy) plan: pushdown-filter surviving blocks
         (per-term IN-lists — block ids are per-term ordinals), decode,
         score, top-k. No joins, no extra actions."""
@@ -322,6 +349,9 @@ class BlockIndexSearcher:
             out = agg.select(
                 "doc_id", F.col("score").cast("float").cast("double").alias("score")
             )
+        ks = self._keyset(after)
+        if ks is not None:
+            out = out.filter(ks)
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _empty(self) -> DataFrame:
@@ -329,7 +359,8 @@ class BlockIndexSearcher:
 
     def _driver_two_phase(self, meta: dict[str, dict], terms: list[str],
                           weights: dict[str, float], fld: str, k: int,
-                          mode: str, n_terms: int) -> DataFrame:
+                          mode: str, n_terms: int,
+                          after: tuple[float, int] | None = None) -> DataFrame:
         """Driver-arithmetic WAND: metadata-only theta + ub pruning, then
         ONE lazy plan over the surviving blocks. No Spark action happens
         here — serving cost is exactly the caller's single job.
@@ -348,7 +379,15 @@ class BlockIndexSearcher:
             # AND: a range containing all terms still guarantees no single
             # doc matches them all, so metadata gives no safe theta — the
             # candidate intersection below is the pruning.
-            theta = self._meta_theta(meta, weights, fld, k)
+            # SearchAfter pages: a sound truncated-impact theta exists only
+            # for single-term queries (see _meta_theta); multi-term OR
+            # pages scan all candidate blocks with the keyset filter.
+            if after is None:
+                theta = self._meta_theta(meta, weights, fld, k)
+            elif n_terms == 1:
+                theta = self._meta_theta(
+                    meta, weights, fld, k, max_score=float(after[0])
+                )
 
         if n_terms == 1 and mode != "and":
             t = next(iter(meta))
@@ -391,7 +430,7 @@ class BlockIndexSearcher:
         scored = sum(len(v) for v in surviving.values())
         self.last_stats = {"blocks_total": total, "blocks_scored": scored}
         use = None if scored == total else surviving
-        return self._scan_plan(terms, weights, fld, use, k, mode, n_terms)
+        return self._scan_plan(terms, weights, fld, use, k, mode, n_terms, after)
 
     # ---------------------------------------------- distributed fallback
     def _metas(self, terms: list[str], weights: dict[str, float], fld: str) -> DataFrame:
@@ -426,9 +465,16 @@ class BlockIndexSearcher:
         )
 
     def _two_phase(self, metas: DataFrame, weights: dict[str, float], fld: str,
-                   k: int, mode: str, n_terms: int) -> DataFrame:
+                   k: int, mode: str, n_terms: int,
+                   after: tuple[float, int] | None = None) -> DataFrame:
         """Distributed seed -> theta -> prune on the RANGE grid (fallback
-        for terms whose block metadata exceeds the driver cache bound)."""
+        for terms whose block metadata exceeds the driver cache bound).
+
+        SearchAfter pages stay sound here: the keyset filter is applied to
+        the SEED scoring too, so theta is the k-th ACHIEVED score among
+        page-eligible docs — blocks pruned by ub_sum < theta cannot hold
+        any doc scoring >= theta, eligible or not."""
+        ks = self._keyset(after)
         per_tr = metas.groupBy("term", "rng").agg(
             F.max("ub").alias("ub"), F.sum("n_docs").alias("nd")
         )
@@ -457,15 +503,19 @@ class BlockIndexSearcher:
             if covered >= k and len(seed_ids) >= 4:
                 break
         seed_metas = metas.filter(F.col("rng").isin(seed_ids))
+        seed_scored = self._score_decoded(seed_metas, weights, fld, mode, n_terms)
+        if ks is not None:
+            seed_scored = seed_scored.filter(ks)
         seed_topk = (
-            self._score_decoded(seed_metas, weights, fld, mode, n_terms)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            seed_scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
         )
         if len(seed_topk) < k:
             self.last_stats = {"blocks_total": total, "blocks_scored": total}
             out = self._score_decoded(metas, weights, fld, mode, n_terms)
+            if ks is not None:
+                out = out.filter(ks)
             return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         theta = float(seed_topk[-1]["score"])
 
@@ -476,29 +526,40 @@ class BlockIndexSearcher:
         n_scored = surviving_ids.count() if self.collect_stats else None
         self.last_stats = {"blocks_total": total, "blocks_scored": n_scored}
         out = self._score_decoded(survivors, weights, fld, mode, n_terms)
+        if ks is not None:
+            out = out.filter(ks)
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ------------------------------------------------------------- public
     def topk_term(self, term: str, k: int = 10, boost: float = 1.0,
-                  field: str | None = None) -> DataFrame:
-        return self.topk_or({term: boost}, k, field)
+                  field: str | None = None,
+                  after: tuple[float, int] | None = None) -> DataFrame:
+        return self.topk_or({term: boost}, k, field, after=after)
 
     def topk_or(self, term_boosts: dict[str, float], k: int = 10,
-                field: str | None = None) -> DataFrame:
+                field: str | None = None,
+                after: tuple[float, int] | None = None) -> DataFrame:
         """Multi-term disjunction with aligned block-max WAND pruning
         (DisjunctionSumScorer semantics, scores rank-identical to
-        IndexSearcher's OR)."""
-        return self._topk(list(term_boosts), dict(term_boosts), k, field, "or")
+        IndexSearcher's OR).  `after` = (score, doc_id) of the previous
+        page's last hit (IndexSearcher.SearchAfter): the keyset predicate
+        is pushed into the pruned single-job plan; single-term pages keep
+        a sound truncated-impact theta."""
+        return self._topk(list(term_boosts), dict(term_boosts), k, field, "or",
+                          after=after)
 
     def topk_and(self, terms: list[str], k: int = 10,
-                 field: str | None = None) -> DataFrame:
+                 field: str | None = None,
+                 after: tuple[float, int] | None = None) -> DataFrame:
         """Conjunction: block-range intersection (every term present in
         the block — the skip-list Advance analogue) + summed-ub pruning
         (ConjunctionScorer semantics)."""
-        return self._topk(list(terms), {t: 1.0 for t in terms}, k, field, "and")
+        return self._topk(list(terms), {t: 1.0 for t in terms}, k, field, "and",
+                          after=after)
 
     def _topk(self, terms: list[str], boosts: dict[str, float], k: int,
-              field: str | None, mode: str) -> DataFrame:
+              field: str | None, mode: str,
+              after: tuple[float, int] | None = None) -> DataFrame:
         fld = field or self.index.default_field
         weights = self._weights(boosts, fld)
         n_terms = len(terms)
@@ -506,11 +567,12 @@ class BlockIndexSearcher:
         live = {t: m for t, m in meta.items() if m is not None and len(m["bid"])}
         if any(m is None for m in meta.values()):
             metas = self._metas(terms, weights, fld)
-            return self._two_phase(metas, weights, fld, k, mode, n_terms)
+            return self._two_phase(metas, weights, fld, k, mode, n_terms, after)
         if not live or (mode == "and" and len(live) < n_terms):
             self.last_stats = {"blocks_total": 0, "blocks_scored": 0}
             return self._empty()
-        return self._driver_two_phase(live, list(live), weights, fld, k, mode, n_terms)
+        return self._driver_two_phase(live, list(live), weights, fld, k, mode,
+                                      n_terms, after)
 
     def topk_phrase(self, terms: tuple[str, ...], k: int = 10,
                     field: str | None = None) -> DataFrame:

@@ -156,6 +156,32 @@ class IndexSearcher:
         scored = self.scored(query)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_after(
+        self, after: tuple[float, int] | None, query: Query, k: int = 10
+    ) -> DataFrame:
+        """Deep pagination — IndexSearcher.SearchAfter
+        (src/Lucene.Net/Search/IndexSearcher.cs:297-511) with the paging
+        collector's keyset semantics (TopScoreDocCollector.cs:84-148): a hit
+        qualifies iff score < after.score OR (score == after.score AND
+        doc_id > after.doc) — the tie-break at TopScoreDocCollector.cs:112-114.
+
+        `after` is the (score, doc_id) of the LAST hit of the previous page
+        (None = first page).  The keyset predicate is composed into the same
+        single-job top-k plan, so page N never re-collects pages 1..N-1 and
+        never deepens the limit (no `limit(N*k)` blow-up at page depth)."""
+        if after is None:
+            return self.search(query, k)
+        a_score, a_doc = float(after[0]), int(after[1])
+        keyset = (F.col("score") < F.lit(a_score)) | (
+            (F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc))
+        )
+        return (
+            self.scored(query)
+            .filter(keyset)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def count(self, query: Query) -> int:
         """TotalHitCountCollector equivalent."""
         return self.docset(query).count()

@@ -119,3 +119,54 @@ def test_load_meta_budget_without_collect(spark, corpus_df):
     # queries still work through the distributed fallback
     top = bs.topk_term("w0000", k=5).collect()
     assert len(top) == 5
+
+
+# ---------------------------------------------------------------------------
+# SearchAfter: exploded vs block path, multi-page walk equals one deep list
+# ---------------------------------------------------------------------------
+def _walk_pages(fetch, k, pages):
+    out, after = [], None
+    for _ in range(pages):
+        rows = fetch(after, k)
+        if not rows:
+            break
+        out.extend(rows)
+        after = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+    return out
+
+
+def test_search_after_pages_equal_deep_topk(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.block_searcher import BlockIndexSearcher
+    from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="lucene")
+    bs = BlockIndexSearcher(idx)
+
+    q = TermQuery("w0000")
+    deep = s.search(q, 40).collect()
+    paged = _walk_pages(lambda a, k: s.search_after(a, q, k).collect(), 10, 4)
+    assert [(r["doc_id"], r["score"]) for r in paged] == [
+        (r["doc_id"], r["score"]) for r in deep
+    ]
+
+    # block path single-term: truncated-impact theta, rank-identical
+    bpaged = _walk_pages(lambda a, k: bs.topk_term("w0000", k, after=a).collect(), 10, 4)
+    assert [(r["doc_id"], r["score"]) for r in bpaged] == [
+        (r["doc_id"], r["score"]) for r in deep
+    ]
+
+    # multi-term OR pages (no theta, keyset only) vs exploded boolean OR
+    bq = BooleanQuery.of(
+        (TermQuery("w0000"), Occur.SHOULD), (TermQuery("w0001"), Occur.SHOULD)
+    )
+    deep_or = s.search(bq, 30).collect()
+    bpaged_or = _walk_pages(
+        lambda a, k: bs.topk_or({"w0000": 1.0, "w0001": 1.0}, k, after=a).collect(),
+        10, 3,
+    )
+    assert [(r["doc_id"], r["score"]) for r in bpaged_or] == [
+        (r["doc_id"], r["score"]) for r in deep_or
+    ]
