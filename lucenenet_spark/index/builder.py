@@ -100,7 +100,21 @@ def _inverter_map(
             )
             for fld, analyzer in analyzers.items():
                 text_arr = batch.column(batch.schema.get_field_index(fld))
-                if analyzer.supports_arrow_fast_path:
+                routing = getattr(analyzer, "routing_col", None)
+                if routing is not None:
+                    # per-document-language dispatch (LanguageRoutedAnalyzer):
+                    # the routing column rides along in the same batch, so
+                    # routing costs no extra scan and no shuffle
+                    lang_arr = batch.column(batch.schema.get_field_index(routing))
+                    row_idx, terms, positions, field_lens = (
+                        analyzer.tokenize_batch_routed(
+                            text_arr.to_pandas(), lang_arr.to_pandas()
+                        )
+                    )
+                    codes_np, uniques = pd.factorize(pd.Series(terms), sort=False)
+                    codes = codes_np.astype(np.int64)
+                    dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
+                elif analyzer.supports_arrow_fast_path:
                     row_idx, codes, dictionary, positions, field_lens = (
                         analyzer.tokenize_batch_arrow(text_arr)
                     )
@@ -309,9 +323,14 @@ def build_index(
     schema = POSTINGS_SCHEMA if with_positions else T.StructType(
         [f for f in POSTINGS_SCHEMA.fields if f.name != "positions"]
     )
+    routing_cols = sorted(
+        {getattr(a, "routing_col", None) for a in analyzers.values()}
+        - {None} - set(field_names)
+    )
     postings = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"),
         *[F.col(f).alias(f) for f in field_names],
+        *[F.col(c).alias(c) for c in routing_cols],
     ).mapInArrow(_inverter_map(analyzers, "doc_id", with_positions), schema)
     if persist:
         postings = postings.persist()

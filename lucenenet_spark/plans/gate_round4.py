@@ -50,3 +50,151 @@ def search_after(spark, sf_dir):
     last = page1[-1]
     out = s.search_after((float(last["score"]), int(last["doc_id"])), q, 10)
     return _spark_score_q(out)
+
+
+# ==========================================================================
+# Snowball stemming routed by the corpus `lang` column
+# (Analysis/Snowball/SnowballFilter.cs wired as in De/GermanAnalyzer.cs and
+# Fr/FrenchAnalyzer.cs; routing is the Spark-first analogue of running
+# per-language IndexWriters over a partitioned corpus). The oracle
+# reproduces the per-language stop filter + stemmer on the pinned corpus
+# vocabulary (stemmer fidelity itself is pinned by the rule-traced fixture
+# pairs in tests/test_snowball.py).
+# ==========================================================================
+_ROUTED_ENGINE: dict[str, tuple] = {}
+
+
+def get_engine_routed(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import (
+        FrenchAnalyzer,
+        GermanAnalyzer,
+        LanguageRoutedAnalyzer,
+    )
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        router = LanguageRoutedAnalyzer(
+            {"de": GermanAnalyzer(), "fr": FrenchAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_ENGINE[key]
+
+
+def _lang_stem_sql() -> str:
+    from lucenenet_spark.analysis.snowball import french_stem, german_stem
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    de = " ".join(
+        f"WHEN '{t}' THEN '{german_stem(t)}'"
+        for t in _CORPUS_VOCAB if german_stem(t) != t
+    )
+    fr = " ".join(
+        f"WHEN '{t}' THEN '{french_stem(t)}'"
+        for t in _CORPUS_VOCAB if french_stem(t) != t
+    )
+    return (
+        f"CASE WHEN lang = 'de' THEN (CASE term {de} ELSE term END) "
+        f"WHEN lang = 'fr' THEN (CASE term {fr} ELSE term END) "
+        f"ELSE term END"
+    )
+
+
+def _lang_stop_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball import (
+        FRENCH_STOP_WORDS,
+        GERMAN_STOP_WORDS,
+    )
+
+    def lst(ws):
+        return ", ".join(
+            "'" + w.replace("'", "''") + "'" for w in sorted(ws)
+        )
+
+    return (
+        f"((lang = 'de' AND term NOT IN ({lst(GERMAN_STOP_WORDS)})) OR "
+        f"(lang = 'fr' AND term NOT IN ({lst(FRENCH_STOP_WORDS)})) OR "
+        f"(lang NOT IN ('de', 'fr') AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+
+
+_SNOWBALL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tokf AS (
+  SELECT doc_id, {_lang_stem_sql()} AS term
+  FROM tok
+  WHERE term <> '' AND {_lang_stop_sql()}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = 'merg'
+"""
+
+
+@gate("snowball_term_query", _SNOWBALL_SQL)
+def snowball_term_query(spark, sf_dir):
+    """TermQuery('merg') over the lang-routed index: German and French
+    documents stem 'merge' -> 'merg' (Snowball de/fr both strip the final
+    e), so only de/fr docs match — with df/dl/avgdl reflecting each
+    language's own stop list (de/fr keep English stopwords like 'a'/'the'
+    as real terms, lengthening those docs)."""
+    _, s = get_engine_routed(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merg")))
+
+
+# ==========================================================================
+# SimpleQueryParser (QueryParser/Simple/SimpleQueryParser.cs): the lenient
+# human-entered syntax — phrase | prefix with negation, composed to the
+# same pushed-down docset plans the hand-built queries use.
+# ==========================================================================
+@gate(
+    "simple_parser",
+    SQL_PRELUDE + """
+SELECT DISTINCT m.doc_id FROM (
+  SELECT a.doc_id
+  FROM tokf a JOIN tokf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+  UNION
+  SELECT doc_id FROM post WHERE term LIKE 'tabl%'
+) m
+WHERE m.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'dup')
+""",
+)
+def simple_parser(spark, sf_dir):
+    """Docset of `"key agg" | tabl* -dup`: (exact phrase OR prefix
+    expansion) minus the negated term — parsed by the never-throws
+    SimpleQueryParser and executed as one composed boolean plan."""
+    from lucenenet_spark.queryparser.simple import SimpleQueryParser
+
+    _, s, _ = get_engine(spark, sf_dir)
+    q = SimpleQueryParser(analyzer=s.index.analyzer).parse('"key agg" | tabl* -dup')
+    return s.docset(q)

@@ -170,3 +170,62 @@ def test_search_after_pages_equal_deep_topk(spark, corpus_df):
     assert [(r["doc_id"], r["score"]) for r in bpaged_or] == [
         (r["doc_id"], r["score"]) for r in deep_or
     ]
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser: never throws, garbage degrades to terms
+# ---------------------------------------------------------------------------
+def test_simple_parser_never_throws(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.queryparser.simple import SimpleQueryParser
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    p = SimpleQueryParser(analyzer=idx.analyzer)
+    garbage = [
+        "((((w0000", 'w0000 ) ) "', '"w0000 w0001', "+|+|-", "", "   ",
+        "w0000~9", "w00*", "*", "-w0000 | +w0001", '\\"\\(\\)', "a the is",
+    ]
+    for g in garbage:
+        q = p.parse(g)  # must never raise
+        if q is None:
+            continue
+        try:
+            s.docset(q).count()  # parsed queries must be executable
+        except ValueError:
+            # pure-negation booleans legitimately match nothing (Lucene
+            # raises the same way) — parsing still never threw
+            pass
+
+
+def test_simple_parser_semantics(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.queryparser.simple import SimpleQueryParser
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    p = SimpleQueryParser(analyzer=idx.analyzer)
+
+    def ids(q):
+        return {r.doc_id for r in s.docset(q).collect()}
+
+    def term_docs(t):
+        return {
+            r.doc_id
+            for r in idx.postings.filter(F.col("term") == t)
+            .select("doc_id").distinct().collect()
+        }
+
+    a, b, c = term_docs("w0000"), term_docs("w0001"), term_docs("w0002")
+    # '+' = AND, '|' = OR, '-' = NOT, default operator OR
+    assert ids(p.parse("w0000 +w0001")) == (a & b)
+    assert ids(p.parse("w0000 | w0001")) == (a | b)
+    assert ids(p.parse("w0000 -w0001")) == a - b
+    assert ids(p.parse("w0000 w0001")) == (a | b)
+    assert ids(p.parse("(w0000 +w0001) | w0002")) == (a & b) | c
+    # AND default operator
+    pa = SimpleQueryParser(default_operator="AND", analyzer=idx.analyzer)
+    assert ids(pa.parse("w0000 w0001")) == (a & b)
+    assert ids(pa.parse("w0000 w0001 -w0002")) == (a & b) - c
