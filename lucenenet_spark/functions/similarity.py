@@ -212,14 +212,89 @@ def ann_lsh_topk(
 def ivf_centroids(n_centroids: int = 16, seed: int = 7, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random centroids (sin-based, like
     hyperplanes()) — a data-independent coarse quantizer whose literals the
-    SQL oracle can embed. A trained k-means quantizer drops in by replacing
-    this function; every downstream op is quantizer-agnostic."""
+    SQL oracle can embed. Untrained fallback: at real data density its
+    cells are arbitrarily unbalanced; prefer train_ivf_centroids /
+    trained_ivf_centroids, which drop into the same seam (every downstream
+    op is quantizer-agnostic)."""
     import math
 
     return [
         [math.sin(seed * 999983 + c * 20011 + i) for i in range(dim)]
         for c in range(n_centroids)
     ]
+
+
+def train_ivf_centroids(
+    vectors, n_centroids: int = 16, seed: int = 7, iters: int = 10
+) -> list[list[float]]:
+    """Deterministic seeded spherical k-means (the FAISS IVF training
+    step): seeded init from the sample, fixed Lloyd iterations, unit-norm
+    centroids so argmax-dot assignment (ivf_assign) is cosine-nearest.
+    Pure numpy on a bounded in-memory sample — same determinism contract
+    as the rest of the oracle arithmetic (ties in argmax go to the
+    smallest cid on both sides). Empty cells keep their previous centroid
+    (deterministic, no resampling)."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    rng = np.random.default_rng(seed)
+    init = np.sort(rng.choice(len(x), size=n_centroids, replace=False))
+    cents = x[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = x[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return [[float(v) for v in c] for c in cents]
+
+
+# Pinned reference sample for offline quantizer training: the canonical
+# smallest-sf embeddings table. Training reads it DRIVER-side via pyarrow
+# (bounded rows, no Spark job) — the FAISS practice of training the coarse
+# quantizer on a sample, then broadcasting centroids to the fleet. The
+# resulting python-float literals embed identically into Spark Column
+# expressions and DuckDB oracle SQL.
+CANONICAL_TRAIN_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+_TRAINED_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def trained_ivf_centroids(
+    n_centroids: int = 16,
+    seed: int = 7,
+    iters: int = 10,
+    sample_path: str | None = None,
+    max_rows: int = 512,
+) -> list[list[float]]:
+    """Trained coarse quantizer: deterministic k-means over the first
+    `max_rows` vec_id-ordered rows of the pinned sample. Falls back to the
+    data-independent sin() centroids only when the sample file is absent
+    (so imports stay robust outside the test environment)."""
+    import os
+
+    path = sample_path or CANONICAL_TRAIN_PATH
+    key = (path, n_centroids, seed, iters, max_rows)
+    if key not in _TRAINED_CACHE:
+        if not os.path.exists(path):
+            _TRAINED_CACHE[key] = ivf_centroids(n_centroids, seed)
+        else:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            import numpy as np
+
+            order = np.argsort(t.column("vec_id").to_numpy())[:max_rows]
+            embs = t.column("embedding").to_pylist()
+            sample = np.array([embs[i] for i in order], dtype=np.float64)
+            _TRAINED_CACHE[key] = train_ivf_centroids(
+                sample, n_centroids=n_centroids, seed=seed, iters=iters
+            )
+    return _TRAINED_CACHE[key]
 
 
 def _dot_lit(vec_col: str, vals: list[float]):
@@ -259,12 +334,17 @@ def ivf_topk(
     seed: int = 7,
     dim: int = 64,
     quantized: bool = False,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: assign every vector to its centroid cell, probe the
     query's top-nprobe cells, exact cosine inside them. Candidate cost is
     O(nprobe * N / n_centroids); at 10^9+ vectors raise n_centroids so
-    cells stay shuffle-join-friendly (same guidance as LSH n_planes)."""
-    cents = ivf_centroids(n_centroids, seed, dim)
+    cells stay shuffle-join-friendly (same guidance as LSH n_planes).
+
+    `centroids` plugs in a trained quantizer (trained_ivf_centroids);
+    default falls back to the data-independent sin() cells."""
+    cents = centroids if centroids is not None else ivf_centroids(n_centroids, seed, dim)
+    n_centroids = len(cents)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == query_vec_id)

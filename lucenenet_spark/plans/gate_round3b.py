@@ -233,9 +233,12 @@ _IVF_DIM = 64
 
 
 def _ivf_sql() -> str:
+    # TRAINED quantizer (r4): deterministic seeded spherical k-means on the
+    # pinned reference sample; the trained centroid literals are embedded
+    # below, so the oracle reproduces cell assignment + probe exactly.
     from lucenenet_spark.functions import similarity as fsim
 
-    cents = fsim.ivf_centroids(_IVF_N, _IVF_SEED, _IVF_DIM)
+    cents = fsim.trained_ivf_centroids(_IVF_N, _IVF_SEED)
     lits = [("[" + ", ".join(repr(x) for x in c) + "]") for c in cents]
     dots = ",\n         ".join(
         f"list_dot_product(CAST(embedding AS DOUBLE[]), {lits[c]}) AS d{c}"
@@ -287,14 +290,17 @@ ORDER BY cos_q DESC, d.vec_id ASC LIMIT 10
 
 @gate("ann_ivf_topk", _ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-cell ANN: nearest-centroid assignment (argmax dot, ties to
-    smallest cid), probe 2 cells, exact quantized cosine within them."""
+    """IVF-cell ANN with a TRAINED coarse quantizer (seeded spherical
+    k-means on the pinned reference sample): nearest-centroid assignment
+    (argmax dot, ties to smallest cid), probe 2 cells, exact quantized
+    cosine within them."""
     from lucenenet_spark.functions import similarity as fsim
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return fsim.ivf_topk(
-        emb, query_vec_id=0, k=10, n_centroids=_IVF_N, nprobe=_IVF_PROBE,
+        emb, query_vec_id=0, k=10, nprobe=_IVF_PROBE,
         seed=_IVF_SEED, dim=_IVF_DIM, quantized=True,
+        centroids=fsim.trained_ivf_centroids(_IVF_N, _IVF_SEED),
     )
 
 

@@ -229,3 +229,44 @@ def test_simple_parser_semantics(spark, corpus_df):
     pa = SimpleQueryParser(default_operator="AND", analyzer=idx.analyzer)
     assert ids(pa.parse("w0000 w0001")) == (a & b)
     assert ids(pa.parse("w0000 w0001 -w0002")) == (a & b) - c
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF quantizer: recall vs brute force at fixed nprobe, cell balance
+# (all deterministic: pinned sample, seeded k-means, fixed corpus)
+# ---------------------------------------------------------------------------
+def test_trained_ivf_recall_and_balance(spark):
+    import os
+    if not os.path.exists("/root/testdata/sf0.001/embeddings.parquet"):
+        import pytest as _pytest
+        _pytest.skip("testdata not present")
+    from lucenenet_spark.functions import similarity as fsim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    trained = fsim.trained_ivf_centroids(16, 7)
+    untrained = fsim.ivf_centroids(16, 7, 64)
+    assert len(trained) == 16 and all(len(c) == 64 for c in trained)
+    # determinism: retraining yields the identical literals
+    fsim._TRAINED_CACHE.clear()
+    assert fsim.trained_ivf_centroids(16, 7) == trained
+
+    # balance: trained cells stay near-uniform (max <= 2x mean)
+    counts = [r["count"] for r in fsim.ivf_assign(emb, trained).groupBy("cid").count().collect()]
+    assert max(counts) <= 2 * (sum(counts) / len(counts))
+
+    def mean_recall(cents, nprobe):
+        recs = []
+        for qid in (0, 7, 123):
+            qvec = [float(x) for x in emb.filter(emb.vec_id == qid)
+                    .select("embedding").collect()[0][0]]
+            exact = {r["vec_id"] for r in fsim.cosine_topk_arrays(emb, qvec, 10).collect()}
+            approx = {r["vec_id"] for r in
+                      fsim.ivf_topk(emb, qid, 10, nprobe=nprobe, centroids=cents).collect()}
+            recs.append(len(exact & approx) / 10)
+        return sum(recs) / len(recs)
+
+    t2, u2 = mean_recall(trained, 2), mean_recall(untrained, 2)
+    t4 = mean_recall(trained, 4)
+    # measured: trained 0.467/0.700 at nprobe 2/4 vs untrained 0.200/0.367
+    assert t2 >= 0.4 and t4 >= 0.6
+    assert t2 > u2
