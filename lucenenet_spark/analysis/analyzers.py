@@ -520,3 +520,130 @@ class NGramAnalyzer(EdgeNGramAnalyzer):
         for n in range(lo, hi + 1):
             out.extend(token[i : i + n] for i in range(len(token) - n + 1))
         return out
+
+
+class CommonGramsAnalyzer(StandardAnalyzer):
+    """Standard chain + CommonGramsFilter
+    (Analysis.Common/Analysis/CommonGrams/CommonGramsFilter.cs): keeps ALL
+    unigrams (no stop removal — common words stay searchable) and, for
+    every adjacent pair where either side is a common word, additionally
+    emits the bigram token "w1_w2" at w1's position (posIncrement 0).
+    Norm length counts unigrams only (discountOverlaps drops the
+    posIncr=0 grams). The point is stopword-phrase latency: a phrase like
+    "the merge" becomes ONE gram-term lookup instead of a position join
+    against the corpus-wide 'the' posting list."""
+
+    GRAM_SEP = "_"
+
+    def __init__(self, common_words: frozenset[str] | None = None, **kw) -> None:
+        kw.setdefault("stopwords", None)  # unigrams all survive
+        super().__init__(**kw)
+        self.common_words = (
+            common_words if common_words is not None else ENGLISH_STOP_WORDS
+        )
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, field_lens = super().tokenize_batch(texts)
+        if not len(terms):
+            return row_idx, terms, positions, field_lens
+        out_r = row_idx.tolist()
+        out_t = terms.tolist()
+        out_p = positions.tolist()
+        common = self.common_words
+        sep = self.GRAM_SEP
+        r, t, p = row_idx.tolist(), terms.tolist(), positions.tolist()
+        for i in range(len(t) - 1):
+            # adjacent = same row, consecutive positions (the raw stream
+            # has no holes here because nothing was filtered out)
+            if r[i] == r[i + 1] and p[i + 1] == p[i] + 1 and (
+                t[i] in common or t[i + 1] in common
+            ):
+                out_r.append(r[i])
+                out_t.append(t[i] + sep + t[i + 1])
+                out_p.append(p[i])
+        order = np.lexsort((np.asarray(out_p), np.asarray(out_r)))
+        return (
+            np.asarray(out_r, dtype=np.int64)[order],
+            np.asarray(out_t, dtype=object)[order],
+            np.asarray(out_p, dtype=np.int32)[order],
+            field_lens,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False
+
+    def query_terms(self, text: str) -> list[tuple[str, int]]:
+        """CommonGramsQueryFilter (CommonGramsQueryFilter.cs): phrase
+        terms where every common-adjacent pair is replaced by its gram and
+        the absorbed unigrams are dropped — "the merge" -> [the_merge@0],
+        "big the merge" -> [big_the@0, the_merge@1]."""
+        # raw unigram stream (NOT self.tokenize_batch — that emits grams)
+        _, terms, positions, _ = StandardAnalyzer.tokenize_batch(
+            self, pd.Series([text])
+        )
+        toks = list(zip(terms.tolist(), positions.tolist()))
+        n = len(toks)
+        common = self.common_words
+        out: list[tuple[str, int]] = []
+        for i, (w, p) in enumerate(toks):
+            gram_prev = i > 0 and (toks[i - 1][0] in common or w in common)
+            gram_next = i < n - 1 and (w in common or toks[i + 1][0] in common)
+            if gram_next:
+                out.append((w + self.GRAM_SEP + toks[i + 1][0], p))
+            if not gram_prev and not gram_next:
+                out.append((w, p))
+        return out
+
+
+class CharNGramAnalyzer(StandardAnalyzer):
+    """NGramTokenizer analogue (Analysis.Common/Analysis/NGram/
+    NGramTokenizer.cs, fixed n): each surface token explodes into its
+    character n-grams at CONSECUTIVE positions (position counter
+    accumulates across the document), the layout NGramPhraseQuery's
+    every-n-th-gram thinning requires — the CJK-style substring-search
+    index. Tokens shorter than n vanish. Norm length counts emitted grams
+    (each gram is posIncr=1 here, unlike the same-position NGramAnalyzer
+    filter)."""
+
+    def __init__(self, n: int = 2, **kw) -> None:
+        kw.setdefault("stopwords", None)
+        super().__init__(**kw)
+        assert n >= 1
+        self.n = n
+
+    def grams(self, token: str) -> list[str]:
+        n = self.n
+        return [token[i : i + n] for i in range(len(token) - n + 1)]
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, _ = super().tokenize_batch(texts)
+        n_rows = len(pd.Series(texts))
+        out_r: list[int] = []
+        out_t: list[str] = []
+        out_p: list[int] = []
+        next_pos: dict[int, int] = {}
+        for r, t in zip(row_idx.tolist(), terms.tolist()):
+            gs = self.grams(t)
+            if not gs:
+                continue
+            p0 = next_pos.get(r, 0)
+            out_r.extend([r] * len(gs))
+            out_t.extend(gs)
+            out_p.extend(range(p0, p0 + len(gs)))
+            # +1 gap between source tokens so a phrase can never span two
+            # tokens' gram runs
+            next_pos[r] = p0 + len(gs) + 1
+        field_lens = np.bincount(
+            np.asarray(out_r, dtype=np.int64), minlength=n_rows
+        ).astype(np.int32)
+        return (
+            np.asarray(out_r, dtype=np.int64),
+            np.asarray(out_t, dtype=object),
+            np.asarray(out_p, dtype=np.int32),
+            field_lens,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False

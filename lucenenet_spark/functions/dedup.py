@@ -28,7 +28,6 @@ the near-dup family generalizes it for training-data pipelines.
 
 from __future__ import annotations
 
-from collections import deque
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -38,32 +37,50 @@ from pyspark.sql import functions as F
 # Persisted-intermediate lifecycle.  The dedup builders return LAZY plans, so
 # they cannot unpersist in a try/finally themselves (the caller's action
 # happens later).  Instead every internal .persist() is tracked in a bounded
-# FIFO: a new dedup invocation evicts (unpersists) the oldest entries beyond
-# _MAX_LIVE, so executor storage across repeated calls in a long-lived
-# session stays bounded at ~one invocation's worth instead of growing
+# LRU registry KEYED BY PLAN SEMANTICS: a repeated invocation over the same
+# input produces a semantically identical plan, which Spark's CacheManager
+# resolves to the SAME InMemoryRelation — so the registry returns the
+# already-tracked frame instead of adding a duplicate entry (a naive FIFO of
+# DataFrame objects held several handles to one shared cache entry, and
+# evicting an old handle unpersisted the relation the CURRENT query was
+# reading — observed as a 2.4x bench regression).  Genuinely different plans
+# rotate through _MAX_LIVE slots, so executor storage across a long-lived
+# session stays bounded at ~_MAX_LIVE intermediates instead of growing
 # forever.  _MAX_LIVE = 3 because one ngram_jaccard_pairs call persists at
-# most 3 intermediates (capped shingle base, verify-stage shingles, band
-# buckets) — eviction can never touch the in-flight call's own frames.
+# most 3 distinct intermediates (capped shingle base, verify-stage shingles,
+# band buckets) — eviction can never touch the in-flight call's own frames.
 # Callers that want deterministic cleanup call release_intermediates() after
-# their action; acting on a plan from an OLDER call after newer calls have
-# evicted its cache is still correct, just recomputes.
+# their action; acting on a plan whose cache was evicted by newer distinct
+# work is still correct, just recomputes.
+from collections import OrderedDict
+
 # ---------------------------------------------------------------------------
 _MAX_LIVE = 3
-_INTERMEDIATES: deque = deque()
+_INTERMEDIATES: "OrderedDict[int, DataFrame]" = OrderedDict()
 
 
 def _track(df: DataFrame) -> DataFrame:
+    h = df.semanticHash()
+    cur = _INTERMEDIATES.get(h)
+    if cur is not None:
+        if df.sameSemantics(cur):
+            _INTERMEDIATES.move_to_end(h)
+            return cur  # same plan -> same cache entry; refresh LRU position
+        cur.unpersist()  # hash collision with a different plan: replace
+        del _INTERMEDIATES[h]
     df.persist()
-    _INTERMEDIATES.append(df)
+    _INTERMEDIATES[h] = df
     while len(_INTERMEDIATES) > _MAX_LIVE:
-        _INTERMEDIATES.popleft().unpersist()
+        _, old = _INTERMEDIATES.popitem(last=False)
+        old.unpersist()
     return df
 
 
 def release_intermediates() -> None:
     """Unpersist every live dedup intermediate (call after your action)."""
     while _INTERMEDIATES:
-        _INTERMEDIATES.popleft().unpersist()
+        _, old = _INTERMEDIATES.popitem(last=False)
+        old.unpersist()
 
 # Web-scale defaults: 128 permutations x 16 bands (8 rows/band) puts the
 # LSH s-curve threshold at (1/16)^(1/8) ~= 0.707 — candidates are likely

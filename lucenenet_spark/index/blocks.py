@@ -138,7 +138,12 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
         T.StructField("nbs", T.ArrayType(T.IntegerType()), False),
         T.StructField("poss", T.ArrayType(T.ArrayType(T.IntegerType())), True),
-        T.StructField("packed", T.BinaryType(), False),
+        # NULL in the default (columnar/JVM) pack mode: nothing on the
+        # query path reads the varint bytes (block_searcher consumes the
+        # int arrays), so writing them is pure publish-path cost. The
+        # mode="parity" pack fills them (wire-format parity artifact,
+        # roundtrip-tested).
+        T.StructField("packed", T.BinaryType(), True),
     ]
 )
 
@@ -172,7 +177,8 @@ def _new_rows() -> dict[str, list]:
 
 
 def _pack_group_into(rows: dict[str, list], pdf: pd.DataFrame,
-                     norm_cache: np.ndarray | None = None) -> None:
+                     norm_cache: np.ndarray | None = None,
+                     emit_packed: bool = True) -> None:
     """One (field, term, range) group -> one row per <=128-posting chunk,
     APPENDED into the shared per-batch accumulator (a pd.DataFrame per
     group was ~60% of pack wall time at 100k docs).
@@ -199,25 +205,27 @@ def _pack_group_into(rows: dict[str, list], pdf: pd.DataFrame,
         tfs = all_tfs[j : j + BLOCK_SIZE]
         norm = all_norm[j : j + BLOCK_SIZE]
         base = int(docs[0])
-        doc_deltas = np.diff(docs, prepend=base)
-        parts = [
-            varint_encode(np.array([len(docs)], dtype=np.uint64)),
-            varint_encode(doc_deltas.astype(np.uint64)),
-            varint_encode(tfs.astype(np.uint64)),
-            varint_encode(norm.astype(np.uint64)),
-        ]
         pos_lists = all_pos[j : j + BLOCK_SIZE] if has_pos else None
-        if pos_lists is not None:
-            lens = np.array([len(p) for p in pos_lists], dtype=np.uint64)
-            parts.append(varint_encode(lens))
-            if lens.sum() > 0:
-                flat = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in pos_lists]
-                )
-                firsts = np.concatenate(([0], np.cumsum(lens.astype(np.int64))[:-1]))
-                deltas = np.diff(flat, prepend=0)
-                deltas[firsts] = flat[firsts]
-                parts.append(varint_encode(deltas.astype(np.uint64)))
+        parts = None
+        if emit_packed:
+            doc_deltas = np.diff(docs, prepend=base)
+            parts = [
+                varint_encode(np.array([len(docs)], dtype=np.uint64)),
+                varint_encode(doc_deltas.astype(np.uint64)),
+                varint_encode(tfs.astype(np.uint64)),
+                varint_encode(norm.astype(np.uint64)),
+            ]
+            if pos_lists is not None:
+                lens = np.array([len(p) for p in pos_lists], dtype=np.uint64)
+                parts.append(varint_encode(lens))
+                if lens.sum() > 0:
+                    flat = np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in pos_lists]
+                    )
+                    firsts = np.concatenate(([0], np.cumsum(lens.astype(np.int64))[:-1]))
+                    deltas = np.diff(flat, prepend=0)
+                    deltas[firsts] = flat[firsts]
+                    parts.append(varint_encode(deltas.astype(np.uint64)))
         itf, inb, icnt = _impacts(tfs, norm, norm_cache)
         rows["field"].append(field)
         rows["term"].append(term)
@@ -238,22 +246,45 @@ def _pack_group_into(rows: dict[str, list], pdf: pd.DataFrame,
             if pos_lists is not None
             else None
         )
-        rows["packed"].append(b"".join(parts))
+        rows["packed"].append(b"".join(parts) if parts is not None else None)
 
 
 def pack_postings(
     postings: DataFrame, with_positions: bool = True, num_partitions: int | None = None,
-    norm_cache: np.ndarray | None = None,
+    norm_cache: np.ndarray | None = None, mode: str = "columnar_py",
 ) -> DataFrame:
-    """postings rows -> 128-doc packed blocks (one bounded-size group each).
+    """postings rows -> 128-doc blocks (one bounded-size group each).
 
-    Implementation: ONE shuffle co-locating each (field, term, block) group,
-    then a partition-level mapInPandas that packs every group of the
-    partition in-process (pandas groupby loop over numpy kernels). A
-    per-group applyInPandas would schedule one Python-worker round trip per
-    group AND inherit spark.sql.shuffle.partitions as its worker count —
-    on this host >16 concurrent Python workers collapse (TODO.md gotcha),
-    so the partition count is capped."""
+    All modes agree block-for-block on metadata and columnar arrays
+    (tested); `packed` (the varint wire bytes) is NULL except in parity
+    mode — nothing on the query path reads it
+    (block_searcher._explode_cols consumes the int arrays), and parquet's
+    bit-pack/RLE encodings already play ForUtil's compression role.
+
+    mode="columnar_py" (DEFAULT): partition-level mapInPandas numpy pack
+    without the varint stream. Measured fastest (1M docs, same-session
+    local[32]: python+varint 158 s vs JVM collect_list 299 s; dropping
+    varint only removes work) — the numpy kernels beat the boxed
+    collect_list aggregate ~2x per core. Parallelism is capped by this
+    host's Python-worker ceiling; a real multi-executor cluster runs a
+    few workers per executor and has no such cap.
+
+    mode="columnar": the same blocks as pure JVM Column expressions — ONE
+    shuffle (groupBy field/term/range, bounded groups), then sort_array +
+    slice-chunking + impact extraction inside whole-stage codegen. Zero
+    Python in the publish path: use it where Python workers are
+    undesirable; ~2x slower per core than the numpy pack here. (The
+    round-3 "780 s pack" was mostly a measurement artifact: the probe
+    corpus was ONE parquet row group, so the whole pipeline ran in a
+    single task; plus the object-agg sort fallback, both fixed.)
+
+    mode="parity": the same mapInPandas pack ALSO emitting the delta+varint
+    `packed` stream — the .doc/.pos wire-format parity artifact
+    (unpack_blocks roundtrip-tested). Use it only when the byte stream
+    itself is wanted."""
+    if mode == "columnar":
+        return _pack_postings_jvm(postings, with_positions, norm_cache, num_partitions)
+    emit_packed = mode != "columnar_py"
     cols = ["field", "term", "doc_id", "tf", "norm_byte"] + (
         ["positions"] if with_positions else []
     )
@@ -290,14 +321,161 @@ def pack_postings(
             if len(body):
                 rows = _new_rows()
                 for _, g in body.groupby(keys, sort=False):
-                    _pack_group_into(rows, g, norm_cache)
+                    _pack_group_into(rows, g, norm_cache, emit_packed)
                 yield pd.DataFrame(rows)
         if carry is not None and len(carry):
             rows = _new_rows()
-            _pack_group_into(rows, carry, norm_cache)
+            _pack_group_into(rows, carry, norm_cache, emit_packed)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(pack_partition, BLOCKS_SCHEMA)
+
+
+def _pack_postings_jvm(
+    postings: DataFrame, with_positions: bool, norm_cache: np.ndarray | None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Columnar block pack as pure Column expressions (see pack_postings).
+
+    Per (field, term, range) group: sort_array(collect_list(struct)) gives
+    the doc-ordered run (struct comparison sorts by its first field,
+    doc_id); slice() chunks it into <=128-posting blocks; impact pairs are
+    array_distinct + per-pair filter counts + comparator array_sort — all
+    inside codegen. Impact SELECTION may break proxy ties differently from
+    the numpy pack, which only affects theta quality, never safety (pair
+    counts stay exact).
+
+    collect_list runs as ObjectHashAggregate, whose sort-based fallback
+    triggers after only 128 distinct keys by default — at 1M docs that
+    turned every partition into a giant TimSort (one straggler task
+    burned 14 minutes). The (field, term, range) key space is bounded
+    (~#terms x ranges-per-term) and each group's buffer is <= RANGE_DOCS
+    postings, so the hash aggregate is safe: raise the fallback threshold
+    for this session so the pack stays in the hash path (partial data
+    per task ~ its shuffle split, held as JVM objects — size executors
+    accordingly at scale)."""
+    spark = postings.sparkSession
+    spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "33554432"
+    )
+    # The hash aggregate holds each reduce partition's postings as boxed
+    # JVM objects until its groups emit, so per-task memory ~ partition
+    # rows x boxed-struct overhead. At 1M docs, 32 partitions put ~2M rows
+    # per task and 32 concurrent tasks GC-collapsed the executor (hours,
+    # one-core thrash); the (field, term, range) keys are hash-balanced
+    # (measured max/min 1.27), so the fix is WIDTH, not salting: shuffle
+    # the pack over enough partitions that one task buffers ~250k
+    # postings. An explicit repartition on the group keys satisfies the
+    # aggregate's required distribution, so no second shuffle is added.
+    if num_partitions:
+        npart = num_partitions
+    else:
+        # width heuristic: enough partitions that one task buffers ~250k
+        # postings (using input partitioning as the size proxy), but never
+        # fewer than the core count and never pointless tiny-task fan-out
+        # on small inputs
+        par = spark.sparkContext.defaultParallelism
+        in_parts = postings.rdd.getNumPartitions()
+        npart = max(par, min(8 * par, 4 * in_parts))
+    if norm_cache is not None:
+        cache_vals = [float(x) for x in np.asarray(norm_cache, dtype=np.float64)]
+    else:
+        # monotone proxy used by _impacts when no cache is given
+        cache_vals = [float(256 - i) for i in range(256)]
+    cache_arr = F.array(*[F.lit(v) for v in cache_vals])
+
+    struct_fields = [F.col("doc_id"), F.col("tf"), F.col("norm_byte")] + (
+        [F.col("positions")] if with_positions else []
+    )
+    g = (
+        postings.select(
+            "field", "term",
+            (F.col("doc_id") / F.lit(RANGE_DOCS)).cast("long").alias("range_id"),
+            *struct_fields,
+        )
+        .repartition(npart, "field", "term", "range_id")
+        .groupBy("field", "term", "range_id")
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_fields))).alias("run"))
+    )
+    n_chunks = F.ceil(F.size("run") / F.lit(BLOCK_SIZE)).cast("int")
+    chunked = g.select(
+        "field", "term", "range_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.slice("run", i * BLOCK_SIZE + 1, BLOCK_SIZE),
+            )
+        ).alias("chunk", "ps"),
+    )
+
+    ps = F.col("ps")
+    base = F.element_at(ps, 1)["doc_id"]
+    tfs = F.transform(ps, lambda x: x["tf"].cast("int"))
+    nbs = F.transform(ps, lambda x: x["norm_byte"].cast("int"))
+    pairs = F.array_distinct(
+        F.transform(
+            ps,
+            lambda x: F.struct(
+                x["tf"].cast("int").alias("tf"),
+                x["norm_byte"].cast("int").alias("nb"),
+            ),
+        )
+    )
+    scored_pairs = F.transform(
+        pairs,
+        lambda p: F.struct(
+            p["tf"].alias("tf"),
+            p["nb"].alias("nb"),
+            F.size(
+                F.filter(
+                    ps,
+                    lambda x: (x["tf"] == p["tf"]) & (x["norm_byte"] == p["nb"]),
+                )
+            ).cast("int").alias("cnt"),
+            (
+                p["tf"].cast("double")
+                / (p["tf"].cast("double") + F.element_at(cache_arr, p["nb"] + 1))
+            ).alias("proxy"),
+        ),
+    )
+    imp = F.slice(
+        F.array_sort(
+            scored_pairs,
+            lambda l, r: F.when(l["proxy"] > r["proxy"], -1)
+            .when(l["proxy"] < r["proxy"], 1)
+            .when(l["tf"] < r["tf"], -1)
+            .when(l["tf"] > r["tf"], 1)
+            .otherwise(0)
+            .cast("int"),
+        ),
+        1,
+        IMPACT_CAP,
+    )
+
+    return chunked.select(
+        "field",
+        "term",
+        (F.col("range_id") * F.lit(BLOCKS_PER_RANGE) + F.col("chunk"))
+        .cast("long")
+        .alias("block_id"),
+        F.size(ps).cast("int").alias("n_docs"),
+        base.cast("long").alias("min_doc"),
+        F.element_at(ps, -1)["doc_id"].cast("long").alias("max_doc"),
+        F.array_max(tfs).cast("int").alias("max_tf"),
+        F.array_max(nbs).cast("int").alias("max_norm_byte"),
+        F.transform(imp, lambda x: x["tf"]).alias("imp_tf"),
+        F.transform(imp, lambda x: x["nb"]).alias("imp_nb"),
+        F.transform(imp, lambda x: x["cnt"]).alias("imp_cnt"),
+        F.transform(ps, lambda x: (x["doc_id"] - base).cast("int")).alias("doc_offs"),
+        tfs.alias("tfs"),
+        nbs.alias("nbs"),
+        (
+            F.transform(ps, lambda x: x["positions"])
+            if with_positions
+            else F.lit(None).cast("array<array<int>>")
+        ).alias("poss"),
+        F.lit(None).cast("binary").alias("packed"),
+    )
 
 
 UNPACKED_SCHEMA = T.StructType(

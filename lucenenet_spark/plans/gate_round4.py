@@ -198,3 +198,112 @@ def simple_parser(spark, sf_dir):
     _, s, _ = get_engine(spark, sf_dir)
     q = SimpleQueryParser(analyzer=s.index.analyzer).parse('"key agg" | tabl* -dup')
     return s.docset(q)
+
+
+# ==========================================================================
+# CommonGrams (Analysis.Common/Analysis/CommonGrams/CommonGramsFilter.cs +
+# CommonGramsQueryFilter.cs): stopword phrases become gram-term lookups.
+# ==========================================================================
+_CG_ENGINE: dict[str, tuple] = {}
+
+
+def get_engine_common_grams(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.analyzers import CommonGramsAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _CG_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(docs, analyzer=CommonGramsAnalyzer()).cache()
+        _CG_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _CG_ENGINE[key]
+
+
+@gate(
+    "common_grams_phrase",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tokne AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokne GROUP BY doc_id) x USING (doc_id)
+),
+gp AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tokne a JOIN tokne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'the' AND b.term = 'merge'
+  GROUP BY a.doc_id
+),
+ts AS (SELECT CAST(count(*) AS BIGINT) AS df FROM gp),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokne) AS DOUBLE) AS sttf
+)
+SELECT gp.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * gp.tf
+             / (gp.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM gp JOIN dl USING (doc_id), ts, cs
+""",
+)
+def common_grams_phrase(spark, sf_dir):
+    """Phrase "the merge" through the CommonGramsQueryFilter: ONE gram
+    TermQuery('the_merge') instead of a position join against the
+    corpus-wide 'the' posting list; unigrams all survive (no stop
+    removal), so dl/avgdl count every token."""
+    idx, s = get_engine_common_grams(spark, sf_dir)
+    qt = idx.analyzer.query_terms("the merge")
+    assert len(qt) == 1, qt
+    return _spark_score_q(s.scored(TermQuery(qt[0][0])))
+
+
+# ==========================================================================
+# NGramPhraseQuery over a char-n-gram field (Search/NGramPhraseQuery.cs):
+# every-n-th-gram thinning, result-identical to the full gram phrase.
+# ==========================================================================
+_CN_ENGINE: dict[str, tuple] = {}
+
+
+def get_engine_char_ngram(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.analyzers import CharNGramAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _CN_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(docs, analyzer=CharNGramAnalyzer(n=2)).cache()
+        _CN_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _CN_ENGINE[key]
+
+
+@gate(
+    "ngram_phrase_query",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%vector%'
+""",
+)
+def ngram_phrase_query(spark, sf_dir):
+    """Substring search 'vector' on the bigram field: NGramPhraseQuery
+    thins the 5-gram phrase to grams (0,2,4) — a doc matches iff some
+    token CONTAINS 'vector' (grams at i and i+n pin the chars between, so
+    the thinned phrase equals the full one)."""
+    from lucenenet_spark.search.queries import NGramPhraseQuery
+
+    idx, s = get_engine_char_ngram(spark, sf_dir)
+    grams = tuple(idx.analyzer.grams("vector"))
+    return s.docset(NGramPhraseQuery(n=2, terms=grams))

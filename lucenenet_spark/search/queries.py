@@ -189,10 +189,44 @@ class DisjunctionMaxQuery(Query):
     tie_breaker: float = 0.0
 
 
+@dataclass(frozen=True)
+class NGramPhraseQuery(Query):
+    """Phrase over a char-n-gram field (src/Lucene.Net/Search/
+    NGramPhraseQuery.cs): for consecutive grams of one surface string,
+    checking every n-th gram plus the last is RESULT-IDENTICAL to the full
+    gram phrase (gram i and gram i+n pin every character between them, so
+    the skipped grams are implied) — the rewrite drops ~(n-1)/n of the
+    position-join terms. `terms` are the consecutive grams (positions
+    0..m-1 implied); rewrite() produces the thinned PhraseQuery."""
+
+    n: int = 2
+    terms: tuple[str, ...] = ()
+    field: str | None = None
+
+
 def rewrite(query: Query) -> Query:
     """Logical simplification fixpoint, mirroring Query.Rewrite
     (IndexSearcher.cs:794-798; BooleanQuery.cs:539-569 one-clause collapse;
     PhraseQuery.cs:169 single-term phrase -> TermQuery)."""
+    if isinstance(query, NGramPhraseQuery):
+        m = len(query.terms)
+        if m == 0:
+            return MatchAllDocsQuery(boost=query.boost)
+        # NGramPhraseQuery.Rewrite: keep grams at 0, n, 2n, ... and the
+        # last; under n terms there is nothing to thin
+        if query.n <= 1 or m <= query.n:
+            return rewrite(PhraseQuery(
+                terms=query.terms, field=query.field, boost=query.boost
+            ))
+        keep = [i for i in range(m) if i % query.n == 0]
+        if keep[-1] != m - 1:
+            keep.append(m - 1)
+        return rewrite(PhraseQuery(
+            terms=tuple(query.terms[i] for i in keep),
+            positions=tuple(keep),
+            field=query.field,
+            boost=query.boost,
+        ))
     if isinstance(query, PhraseQuery) and len(query.terms) == 1:
         return TermQuery(query.terms[0], field=query.field, boost=query.boost)
     if isinstance(query, MultiPhraseQuery):

@@ -30,9 +30,56 @@ def test_varint_roundtrip():
 
 @pytest.fixture(scope="module")
 def packed(spark, corpus_df):
+    # parity mode: emits the delta+varint `packed` stream the roundtrip and
+    # compression tests decode (the default columnar mode leaves it NULL)
     idx = build_index(corpus_df).cache()
-    blocks = pack_postings(idx.postings).cache()
+    blocks = pack_postings(idx.postings, mode="parity").cache()
     return idx, blocks
+
+
+@pytest.fixture(scope="module")
+def packed_columnar(packed):
+    # the pure-JVM pack mode (the default columnar_py is the same python
+    # kernels as parity minus the varint bytes)
+    idx, _ = packed
+    return idx, pack_postings(idx.postings, mode="columnar").cache()
+
+
+def test_columnar_py_default_matches_parity(packed):
+    """Default mode drops only the varint bytes: every other column is
+    byte-identical to the parity pack."""
+    idx, parity = packed
+    default = pack_postings(idx.postings)
+    keyed_p = {(r["field"], r["term"], r["block_id"]): r for r in parity.collect()}
+    for r in default.collect():
+        p = keyed_p[(r["field"], r["term"], r["block_id"])]
+        assert r["packed"] is None and p["packed"] is not None
+        for col in ("n_docs", "min_doc", "max_doc", "max_tf", "max_norm_byte",
+                    "imp_tf", "imp_nb", "imp_cnt", "doc_offs", "tfs", "nbs", "poss"):
+            assert r[col] == p[col]
+
+
+def test_columnar_pack_matches_parity(packed, packed_columnar):
+    """The JVM columnar pack (default) agrees with the Python parity pack
+    on every block's metadata and columnar arrays; impact pairs carry
+    exact counts (selection may break proxy ties differently)."""
+    _, parity = packed
+    _, columnar = packed_columnar
+    keyed_p = {(r["field"], r["term"], r["block_id"]): r for r in parity.collect()}
+    keyed_c = {(r["field"], r["term"], r["block_id"]): r for r in columnar.collect()}
+    assert keyed_p.keys() == keyed_c.keys()
+    for k, c in keyed_c.items():
+        p = keyed_p[k]
+        for col in ("n_docs", "min_doc", "max_doc", "max_tf", "max_norm_byte",
+                    "doc_offs", "tfs", "nbs", "poss"):
+            assert c[col] == p[col], (k, col)
+        assert c["packed"] is None and p["packed"] is not None
+        # impact counts are exact against the block's own (tf, nb) histogram
+        from collections import Counter
+        hist = Counter(zip(c["tfs"], c["nbs"]))
+        assert len(c["imp_tf"]) <= 8
+        for tf, nb, cnt in zip(c["imp_tf"], c["imp_nb"], c["imp_cnt"]):
+            assert hist[(tf, nb)] == cnt, k
 
 
 def test_pack_unpack_roundtrip(packed):
@@ -48,10 +95,10 @@ def test_pack_unpack_roundtrip(packed):
     assert got == orig
 
 
-def test_block_metadata_bounds(packed):
+def test_block_metadata_bounds(packed_columnar):
     from lucenenet_spark.index.blocks import BLOCKS_PER_RANGE, RANGE_DOCS
 
-    idx, blocks = packed
+    idx, blocks = packed_columnar
     rows = blocks.collect()
     per_term: dict[str, list] = {}
     for r in rows:
@@ -74,8 +121,8 @@ def test_block_metadata_bounds(packed):
                 assert a["n_docs"] == 128
 
 
-def test_wand_rank_identity(packed):
-    idx, blocks = packed
+def test_wand_rank_identity(packed_columnar):
+    idx, blocks = packed_columnar
     plain = IndexSearcher(idx)
     bmw = BlockMaxSearcher(idx, blocks)
     for term in ["w0000", "w0001", "w0042", "fox", "w0300"]:

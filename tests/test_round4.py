@@ -270,3 +270,75 @@ def test_trained_ivf_recall_and_balance(spark):
     # measured: trained 0.467/0.700 at nprobe 2/4 vs untrained 0.200/0.367
     assert t2 >= 0.4 and t4 >= 0.6
     assert t2 > u2
+
+
+# ---------------------------------------------------------------------------
+# CommonGrams: gram-term indexing for stopword phrases; query filter
+# ---------------------------------------------------------------------------
+def test_common_grams_analyzer_and_query(spark):
+    from lucenenet_spark.analysis.analyzers import CommonGramsAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PhraseQuery, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    az = CommonGramsAnalyzer()
+    # index side: unigrams all kept, gram at the common-adjacent pair
+    toks = [(t, p) for t, p in az.tokenize_text("big the merge fast")]
+    assert ("the", 1) in toks and ("merge", 2) in toks  # no stop removal
+    assert ("big_the", 0) in toks and ("the_merge", 1) in toks
+    assert ("merge_fast", 2) not in toks  # neither side common
+    # query side: absorbed unigrams dropped
+    assert az.query_terms("the merge") == [("the_merge", 0)]
+    assert az.query_terms("big the merge") == [("big_the", 0), ("the_merge", 1)]
+    assert az.query_terms("big merge") == [("big", 0), ("merge", 1)]
+
+    docs = spark.createDataFrame(
+        [(0, "run the merge now"), (1, "the merge failed"), (2, "a merge the end")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=az)
+    s = IndexSearcher(idx, mode="double")
+    # "the merge" phrase = ONE term lookup on the gram
+    qt = az.query_terms("the merge")
+    assert len(qt) == 1
+    hits = {r.doc_id for r in s.docset(TermQuery(qt[0][0])).collect()}
+    assert hits == {0, 1}
+    # multi-gram phrase path: overlapping grams chain with positions
+    qt2 = az.query_terms("run the merge")
+    q2 = PhraseQuery(terms=tuple(t for t, _ in qt2),
+                     positions=tuple(p for _, p in qt2))
+    assert {r.doc_id for r in s.docset(q2).collect()} == {0}
+
+
+# ---------------------------------------------------------------------------
+# NGramPhraseQuery over CharNGramAnalyzer: thinned == full gram phrase
+# ---------------------------------------------------------------------------
+def test_ngram_phrase_query(spark):
+    from lucenenet_spark.analysis.analyzers import CharNGramAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import (
+        NGramPhraseQuery,
+        PhraseQuery,
+        rewrite,
+    )
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    az = CharNGramAnalyzer(n=2)
+    assert az.grams("spark") == ["sp", "pa", "ar", "rk"]
+    # rewrite keeps grams 0, 2, ... and the last, positions preserved
+    q = rewrite(NGramPhraseQuery(n=2, terms=("sp", "pa", "ar", "rk")))
+    assert isinstance(q, PhraseQuery)
+    assert q.terms == ("sp", "ar", "rk") and q.positions == (0, 2, 3)
+
+    docs = spark.createDataFrame(
+        [(0, "spark rules"), (1, "sparse parks"), (2, "spar krk")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=az)
+    s = IndexSearcher(idx, mode="double")
+    grams = tuple(az.grams("spark"))
+    full = {r.doc_id for r in s.docset(PhraseQuery(terms=grams)).collect()}
+    thin = {r.doc_id for r in s.docset(NGramPhraseQuery(n=2, terms=grams)).collect()}
+    # doc 2 has all of spark's bigrams ('spar' gives sp,pa,ar; 'krk' gives
+    # kr,rk) but never consecutively across the token gap
+    assert thin == full == {0}
