@@ -7,14 +7,17 @@ as flat-numpy batch operations suitable for `mapInPandas` — no per-row Python
 in the hot path (per-token work happens in C-level numpy/pandas kernels).
 
 Parity contract implemented here:
-- Tokenization: ASCII/Latin subset of the UAX#29 word-break rules used by
+- Tokenization: BMP subset of the UAX#29 word-break rules used by
   StandardTokenizer (reference JFlex DFA:
   src/Lucene.Net.Analysis.Common/Analysis/Standard/StandardTokenizerImpl.cs).
-  A token is an alphanumeric run, optionally joined across a single `.` or
-  `'` (UAX#29 MidNumLet/MidLetter) or `_` (ExtendNumLet). Tokens longer than
-  255 chars are dropped (StandardAnalyzer.cs:52 DEFAULT_MAX_TOKEN_LENGTH).
-  Full Unicode segmentation (SE-Asian, ideographic classes) is out of scope;
-  the synthetic webtext corpus is pinned to the supported alphabet.
+  Alphanumeric runs (Latin/Greek/Cyrillic/Armenian/Hebrew/Arabic/
+  Devanagari) optionally joined across a single `.` or `'` (UAX#29
+  MidNumLet/MidLetter) or `_` (ExtendNumLet); Han ideographs and Hiragana
+  one token per character; Katakana/Hangul script runs; Thai/Lao/Myanmar
+  runs (no dictionary segmentation, as in the reference's standard
+  tokenizer — ThaiAnalyzer layers it). Tokens longer than 255 chars are
+  dropped (StandardAnalyzer.cs:52 DEFAULT_MAX_TOKEN_LENGTH). Combining
+  marks/supplementary planes remain out of scope (documented subset).
 - LowerCaseFilter (Analysis/Core/LowerCaseFilter.cs): ASCII + Latin-1
   lowercasing via str.lower().
 - StopFilter (Analysis/Core/StopFilter.cs:135): removes the exact 33-word
@@ -41,9 +44,36 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-# ASCII/Latin subset of UAX#29 word-break: alnum runs joined by MidNumLet
-# ('.', '\'') between alphanumerics; '_' (ExtendNumLet) treated as a joiner.
-_TOKEN_RE = re.compile(r"[A-Za-z0-9_À-ɏ]+(?:[.'][A-Za-z0-9_À-ɏ]+)*")
+# UAX#29 word-break subset for the BMP, following the reference
+# StandardTokenizer's emitted token types (JFlex grammar,
+# Analysis/Standard/StandardTokenizerImpl.cs):
+# - ALPHANUM: alphabetic/numeric runs (Latin + Greek/Cyrillic/Armenian/
+#   Hebrew/Arabic/Devanagari here), joined across a single '.'/'\''
+#   (MidNumLet/MidLetter) or '_' (ExtendNumLet);
+# - IDEOGRAPHIC: ONE TOKEN PER Han character;
+# - HIRAGANA: one token per character;
+# - KATAKANA / HANGUL: script runs;
+# - SOUTHEAST_ASIAN: Thai/Lao/Myanmar runs (no dictionary segmentation at
+#   this layer — same as the reference, where ThaiAnalyzer adds it).
+# Alternative order matters: runs first, single-char classes last.
+_ALPHA_CLS = (
+    "A-Za-z0-9_À-ɏ"
+    "Ͱ-ϿЀ-ӿ԰-֏א-תؠ-ي"
+    "٠-٩ऀ-ॿ"
+)
+_HAN_CLS = "⺀-⻿㐀-䶿一-鿿豈-﫿"
+_HIRAGANA_CLS = "ぁ-ゖゝ-ゟ"
+_KATAKANA_CLS = "ァ-ヺー-ヿㇰ-ㇿ"
+_HANGUL_CLS = "ᄀ-ᇿ㄰-㆏가-힯"
+_SEASIAN_CLS = "ก-ฺเ-๛ກ-ຽເ-ໍက-ဿ"
+_TOKEN_RE = re.compile(
+    f"[{_ALPHA_CLS}]+(?:[.'][{_ALPHA_CLS}]+)*"
+    f"|[{_KATAKANA_CLS}]+"
+    f"|[{_HANGUL_CLS}]+"
+    f"|[{_SEASIAN_CLS}]+"
+    f"|[{_HAN_CLS}]"
+    f"|[{_HIRAGANA_CLS}]"
+)
 
 DEFAULT_MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.cs:52
 
@@ -121,8 +151,16 @@ def tokenize_batch_arrow(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # fast path covers Latin candidates (the anchored check); any candidate
+    # touching the wider script classes fails it and takes the python
+    # findall surgery with the FULL token regex — correctness for CJK/etc.
+    # at python speed, zero cost for all-Latin corpora
     alphabet = "A-Za-z0-9_À-ɏ"
-    delim = f"[^{alphabet}.']+"
+    keep = (
+        alphabet + _ALPHA_CLS + _HAN_CLS + _HIRAGANA_CLS
+        + _KATAKANA_CLS + _HANGUL_CLS + _SEASIAN_CLS
+    )
+    delim = f"[^{keep}.']+"
     anchored = f"^(?:[{alphabet}]+(?:[.'][{alphabet}]+)*)$"
 
     arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
