@@ -685,3 +685,69 @@ class CharNGramAnalyzer(StandardAnalyzer):
     @property
     def supports_arrow_fast_path(self) -> bool:
         return False
+
+
+class CompoundWordAnalyzer(StandardAnalyzer):
+    """Standard chain + DictionaryCompoundWordTokenFilter
+    (Analysis.Common/Analysis/Compound/DictionaryCompoundWordTokenFilter.cs
+    + CompoundWordTokenFilterBase.cs): tokens of at least `min_word_size`
+    chars are brute-force decomposed — every dictionary word of length
+    [min_subword_size, max_subword_size] found at any offset is emitted as
+    an extra token AT THE ORIGINAL TOKEN'S POSITION (posIncrement 0); with
+    only_longest_match, just the longest hit per start offset. The
+    original token is always kept. Norm length counts source tokens once
+    (the posIncr=0 subwords are discounted, as with the gram filters)."""
+
+    def __init__(self, dictionary: frozenset[str],
+                 min_word_size: int = 5, min_subword_size: int = 2,
+                 max_subword_size: int = 15,
+                 only_longest_match: bool = False, **kw) -> None:
+        super().__init__(**kw)
+        self.dictionary = frozenset(w.lower() for w in dictionary)
+        self.min_word_size = min_word_size
+        self.min_subword_size = min_subword_size
+        self.max_subword_size = max_subword_size
+        self.only_longest_match = only_longest_match
+
+    def decompose(self, token: str) -> list[str]:
+        n = len(token)
+        if n < self.min_word_size:
+            return []
+        out: list[str] = []
+        for i in range(n - self.min_subword_size + 1):
+            longest = None
+            for L in range(self.min_subword_size,
+                           min(self.max_subword_size, n - i) + 1):
+                part = token[i : i + L]
+                if part in self.dictionary:
+                    if self.only_longest_match:
+                        longest = part
+                    else:
+                        out.append(part)
+            if longest is not None:
+                out.append(longest)
+        return out
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, field_lens = super().tokenize_batch(texts)
+        if not len(terms):
+            return row_idx, terms, positions, field_lens
+        out_r = row_idx.tolist()
+        out_t = terms.tolist()
+        out_p = positions.tolist()
+        for r, t, p in zip(row_idx.tolist(), terms.tolist(), positions.tolist()):
+            for sub in self.decompose(t):
+                out_r.append(r)
+                out_t.append(sub)
+                out_p.append(p)
+        order = np.lexsort((np.asarray(out_p), np.asarray(out_r)))
+        return (
+            np.asarray(out_r, dtype=np.int64)[order],
+            np.asarray(out_t, dtype=object)[order],
+            np.asarray(out_p, dtype=np.int32)[order],
+            field_lens,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False

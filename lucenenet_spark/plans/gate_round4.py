@@ -307,3 +307,149 @@ def ngram_phrase_query(spark, sf_dir):
     idx, s = get_engine_char_ngram(spark, sf_dir)
     grams = tuple(idx.analyzer.grams("vector"))
     return s.docset(NGramPhraseQuery(n=2, terms=grams))
+
+
+# ==========================================================================
+# NRT streaming top-k (SearcherManager.MaybeRefresh over IncrementalIndexer
+# segments; streaming/incremental.py is the foreachBatch sink — the gate
+# drives its exact batch twin: 3 micro-batches -> segments -> tiered merge
+# -> refresh -> search, with globally recomputed stats).
+# ==========================================================================
+_NRT_ENGINE: dict[str, object] = {}
+
+
+def get_engine_nrt(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from lucenenet_spark.search.searcher import IndexSearcher
+    from lucenenet_spark.streaming.incremental import IncrementalIndexer
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _NRT_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        out = tempfile.mkdtemp(prefix="nrt_gate_")
+        ix = IncrementalIndexer(out)
+        for b in range(3):
+            ix.process_batch(docs.filter(_F.pmod(_F.col("doc_id"), _F.lit(3)) == b), b)
+        ix.maybe_merge(spark, max_segments=2, merge_factor=2)
+        s = ix.refresh(spark)
+        _NRT_ENGINE[key] = IndexSearcher(s.index, mode="double")
+    return _NRT_ENGINE[key]
+
+
+@gate(
+    "nrt_topk",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q FROM ({_tsc('merge')})
+ORDER BY score_q DESC, doc_id ASC LIMIT 10
+""",
+)
+def nrt_topk(spark, sf_dir):
+    """Top-10 for TermQuery('merge') over an index built INCREMENTALLY
+    (3 segment flushes + a tiered merge + refresh): identical to the
+    one-shot batch oracle because refresh recomputes df/avgdl globally
+    across segments (the TermContext.Build property)."""
+    s = get_engine_nrt(spark, sf_dir)
+    scored = _spark_score_q(s.scored(TermQuery("merge")))
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
+
+
+# ==========================================================================
+# Multi-passage PostingsHighlighter (maxPassages > 1 — the reference's
+# Search/PostingsHighlight/PostingsHighlighter.cs highlights N best
+# passages per doc).
+# ==========================================================================
+@gate(
+    "multi_passage_highlight",
+    """
+WITH tok AS (
+  SELECT doc_id, length(text) AS clen,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+woff AS (
+  SELECT *, sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) - (length(tok) + 1) AS off
+  FROM tok
+),
+w AS (SELECT *, CAST(floor(pos / 8.0) AS INT) AS win FROM woff),
+wl AS (
+  SELECT doc_id, win,
+         CAST(min(off) AS BIGINT) AS pstart,
+         sum(length(tok)) + count(*) - 1 AS plen,
+         sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS f0,
+         string_agg(CASE WHEN tok = 'merge' THEN '<b>' || tok || '</b>'
+                         ELSE tok END, ' ' ORDER BY pos) AS snippet,
+         any_value(clen) AS clen
+  FROM w GROUP BY doc_id, win
+),
+dl AS (
+  SELECT doc_id, sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS ttf
+  FROM w GROUP BY doc_id HAVING ttf > 0
+),
+sc AS (
+  SELECT wl.doc_id, wl.pstart, wl.snippet,
+         (1.0 + 1.0 / ln(87.0 + wl.pstart)) *
+         (2.2 * ln(1.0 + ((1.0 + wl.clen / 87.0) + 0.5) / (dl.ttf + 0.5))
+          * (wl.f0 / (wl.f0 + 1.2 * (0.25 + 0.75 * wl.plen / 87.0)))) AS score
+  FROM wl JOIN dl USING (doc_id)
+  WHERE wl.f0 > 0
+),
+q AS (
+  SELECT doc_id, pstart, snippet,
+         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY CAST(floor(score * 10000 + 0.5) AS BIGINT) DESC, pstart ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, pstart, score_q, snippet FROM q WHERE rn <= 2
+""",
+)
+def multi_passage_highlight(spark, sf_dir):
+    """TWO best passages per doc for TermQuery('merge') — exercises the
+    passage ranking beyond the single-winner case (window choice pinned by
+    the quantized score + pstart tie-break on both engines)."""
+    from lucenenet_spark.search.postings_highlight import highlight_postings
+
+    _, _, docs = get_engine(spark, sf_dir)
+    out = highlight_postings(docs, ["merge"], window=8, max_passages=2)
+    return out.select(
+        "doc_id", F.col("pstart").cast("long").alias("pstart"), "score_q", "snippet"
+    )
+
+
+# ==========================================================================
+# DictionaryCompoundWordTokenFilter (Analysis.Common/Analysis/Compound/):
+# compounds decompose into dictionary subwords at the compound's position.
+# ==========================================================================
+@gate(
+    "compound_word_query",
+    """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(text, 'key value', 'keyvalue', 'g'), ' ')) AS term
+  FROM documents
+) WHERE term IN ('value', 'keyvalue')
+""",
+)
+def compound_word_query(spark, sf_dir):
+    """Corpus fused into compounds ('key value' -> 'keyvalue'), indexed
+    through CompoundWordAnalyzer({key, value}): TermQuery('value') finds
+    both intact occurrences AND the decomposed compounds — the docset the
+    oracle computes directly on the fused text."""
+    from lucenenet_spark.analysis.analyzers import CompoundWordAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _, _, docs = get_engine(spark, sf_dir)
+    fused = docs.select(
+        "doc_id", F.regexp_replace("text", "key value", "keyvalue").alias("text")
+    )
+    az = CompoundWordAnalyzer(frozenset({"key", "value"}), min_word_size=6)
+    idx = build_index(fused, analyzer=az)
+    s = IndexSearcher(idx, mode="double")
+    return s.docset(TermQuery("value"))

@@ -342,3 +342,38 @@ def test_ngram_phrase_query(spark):
     # doc 2 has all of spark's bigrams ('spar' gives sp,pa,ar; 'krk' gives
     # kr,rk) but never consecutively across the token gap
     assert thin == full == {0}
+
+
+# ---------------------------------------------------------------------------
+# DictionaryCompoundWordTokenFilter analogue
+# ---------------------------------------------------------------------------
+def test_compound_word_analyzer(spark):
+    from lucenenet_spark.analysis.analyzers import CompoundWordAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    az = CompoundWordAnalyzer(frozenset({"soft", "ball", "team", "all"}))
+    # original kept; dictionary subwords at the same position ('all' is a
+    # substring hit too — brute-force decompose, as in the reference)
+    toks = az.tokenize_text("softballteam wins")
+    assert ("softballteam", 0) in toks and ("wins", 1) in toks
+    assert ("soft", 0) in toks and ("ball", 0) in toks and ("team", 0) in toks
+    assert ("all", 0) in toks
+    # longest-match mode keeps one hit per start offset
+    azl = CompoundWordAnalyzer(
+        frozenset({"soft", "ball", "team", "all"}), only_longest_match=True
+    )
+    toksl = azl.tokenize_text("softballteam")
+    assert ("ball", 0) in toksl and ("all", 0) in toksl
+    # short tokens are not decomposed
+    assert az.decompose("ball") == []
+
+    docs = spark.createDataFrame(
+        [(0, "softballteam plays"), (1, "the ball rolls"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=az)
+    s = IndexSearcher(idx, mode="double")
+    assert {r.doc_id for r in s.docset(TermQuery("ball")).collect()} == {0, 1}
+    assert {r.doc_id for r in s.docset(TermQuery("softballteam")).collect()} == {0}
