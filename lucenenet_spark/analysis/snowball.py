@@ -1,4 +1,4 @@
-"""Snowball stemmers (German, French) + per-language analysis routing.
+"""Snowball stemmers (German, French, Spanish) + per-language routing.
 
 Reference surface: SnowballFilter
 (src/Lucene.Net.Analysis.Common/Analysis/Snowball/SnowballFilter.cs) wired
@@ -560,3 +560,247 @@ class LanguageRoutedAnalyzer:
 
     def terms(self, text: str, lang: str | None = None) -> list[str]:
         return [t for t, _ in self.tokenize_text(text, lang)]
+
+
+# ===========================================================================
+# Spanish
+# ===========================================================================
+SPANISH_STOP_WORDS = frozenset("""
+de la que el en y a los del se las por un para con no una su al lo como
+más pero sus le ya o este sí porque esta entre cuando muy sin sobre también
+me hasta hay donde quien desde todo nos durante todos uno les ni contra
+otros ese eso ante ellos e esto mí antes algunos qué unos yo otro otras
+otra él tanto esa estos mucho quienes nada muchos cual poco ella estar
+estas algunas algo nosotros mi mis tú te ti tu tus ellas nosotras vosotros
+vosotras os mío mía míos mías tuyo tuya tuyos tuyas suyo suya suyos suyas
+nuestro nuestra nuestros nuestras vuestro vuestra vuestros vuestras esos
+esas estoy estás está estamos estáis están esté estés estemos estéis estén
+estaré estarás estará estaremos estaréis estarán estaría estarías
+estaríamos estaríais estarían estaba estabas estábamos estabais estaban
+estuve estuviste estuvo estuvimos estuvisteis estuvieron estuviera
+estuvieras estuviéramos estuvierais estuvieran estuviese estuvieses
+estuviésemos estuvieseis estuviesen estando estado estada estados estadas
+estad he has ha hemos habéis han haya hayas hayamos hayáis hayan habré
+habrás habrá habremos habréis habrán habría habrías habríamos habríais
+habrían había habías habíamos habíais habían hube hubiste hubo hubimos
+hubisteis hubieron hubiera hubieras hubiéramos hubierais hubieran hubiese
+hubieses hubiésemos hubieseis hubiesen habiendo habido habida habidos
+habidas soy eres es somos sois son sea seas seamos seáis sean seré serás
+será seremos seréis serán sería serías seríamos seríais serían era eras
+éramos erais eran fui fuiste fue fuimos fuisteis fueron fuera fueras
+fuéramos fuerais fueran fuese fueses fuésemos fueseis fuesen siendo sido
+tengo tienes tiene tenemos tenéis tienen tenga tengas tengamos tengáis
+tengan tendré tendrás tendrá tendremos tendréis tendrán tendría tendrías
+tendríamos tendríais tendrían tenía tenías teníamos teníais tenían tuve
+tuviste tuvo tuvimos tuvisteis tuvieron tuviera tuvieras tuviéramos
+tuvierais tuvieran tuviese tuvieses tuviésemos tuvieseis tuviesen teniendo
+tenido tenida tenidos tenidas tened
+""".split())
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+
+_ES_STEP0_PRON = sorted(
+    "me se sela selo selas selos la le lo las les los nos".split(),
+    key=len, reverse=True,
+)
+_ES_STEP0_A = sorted(["iéndo", "ándo", "ár", "ér", "ír"], key=len, reverse=True)
+_ES_STEP0_B = sorted(["iendo", "ando", "ar", "er", "ir"], key=len, reverse=True)
+
+_ES_STEP1 = sorted(
+    [
+        # (suffix, action)
+        *[(s, "del_r2") for s in """anza anzas ico ica icos icas ismo ismos
+          able ables ible ibles ista istas oso osa osos osas amiento
+          amientos imiento imientos""".split()],
+        *[(s, "ador") for s in """adora ador ación adoras adores aciones
+          ante antes ancia ancias""".split()],
+        ("logía", "log"), ("logías", "log"),
+        ("ución", "u"), ("uciones", "u"),
+        ("encia", "ente"), ("encias", "ente"),
+        ("amente", "amente"), ("mente", "mente"),
+        ("idad", "idad"), ("idades", "idad"),
+        *[(s, "iv") for s in "iva ivo ivas ivos".split()],
+    ],
+    key=lambda x: -len(x[0]),
+)
+
+_ES_STEP2A = sorted(
+    "ya ye yan yen yeron yendo yo yó yas yes yais yamos".split(),
+    key=len, reverse=True,
+)
+_ES_STEP2B_GU = sorted("en es éis emos".split(), key=len, reverse=True)
+_ES_STEP2B = sorted(
+    """arían arías arán arás aríais aría aréis aríamos aremos ará aré
+    erían erías erán erás eríais ería eréis eríamos eremos erá eré irían
+    irías irán irás iríais iría iréis iríamos iremos irá iré aba ada ida
+    ía ara iera ad ed id ase iese aste iste an aban ían aran ieran asen
+    iesen aron ieron ado ido ando iendo ió ar er ir as abas adas idas ías
+    aras ieras ases ieses ís áis abais íais arais ierais aseis ieseis
+    asteis isteis ados idos amos ábamos íamos imos áramos iéramos iésemos
+    ásemos""".split(),
+    key=len, reverse=True,
+)
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        # after the next following vowel
+        for i in range(2, n):
+            if w[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        # after the next consonant
+        for i in range(2, n):
+            if w[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3  # consonant-vowel start
+
+
+def spanish_stem(word: str) -> str:
+    """Snowball Spanish stemmer (classic edition), rule-for-rule from the
+    published description: RV/R1/R2 regions, step 0 attached pronouns,
+    step 1 standard suffixes, steps 2a/2b verb suffixes, step 3 residual
+    vowels, final de-accenting."""
+    w = word.lower()
+    rv = _es_rv(w)
+    r1 = _r_after(w, 0, _ES_VOWELS)
+    r2 = _r_after(w, r1, _ES_VOWELS)
+
+    # ---- step 0: attached pronoun after a gerund/infinitive ending
+    for suf in _ES_STEP0_PRON:
+        if not w.endswith(suf):
+            continue
+        p = len(w) - len(suf)
+        if p < rv:
+            break
+        stem = w[:p]
+        done = False
+        for a in _ES_STEP0_A:
+            if stem.endswith(a):
+                w = stem[: -len(a)] + a.translate(_ES_UNACCENT)
+                done = True
+                break
+        if not done:
+            for b in _ES_STEP0_B:
+                if stem.endswith(b):
+                    w = stem
+                    done = True
+                    break
+        if not done and stem.endswith("yendo") and len(stem) >= 6 \
+                and stem[-6] == "u":
+            w = stem
+        break
+
+    # ---- step 1: standard suffix removal (longest match, then its rule)
+    orig = w
+    for suf, act in _ES_STEP1:
+        if not w.endswith(suf):
+            continue
+        p = len(w) - len(suf)
+        if act == "del_r2":
+            if p >= r2:
+                w = w[:p]
+        elif act == "ador":
+            if p >= r2:
+                w = w[:p]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif act == "log":
+            if p >= r2:
+                w = w[:p] + "log"
+        elif act == "u":
+            if p >= r2:
+                w = w[:p] + "u"
+        elif act == "ente":
+            if p >= r2:
+                w = w[:p] + "ente"
+        elif act == "amente":
+            if p >= r1:
+                w = w[:p]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and len(w) - 2 >= r2:
+                            w = w[:-2]
+                            break
+        elif act == "mente":
+            if p >= r2:
+                w = w[:p]
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and len(w) - len(pre) >= r2:
+                        w = w[: -len(pre)]
+                        break
+        elif act == "idad":
+            if p >= r2:
+                w = w[:p]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and len(w) - len(pre) >= r2:
+                        w = w[: -len(pre)]
+                        break
+        elif act == "iv":
+            if p >= r2:
+                w = w[:p]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        break
+
+    step1_changed = w != orig
+    if not step1_changed:
+        # ---- step 2a: verb suffixes beginning y (preceded by u, in RV)
+        w2 = w
+        for suf in _ES_STEP2A:
+            if w.endswith(suf):
+                p = len(w) - len(suf)
+                if p >= rv and p > 0 and w[p - 1] == "u":
+                    w2 = w[:p]
+                break
+        if w2 != w:
+            w = w2
+        else:
+            # ---- step 2b: longest match across both groups
+            best = None
+            for suf in _ES_STEP2B_GU:
+                if w.endswith(suf) and len(w) - len(suf) >= rv:
+                    best = (suf, "gu")
+                    break
+            for suf in _ES_STEP2B:
+                if w.endswith(suf) and len(w) - len(suf) >= rv:
+                    if best is None or len(suf) > len(best[0]):
+                        best = (suf, "")
+                    break
+            if best is not None:
+                suf, grp = best
+                w = w[: len(w) - len(suf)]
+                if grp == "gu" and w.endswith("gu"):
+                    w = w[:-1]
+
+    # ---- step 3: residual suffix
+    for suf in ("os", "a", "o", "á", "í", "ó", "e", "é"):
+        if w.endswith(suf):
+            p = len(w) - len(suf)
+            if p >= rv:
+                w = w[:p]
+                if suf in ("e", "é") and w.endswith("gu") and len(w) - 1 >= rv:
+                    w = w[:-1]
+            break
+
+    return w.translate(_ES_UNACCENT)
+
+
+class SpanishAnalyzer(_SnowballAnalyzer):
+    """Analysis/Es/SpanishAnalyzer.cs analogue (stop set + Snowball
+    Spanish)."""
+
+    _stem = staticmethod(spanish_stem)
+
+    def __init__(self, stopwords=SPANISH_STOP_WORDS, **kw):
+        super().__init__(stopwords, **kw)

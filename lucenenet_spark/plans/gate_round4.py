@@ -453,3 +453,121 @@ def compound_word_query(spark, sf_dir):
     idx = build_index(fused, analyzer=az)
     s = IndexSearcher(idx, mode="double")
     return s.docset(TermQuery("value"))
+
+
+# ==========================================================================
+# Three-language Snowball routing (de + fr + es — Analysis/Es/
+# SpanishAnalyzer.cs joins the routed family)
+# ==========================================================================
+_ROUTED3_ENGINE: dict[str, tuple] = {}
+
+
+def get_engine_routed3(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import (
+        FrenchAnalyzer,
+        GermanAnalyzer,
+        LanguageRoutedAnalyzer,
+        SpanishAnalyzer,
+    )
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED3_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        router = LanguageRoutedAnalyzer(
+            {"de": GermanAnalyzer(), "fr": FrenchAnalyzer(), "es": SpanishAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED3_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED3_ENGINE[key]
+
+
+def _lang3_stem_sql() -> str:
+    from lucenenet_spark.analysis.snowball import (
+        french_stem,
+        german_stem,
+        spanish_stem,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def case(stem_fn):
+        whens = " ".join(
+            f"WHEN '{t}' THEN '{stem_fn(t)}'"
+            for t in _CORPUS_VOCAB if stem_fn(t) != t
+        )
+        return f"(CASE term {whens} ELSE term END)"
+
+    return (
+        f"CASE WHEN lang = 'de' THEN {case(german_stem)} "
+        f"WHEN lang = 'fr' THEN {case(french_stem)} "
+        f"WHEN lang = 'es' THEN {case(spanish_stem)} "
+        f"ELSE term END"
+    )
+
+
+def _lang3_stop_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball import (
+        FRENCH_STOP_WORDS,
+        GERMAN_STOP_WORDS,
+        SPANISH_STOP_WORDS,
+    )
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    return (
+        f"((lang = 'de' AND term NOT IN ({lst(GERMAN_STOP_WORDS)})) OR "
+        f"(lang = 'fr' AND term NOT IN ({lst(FRENCH_STOP_WORDS)})) OR "
+        f"(lang = 'es' AND term NOT IN ({lst(SPANISH_STOP_WORDS)})) OR "
+        f"(lang NOT IN ('de', 'fr', 'es') AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+
+
+_SNOWBALL3_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tokf AS (
+  SELECT doc_id, {_lang3_stem_sql()} AS term
+  FROM tok
+  WHERE term <> '' AND {_lang3_stop_sql()}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = 'merg'
+"""
+
+
+@gate("snowball3_term_query", _SNOWBALL3_SQL)
+def snowball3_term_query(spark, sf_dir):
+    """TermQuery('merg') over the THREE-language routed index: de, fr and
+    es documents all stem 'merge' -> 'merg' (each by its own Snowball
+    rules), each language filtered by its own stop set — one unified
+    index, per-document analysis."""
+    _, s = get_engine_routed3(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merg")))

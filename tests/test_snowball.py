@@ -157,3 +157,53 @@ def test_language_routed_index(spark):
     # query-side routing mirrors index-side analysis
     assert router.terms("les animaux", lang="fr") == ["animal"]
     assert router.terms("die häuser", lang="de") == ["haus"]
+
+
+SPANISH_PAIRS = [
+    # step 2b verb suffixes in RV
+    ("canciones", "cancion"),
+    ("corriendo", "corr"),
+    ("gafas", "gaf"),
+    ("comieron", "com"),
+    # step 0 attached pronoun after gerund (accent removed from ándo)
+    ("levantándose", "levant"),
+    # step 1 standard suffixes
+    ("nacionalidad", "nacional"),
+    ("importantes", "import"),
+    ("rápidamente", "rapid"),
+    ("grabaciones", "grabacion"),
+    # -ción only strips via ación/ución forms; accent still removed
+    ("atención", "atencion"),
+    # step 3 residual vowel
+    ("libro", "libr"),
+    ("data", "dat"),
+    # logía -> log requires R2
+    ("tecnología", "tecnolog"),
+]
+
+
+@pytest.mark.parametrize("word,stem", SPANISH_PAIRS)
+def test_spanish_stem(word, stem):
+    from lucenenet_spark.analysis.snowball import spanish_stem
+
+    assert spanish_stem(word) == stem
+
+
+def test_spanish_routed(spark):
+    from lucenenet_spark.analysis.snowball import SpanishAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    rows = [
+        (0, "es", "las canciones importantes"),
+        (1, "es", "una canción corta"),
+        (2, "en", "the songs are long"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    router = LanguageRoutedAnalyzer({"es": SpanishAnalyzer()})
+    idx = build_index(docs, analyzer=router)
+    s = IndexSearcher(idx, mode="double")
+    # canciones and canción unify on 'cancion'; 'las'/'una' are es stops
+    assert {r.doc_id for r in s.docset(TermQuery("cancion")).collect()} == {0, 1}
+    assert s.docset(TermQuery("las")).count() == 0
