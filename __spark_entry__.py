@@ -31,34 +31,40 @@ from lucenenet_spark.plans import gate_round4 as _gate_round4  # noqa: E402  (re
 GATE = _gate.GATE_QUERIES
 
 # The driver's correctness harness records only the FIRST 50 queries()
-# entries per round, so the dict order below ROTATES coverage: gates that
-# have never appeared in a CORRECTNESS_r* file come first (registry
-# insertion order — rounds 1-3 leftovers, then round-4 additions), and the
-# ones already driver-verified in rounds 1-3 (every name below has >= 1
-# fully green rows+schema+hash record) move to the back. All entries stay
-# present and stay green locally (tools/gate_check.py runs the full set).
-_DRIVER_VERIFIED_R123 = frozenset({
-    "term_query", "term_query_topk", "boolean_and", "boolean_or",
-    "boolean_not", "boolean_msm", "boolean_mixed", "boost_query",
-    "phrase_query", "dismax_query", "prefix_query", "wildcard_query",
-    "term_range_query", "fuzzy_query", "high_freq_terms", "total_hits",
-    "facet_lang", "facet_source_term", "facet_range_nchars", "sort_by_field",
-    "group_topk", "join_by_source", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "token_counts", "quality_stats", "language_id",
-    "doc_fingerprint", "cosine_topk", "numeric_range_events",
-    "time_bucket_counts", "span_near_ordered", "span_near_unordered",
-    "span_first", "rescore_topk", "mlt_topk", "phrase_sloppy",
-    "simhash_fingerprint", "ann_lsh_topk", "field_term_query",
-    "field_parser_query", "multi_phrase", "tfidf_term_query",
-    "tfidf_bool_or", "block_join_max", "block_join_avg", "knn_classify",
-    "naive_bayes", "span_or",
-})
+# entries per round, so the dict order ROTATES coverage automatically:
+# gates that have never appeared fully green in any committed
+# CORRECTNESS_r*.json move to the front (registry insertion order within
+# each group), already-driver-verified ones to the back. Each round's new
+# correctness file therefore rotates the next unverified batch into the
+# 50-slot window with no manual bookkeeping. All entries stay present and
+# stay green locally (tools/gate_check.py runs the full set).
+def _driver_verified() -> frozenset[str]:
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    names: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match") and r.get("schema_match")
+                and r.get("hash_match") and r.get("err") is None
+            ):
+                names.add(name)
+    return frozenset(names)
 
 
 def _ordered() -> list[tuple[str, tuple]]:
+    verified = _driver_verified()
     items = list(GATE.items())
-    fresh = [x for x in items if x[0] not in _DRIVER_VERIFIED_R123]
-    seen = [x for x in items if x[0] in _DRIVER_VERIFIED_R123]
+    fresh = [x for x in items if x[0] not in verified]
+    seen = [x for x in items if x[0] in verified]
     return fresh + seen
 
 
