@@ -751,3 +751,73 @@ class CompoundWordAnalyzer(StandardAnalyzer):
     @property
     def supports_arrow_fast_path(self) -> bool:
         return False
+
+
+_CJK_SINGLE_RE = re.compile(f"[{_HAN_CLS}{_HIRAGANA_CLS}]")
+
+
+class CJKAnalyzer(StandardAnalyzer):
+    """CJKAnalyzer analogue (Analysis/Cjk/CJKAnalyzer.cs =
+    StandardTokenizer + CJKBigramFilter.cs): runs of adjacent single-char
+    CJK tokens (the Han/Hiragana classes our tokenizer emits per-char)
+    become OVERLAPPING BIGRAMS — '我是中国人' -> 我是 是中 中国 国人, each
+    at its first char's position; an isolated CJK char stays a unigram
+    (CJKBigramFilter's lone-character case), and non-CJK tokens pass
+    through untouched. output_unigrams=True additionally keeps the
+    single-char tokens (the filter's outputUnigrams flag). Norm length
+    counts emitted tokens, as the reference's FieldInvertState does."""
+
+    def __init__(self, output_unigrams: bool = False, **kw) -> None:
+        super().__init__(**kw)
+        self.output_unigrams = output_unigrams
+
+    @staticmethod
+    def _is_cjk(tok: str) -> bool:
+        return len(tok) == 1 and bool(_CJK_SINGLE_RE.fullmatch(tok))
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, _ = super().tokenize_batch(texts)
+        n_rows = len(pd.Series(texts))
+        out_r: list[int] = []
+        out_t: list[str] = []
+        out_p: list[int] = []
+        r = row_idx.tolist()
+        t = terms.tolist()
+        p = positions.tolist()
+        n = len(t)
+        i = 0
+        while i < n:
+            if not self._is_cjk(t[i]):
+                out_r.append(r[i]); out_t.append(t[i]); out_p.append(p[i])
+                i += 1
+                continue
+            # extend the run of adjacent-position CJK singles in this row
+            j = i + 1
+            while (
+                j < n and r[j] == r[i] and p[j] == p[j - 1] + 1
+                and self._is_cjk(t[j])
+            ):
+                j += 1
+            if j - i == 1 or self.output_unigrams:
+                for k in range(i, j):
+                    out_r.append(r[k]); out_t.append(t[k]); out_p.append(p[k])
+            if j - i >= 2:
+                for k in range(i, j - 1):
+                    out_r.append(r[k])
+                    out_t.append(t[k] + t[k + 1])
+                    out_p.append(p[k])
+            i = j
+        order = np.lexsort((np.asarray(out_p), np.asarray(out_r)))
+        field_lens = np.bincount(
+            np.asarray(out_r, dtype=np.int64), minlength=n_rows
+        ).astype(np.int32)
+        return (
+            np.asarray(out_r, dtype=np.int64)[order],
+            np.asarray(out_t, dtype=object)[order],
+            np.asarray(out_p, dtype=np.int32)[order],
+            field_lens,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False

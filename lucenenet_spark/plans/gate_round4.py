@@ -571,3 +571,36 @@ def snowball3_term_query(spark, sf_dir):
     index, per-document analysis."""
     _, s = get_engine_routed3(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("merg")))
+
+
+# ==========================================================================
+# CJKAnalyzer / CJKBigramFilter (Analysis/Cjk/): overlapping Han bigrams.
+# The pinned corpus is ASCII, so the gate fuses a known adjacent pair into
+# two Han characters and checks the bigram term finds exactly the docs
+# that had the pair — the same corrupt/restore pattern as
+# pattern_replace_term and compound_word_query.
+# ==========================================================================
+@gate(
+    "cjk_bigram_query",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'key' AND b.term = 'value'
+""",
+)
+def cjk_bigram_query(spark, sf_dir):
+    """'key value' fused to the two-ideograph token '键值', indexed through
+    CJKAnalyzer (per-char tokenize -> overlapping bigram): TermQuery on
+    the bigram '键值' returns exactly the docs where the original pair was
+    adjacent."""
+    from lucenenet_spark.analysis.analyzers import CJKAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _, _, docs = get_engine(spark, sf_dir)
+    fused = docs.select(
+        "doc_id", F.regexp_replace("text", "key value", "键值").alias("text")
+    )
+    idx = build_index(fused, analyzer=CJKAnalyzer())
+    s = IndexSearcher(idx, mode="double")
+    return s.docset(TermQuery("键值"))

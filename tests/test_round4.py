@@ -377,3 +377,37 @@ def test_compound_word_analyzer(spark):
     s = IndexSearcher(idx, mode="double")
     assert {r.doc_id for r in s.docset(TermQuery("ball")).collect()} == {0, 1}
     assert {r.doc_id for r in s.docset(TermQuery("softballteam")).collect()} == {0}
+
+
+# ---------------------------------------------------------------------------
+# CJKAnalyzer: overlapping Han/Hiragana bigrams (CJKBigramFilter)
+# ---------------------------------------------------------------------------
+def test_cjk_bigram_analyzer(spark):
+    from lucenenet_spark.analysis.analyzers import CJKAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PhraseQuery, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    az = CJKAnalyzer()
+    toks = az.tokenize_text("我是中国人")
+    assert [t for t, _ in toks] == ["我是", "是中", "中国", "国人"]
+    assert [pp for _, pp in toks] == [0, 1, 2, 3]
+    # mixed script: latin passes through, lone CJK char stays a unigram
+    toks2 = az.tokenize_text("mixed 中 latin 日本")
+    assert [t for t, _ in toks2] == ["mixed", "中", "latin", "日本"]
+    # output_unigrams keeps both granularities
+    azu = CJKAnalyzer(output_unigrams=True)
+    t3 = [t for t, _ in azu.tokenize_text("中国")]
+    assert t3 == ["中", "中国", "国"]
+
+    docs = spark.createDataFrame(
+        [(0, "我是中国人"), (1, "中国 hello"), (2, "国中 reversed")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=az)
+    s = IndexSearcher(idx, mode="double")
+    # bigram term search: order matters (国中 != 中国)
+    assert {r.doc_id for r in s.docset(TermQuery("中国")).collect()} == {0, 1}
+    # bigram phrase = longer substring match
+    ph = PhraseQuery(terms=("中国", "国人"))
+    assert {r.doc_id for r in s.docset(ph).collect()} == {0}
