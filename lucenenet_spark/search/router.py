@@ -57,26 +57,40 @@ class RoutedSearcher:
             self.exploded._term_stats([(fld, t) for t in terms])
             self.block._load_meta(fld, terms)
 
-    def search(self, query: Query, k: int = 10) -> DataFrame:
-        key = (query, k)
+    def search(self, query: Query, k: int = 10,
+               after: tuple[float, int] | None = None) -> DataFrame:
+        """Top-k (optionally a SearchAfter page: `after` = (score, doc_id)
+        of the previous page's last hit — both paths compose the keyset
+        predicate into the same single-job plan)."""
+        key = (query, k, after)
         hit = self._plan_cache.get(key)
         if hit is not None:
             plan, route = hit
             self.last_route = route + "+cached"
             return plan
         q = rewrite(query)
-        plan = self._route(q, k)
+        plan = self._route(q, k, after)
         route = "block" if plan is not None else "exploded"
         if plan is None:
-            plan = self.exploded.search(q, k)
+            plan = (
+                self.exploded.search(q, k)
+                if after is None
+                else self.exploded.search_after(after, q, k)
+            )
         self.last_route = route
         if len(self._plan_cache) >= self._plan_cache_size:
             self._plan_cache.pop(next(iter(self._plan_cache)))  # FIFO evict
         self._plan_cache[key] = (plan, route)
         return plan
 
+    def search_after(self, after: tuple[float, int] | None, query: Query,
+                     k: int = 10) -> DataFrame:
+        """IndexSearcher.SearchAfter argument order, routed."""
+        return self.search(query, k, after=after)
+
     # ------------------------------------------------------------- routing
-    def _route(self, q: Query, k: int) -> DataFrame | None:
+    def _route(self, q: Query, k: int,
+               after: tuple[float, int] | None = None) -> DataFrame | None:
         def term_boost(c: Query):
             if isinstance(c, TermQuery) and c.field is None:
                 return c.term, c.boost
@@ -91,9 +105,11 @@ class RoutedSearcher:
         if isinstance(q, (TermQuery, BoostQuery)):
             tb = term_boost(q)
             if tb:
-                return self.block.topk_term(tb[0], k, boost=tb[1])
+                return self.block.topk_term(tb[0], k, boost=tb[1], after=after)
             return None
         if isinstance(q, PhraseQuery):
+            if after is not None:
+                return None  # phrase pages fall back to the exploded keyset
             consecutive = q.resolved_positions() == tuple(range(len(q.terms)))
             if (
                 q.slop == 0
@@ -117,10 +133,10 @@ class RoutedSearcher:
                     if t in weights:  # duplicate terms: keep exploded semantics
                         return None
                     weights[t] = b
-                return self.block.topk_or(weights, k)
+                return self.block.topk_or(weights, k, after=after)
             if occurs == {Occur.MUST} and all(b == 1.0 for _, b in tbs):
                 terms = [t for t, _ in tbs]
                 if len(set(terms)) == len(terms):
-                    return self.block.topk_and(terms, k)
+                    return self.block.topk_and(terms, k, after=after)
             return None
         return None

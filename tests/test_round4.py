@@ -411,3 +411,30 @@ def test_cjk_bigram_analyzer(spark):
     # bigram phrase = longer substring match
     ph = PhraseQuery(terms=("中国", "国人"))
     assert {r.doc_id for r in s.docset(ph).collect()} == {0}
+
+
+# ---------------------------------------------------------------------------
+# RoutedSearcher pages: block-routed and exploded-fallback shapes both
+# equal the deep top-k
+# ---------------------------------------------------------------------------
+def test_routed_search_after(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PhraseQuery, TermQuery
+    from lucenenet_spark.search.router import RoutedSearcher
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    r = RoutedSearcher(idx)
+    s = IndexSearcher(idx, mode="lucene")
+
+    q = TermQuery("w0000")
+    deep = [(x["doc_id"], x["score"]) for x in s.search(q, 30).collect()]
+    paged = _walk_pages(lambda a, k: r.search(q, k, after=a).collect(), 10, 3)
+    assert [(x["doc_id"], x["score"]) for x in paged] == deep
+    assert r.last_route.startswith("block")
+
+    # phrase pages take the exploded keyset fallback, still rank-identical
+    pq = PhraseQuery(terms=("w0000", "w0001"))
+    deep_p = [(x["doc_id"], x["score"]) for x in s.search(pq, 20).collect()]
+    paged_p = _walk_pages(lambda a, k: r.search(pq, k, after=a).collect(), 10, 2)
+    assert [(x["doc_id"], x["score"]) for x in paged_p] == deep_p
