@@ -34,10 +34,28 @@ GATE = _gate.GATE_QUERIES
 # entries per round, so the dict order ROTATES coverage automatically:
 # gates that have never appeared fully green in any committed
 # CORRECTNESS_r*.json move to the front (registry insertion order within
-# each group), already-driver-verified ones to the back. Each round's new
-# correctness file therefore rotates the next unverified batch into the
-# 50-slot window with no manual bookkeeping. All entries stay present and
-# stay green locally (tools/gate_check.py runs the full set).
+# each group), then a fixed CORE CANARY set (re-verified EVERY round so
+# the load-bearing paths — term/boolean/phrase/top-k/dedup/pagination —
+# always have post-churn driver evidence, per VERDICT r4 #1), then the
+# remaining already-verified gates. Each round's new correctness file
+# therefore rotates the next unverified batch into the 50-slot window
+# with no manual bookkeeping while the canary keeps the core honest. All
+# entries stay present and stay green locally (tools/gate_check.py runs
+# the full set).
+
+# Re-driver-verified every round regardless of prior green rows.
+_CORE_CANARY = (
+    "term_query_topk",
+    "boolean_or",
+    "boolean_and",
+    "phrase_query",
+    "dedup_minhash_lsh",
+    "search_after",
+    "ann_ivf_topk",
+    "sort_by_field",
+    "group_topk",
+    "facet_lang",
+)
 def _driver_verified() -> frozenset[str]:
     import glob
     import json
@@ -63,9 +81,13 @@ def _driver_verified() -> frozenset[str]:
 def _ordered() -> list[tuple[str, tuple]]:
     verified = _driver_verified()
     items = list(GATE.items())
-    fresh = [x for x in items if x[0] not in verified]
-    seen = [x for x in items if x[0] in verified]
-    return fresh + seen
+    canary = set(_CORE_CANARY) & set(GATE)
+    fresh = [x for x in items if x[0] not in verified and x[0] not in canary]
+    core = [(n, GATE[n]) for n in _CORE_CANARY if n in GATE]
+    seen = [
+        x for x in items if x[0] in verified and x[0] not in canary
+    ]
+    return fresh + core + seen
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -765,7 +765,12 @@ class CJKAnalyzer(StandardAnalyzer):
     (CJKBigramFilter's lone-character case), and non-CJK tokens pass
     through untouched. output_unigrams=True additionally keeps the
     single-char tokens (the filter's outputUnigrams flag). Norm length
-    counts emitted tokens, as the reference's FieldInvertState does."""
+    follows the reference's default discountOverlaps=true: in
+    output_unigrams mode the bigrams ride at posIncr=0 over the unigrams,
+    so field_lens counts ONLY the unigrams (+ non-CJK tokens) — same rule
+    CommonGramsAnalyzer applies to its overlap grams; with
+    output_unigrams=False the bigrams are the primary (posIncr>=1) tokens
+    and count normally."""
 
     def __init__(self, output_unigrams: bool = False, **kw) -> None:
         super().__init__(**kw)
@@ -781,6 +786,7 @@ class CJKAnalyzer(StandardAnalyzer):
         out_r: list[int] = []
         out_t: list[str] = []
         out_p: list[int] = []
+        overlap_r: list[int] = []
         r = row_idx.tolist()
         t = terms.tolist()
         p = positions.tolist()
@@ -806,10 +812,15 @@ class CJKAnalyzer(StandardAnalyzer):
                     out_r.append(r[k])
                     out_t.append(t[k] + t[k + 1])
                     out_p.append(p[k])
+                    if self.output_unigrams:
+                        # posIncr=0 overlap over the unigram at p[k]:
+                        # excluded from norms (discountOverlaps=true)
+                        overlap_r.append(r[k])
             i = j
         order = np.lexsort((np.asarray(out_p), np.asarray(out_r)))
-        field_lens = np.bincount(
-            np.asarray(out_r, dtype=np.int64), minlength=n_rows
+        field_lens = (
+            np.bincount(np.asarray(out_r, dtype=np.int64), minlength=n_rows)
+            - np.bincount(np.asarray(overlap_r, dtype=np.int64), minlength=n_rows)
         ).astype(np.int32)
         return (
             np.asarray(out_r, dtype=np.int64)[order],

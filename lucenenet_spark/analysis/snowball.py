@@ -327,11 +327,16 @@ def _fr_step1(w: str, rv: int, r1: int, r2: int) -> tuple[str, bool]:
 
 def _fr_step2a(w: str, rv: int) -> str:
     """Verb suffixes beginning i: longest match first, then the rule —
-    delete if in RV and preceded by a non-vowel itself in RV."""
+    delete if in RV and preceded by a non-vowel itself in RV. Snowball's
+    among runs under `setlimit tomark pV`, so a suffix that starts before
+    RV never matches at all — fall through to a shorter suffix wholly
+    inside RV (mirrors the Spanish step-2b loop)."""
     for suf in _FR_STEP2A:
         if w.endswith(suf):
             p = len(w) - len(suf)
-            if p >= rv and p - 1 >= rv and w[p - 1] not in _FR_VOWELS:
+            if p < rv:
+                continue  # suffix straddles the RV boundary: not a match
+            if p - 1 >= rv and w[p - 1] not in _FR_VOWELS:
                 return w[:p]
             return w
     return w
@@ -348,11 +353,15 @@ _FR_STEP2B = sorted(
 
 
 def _fr_step2b(w: str, rv: int, r2: int) -> str:
-    """Other verb suffixes (all tests confined to RV; ions also needs R2)."""
+    """Other verb suffixes (all tests confined to RV; ions also needs R2).
+    As in step 2a, the among is limited to RV: a suffix starting before RV
+    is skipped in favour of a shorter one wholly inside RV."""
     for suf, grp in _FR_STEP2B:
         if not w.endswith(suf):
             continue
         p = len(w) - len(suf)
+        if p < rv:
+            continue  # suffix straddles the RV boundary: not a match
         if grp == "ions":
             if p >= r2 and p >= rv:
                 w = w[:p]
@@ -417,6 +426,10 @@ def french_stem(word: str) -> str:
             if not w.endswith(suf):
                 continue
             p = len(w) - len(suf)
+            if p < rv:
+                # among limited to RV: a straddling suffix is no match —
+                # fall through to a shorter suffix wholly inside RV
+                continue
             if suf == "ion":
                 if p >= r2 and p >= rv and p - 1 >= rv and p > 0 and w[p - 1] in "st":
                     w = w[:p]
@@ -681,19 +694,21 @@ def spanish_stem(word: str) -> str:
             break
         stem = w[:p]
         done = False
+        # the gerund/infinitive ending must itself lie in RV (published
+        # step 0: "...in RV"; only (c)'s preceding u may fall outside)
         for a in _ES_STEP0_A:
-            if stem.endswith(a):
+            if stem.endswith(a) and len(stem) - len(a) >= rv:
                 w = stem[: -len(a)] + a.translate(_ES_UNACCENT)
                 done = True
                 break
         if not done:
             for b in _ES_STEP0_B:
-                if stem.endswith(b):
+                if stem.endswith(b) and len(stem) - len(b) >= rv:
                     w = stem
                     done = True
                     break
-        if not done and stem.endswith("yendo") and len(stem) >= 6 \
-                and stem[-6] == "u":
+        if not done and stem.endswith("yendo") and len(stem) - 5 >= rv \
+                and len(stem) >= 6 and stem[-6] == "u":
             w = stem
         break
 

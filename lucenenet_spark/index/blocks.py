@@ -282,6 +282,11 @@ def pack_postings(
     `packed` stream — the .doc/.pos wire-format parity artifact
     (unpack_blocks roundtrip-tested). Use it only when the byte stream
     itself is wanted."""
+    if mode not in ("columnar_py", "columnar", "parity"):
+        raise ValueError(
+            f"pack_postings mode must be one of 'columnar_py', 'columnar', "
+            f"'parity'; got {mode!r}"
+        )
     if mode == "columnar":
         return _pack_postings_jvm(postings, with_positions, norm_cache, num_partitions)
     emit_packed = mode != "columnar_py"
@@ -351,13 +356,13 @@ def _pack_postings_jvm(
     burned 14 minutes). The (field, term, range) key space is bounded
     (~#terms x ranges-per-term) and each group's buffer is <= RANGE_DOCS
     postings, so the hash aggregate is safe: raise the fallback threshold
-    for this session so the pack stays in the hash path (partial data
-    per task ~ its shuffle split, held as JVM objects — size executors
-    accordingly at scale)."""
+    SCOPED to the pack job (set -> materialize -> restore in a finally),
+    so later unrelated ObjectHashAggregates in the session keep their
+    sort-based OOM fallback (partial data per task ~ its shuffle split,
+    held as JVM objects — size executors accordingly at scale). The
+    returned frame is therefore PERSISTED (already materialized); callers
+    own the unpersist."""
     spark = postings.sparkSession
-    spark.conf.set(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "33554432"
-    )
     # The hash aggregate holds each reduce partition's postings as boxed
     # JVM objects until its groups emit, so per-task memory ~ partition
     # rows x boxed-struct overhead. At 1M docs, 32 partitions put ~2M rows
@@ -452,7 +457,7 @@ def _pack_postings_jvm(
         IMPACT_CAP,
     )
 
-    return chunked.select(
+    out = chunked.select(
         "field",
         "term",
         (F.col("range_id") * F.lit(BLOCKS_PER_RANGE) + F.col("chunk"))
@@ -476,6 +481,26 @@ def _pack_postings_jvm(
         ).alias("poss"),
         F.lit(None).cast("binary").alias("packed"),
     )
+
+    # Scoped conf: the SQL conf is read at execution time, so the raised
+    # threshold must be live while the pack job RUNS. Materialize the
+    # (persisted) result under the raised value, then restore the prior
+    # session value whatever happens.
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, "33554432")
+    try:
+        out = out.persist()
+        out.count()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    return out
 
 
 UNPACKED_SCHEMA = T.StructType(

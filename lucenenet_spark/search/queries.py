@@ -211,7 +211,10 @@ def rewrite(query: Query) -> Query:
     if isinstance(query, NGramPhraseQuery):
         m = len(query.terms)
         if m == 0:
-            return MatchAllDocsQuery(boost=query.boost)
+            # Lucene's empty phrase/boolean rewrites match NO documents
+            # (BooleanQuery with zero clauses); MatchAll here would turn a
+            # degenerate empty phrase into a match-everything query.
+            return BooleanQuery(clauses=(), boost=query.boost)
         # NGramPhraseQuery.Rewrite: keep grams at 0, n, 2n, ... and the
         # last; under n terms there is nothing to thin
         if query.n <= 1 or m <= query.n:

@@ -633,6 +633,10 @@ class IndexSearcher:
         musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
         shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
         nots = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]
+        if not q.clauses:
+            # zero-clause boolean (e.g. empty NGramPhraseQuery rewrite)
+            # matches no documents, like Lucene's empty BooleanQuery
+            return self._empty_scored()
         if not musts and not shoulds:
             raise ValueError("pure-negation BooleanQuery matches nothing (as in Lucene)")
 
@@ -723,6 +727,10 @@ class IndexSearcher:
         if isinstance(q, ConstantScoreQuery):
             return self._docset(q.query)
         if isinstance(q, BooleanQuery):
+            if not q.clauses:
+                # empty boolean (e.g. empty NGramPhraseQuery rewrite)
+                # matches no documents, like Lucene's empty BooleanQuery
+                return self._empty_scored().select("doc_id")
             musts = [c.query for c in q.clauses if c.occur is Occur.MUST]
             shoulds = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
             nots = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]

@@ -1,0 +1,132 @@
+"""Round-5 regression tests: the five ADVICE-r4 fixes.
+
+1. pack_postings rejects unknown modes (no silent parity fallback).
+2. _pack_postings_jvm restores the ObjectHashAggregate fallback conf.
+3. CJKAnalyzer output_unigrams norms discount posIncr=0 bigrams.
+4. Empty NGramPhraseQuery rewrites to match-NOTHING (Lucene empty boolean).
+5. Snowball RV confinement: French 2a/2b/step-4 amongs skip suffixes that
+   straddle the RV boundary; Spanish step 0 requires the gerund/infinitive
+   ending itself in RV.
+"""
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# 1+2: pack_postings mode validation + scoped conf
+# ---------------------------------------------------------------------------
+def test_pack_postings_rejects_unknown_mode(spark, corpus_df):
+    from lucenenet_spark.index.blocks import pack_postings
+    from lucenenet_spark.index.builder import build_index
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="mode"):
+        pack_postings(idx.postings, mode="columnar-py")
+    with pytest.raises(ValueError, match="mode"):
+        pack_postings(idx.postings, mode="jvm")
+
+
+def test_jvm_pack_restores_object_agg_conf(spark, corpus_df):
+    from lucenenet_spark.index.blocks import pack_postings
+    from lucenenet_spark.index.builder import build_index
+
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    prior = "4096"
+    spark.conf.set(key, prior)
+    try:
+        idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+        blocks = pack_postings(idx.postings, mode="columnar")
+        try:
+            assert blocks.count() > 0
+            # conf restored even though the pack ran under the raised value
+            assert spark.conf.get(key) == prior
+        finally:
+            blocks.unpersist()
+    finally:
+        spark.conf.unset(key)
+
+
+# ---------------------------------------------------------------------------
+# 3: CJK output_unigrams norm discount
+# ---------------------------------------------------------------------------
+def test_cjk_output_unigrams_discounts_overlap_norms():
+    from lucenenet_spark.analysis.analyzers import CJKAnalyzer
+    import pandas as pd
+
+    azu = CJKAnalyzer(output_unigrams=True)
+    # 4-char Han run: 4 unigrams + 3 overlapping bigrams emitted, but
+    # discountOverlaps counts only the posIncr>=1 unigrams -> norm len 4
+    r, t, p, lens = azu.tokenize_batch(pd.Series(["我是中国", "hello 中国"]))
+    assert lens[0] == 4
+    # mixed row: 'hello' + 2 unigrams (+1 overlap bigram) -> 3
+    assert lens[1] == 3
+    # bigram-only mode (default) counts the primary bigrams
+    az = CJKAnalyzer()
+    _, _, _, lens2 = az.tokenize_batch(pd.Series(["我是中国"]))
+    assert lens2[0] == 3  # 我是 是中 中国
+
+
+# ---------------------------------------------------------------------------
+# 4: empty NGramPhraseQuery matches nothing
+# ---------------------------------------------------------------------------
+def test_empty_ngram_phrase_matches_nothing(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import (
+        BooleanQuery,
+        MatchAllDocsQuery,
+        NGramPhraseQuery,
+        rewrite,
+    )
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    r = rewrite(NGramPhraseQuery(n=2, terms=()))
+    assert not isinstance(r, MatchAllDocsQuery)
+    assert isinstance(r, BooleanQuery) and not r.clauses
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    assert s.docset(r).count() == 0
+    assert s.scored(r).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 5: Snowball RV confinement
+# ---------------------------------------------------------------------------
+def test_fr_step2b_skips_suffix_straddling_rv():
+    from lucenenet_spark.analysis.snowball import _fr_step2b
+
+    # 'assions' starts before rv=4 -> not a match under setlimit; the
+    # shorter 'ions' is wholly inside RV and >= r2 -> deleted
+    assert _fr_step2b("zzassions", 4, 5) == "zzass"
+    # wholly-inside longest suffix still wins
+    assert _fr_step2b("zzassions", 2, 99) == "zz"
+
+
+def test_fr_step2a_skips_suffix_straddling_rv():
+    from lucenenet_spark.analysis.snowball import _fr_step2a
+
+    # 'issais' straddles rv=7; shorter 'is' is inside RV but preceded by a
+    # vowel -> matched, rule fails, word unchanged (and no exception)
+    assert _fr_step2a("zzissais", 7) == "zzissais"
+    # wholly inside RV with consonant before (also in RV) -> deleted
+    assert _fr_step2a("zzbissais", 2) == "zzb"
+
+
+def test_es_step0_requires_ending_in_rv():
+    from lucenenet_spark.analysis.snowball import spanish_stem
+
+    # canonical: 'haciéndola' -> step0 removes 'la' + unaccents ('iéndo'
+    # begins exactly at RV) -> ... -> 'hac'
+    assert spanish_stem("haciéndola") == "hac"
+    # 'viendolo': 'iendo' begins at index 1 < RV(3) -> step 0 must NOT
+    # strip the pronoun (ending outside RV)
+    assert spanish_stem("viendolo").startswith("viendol")
+
+
+def test_fr_step4_skips_suffix_straddling_rv():
+    from lucenenet_spark.analysis.snowball import french_stem
+
+    # regression guard on the full pipeline for a word whose step-4 path
+    # is RV-confined; 'passions' -> final-s removal -> 'passion'
+    assert french_stem("passions") == "passion"
+    assert french_stem("merge") == "merg"
