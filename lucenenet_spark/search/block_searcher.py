@@ -55,6 +55,7 @@ exploded searcher uses for term stats.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import reduce
 
 import numpy as np
@@ -97,9 +98,14 @@ class BlockIndexSearcher:
         self.meta_cache_max_rows = meta_cache_max_rows
         self.last_stats: dict = {}
         # (field, term) -> dict of numpy arrays {bid, nd, mtf, mnb}, or None
-        # when the term's block count exceeds the cache bound
-        self._meta: dict[tuple[str, str], dict | None] = {}
+        # when the term's block count ALONE exceeds the cache bound. LRU:
+        # accesses move entries to the end; when the bound is hit, least-
+        # recently-used entries are evicted to make room (a long-lived
+        # searcher serving a broad query stream no longer pins its first
+        # meta_cache_max_rows of terms forever).
+        self._meta: "OrderedDict[tuple[str, str], dict | None]" = OrderedDict()
         self._meta_rows = 0
+        self._meta_entry_rows: dict[tuple[str, str], int] = {}
         self._caches: dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------- helpers
@@ -119,10 +125,26 @@ class BlockIndexSearcher:
             for t, b in term_boosts.items()
         }
 
+    def _meta_make_room(self, rows_needed: int, keep: set) -> bool:
+        """Evict LRU entries (never this call's `keep` set) until
+        rows_needed fits under meta_cache_max_rows. False if it can never
+        fit (rows_needed alone exceeds the bound)."""
+        if rows_needed > self.meta_cache_max_rows:
+            return False
+        for key in list(self._meta):
+            if self._meta_rows + rows_needed <= self.meta_cache_max_rows:
+                break
+            if key in keep:
+                continue
+            self._meta_rows -= self._meta_entry_rows.pop(key, 0)
+            del self._meta[key]
+        return self._meta_rows + rows_needed <= self.meta_cache_max_rows
+
     def _load_meta(self, fld: str, terms: list[str]) -> dict[str, dict | None]:
         """Driver-side block metadata per term (skip-list analogue).
         Returns {term: {bid, nd, mtf, mnb} | None}; None = too many blocks
         to cache (use the distributed path)."""
+        keep = {(fld, t) for t in terms}
         missing = [t for t in terms if (fld, t) not in self._meta]
         if missing:
             # Guard the collect itself: a stopword-scale term has ~df/128
@@ -136,8 +158,9 @@ class BlockIndexSearcher:
             stats = self.inner._term_stats([(fld, t) for t in missing])
             for t in list(missing):
                 est = max(1, stats.get((fld, t), (0, 0))[0] // BLOCK_SIZE)
-                if self._meta_rows + est > self.meta_cache_max_rows:
+                if not self._meta_make_room(est, keep):
                     self._meta[(fld, t)] = None
+                    self._meta_entry_rows[(fld, t)] = 0
                     missing.remove(t)
         if missing:
             rows = (
@@ -156,8 +179,9 @@ class BlockIndexSearcher:
                      r["imp_tf"], r["imp_nb"], r["imp_cnt"])
                 )
             for t, lst in by_term.items():
-                if self._meta_rows + len(lst) > self.meta_cache_max_rows:
+                if not self._meta_make_room(len(lst), keep):
                     self._meta[(fld, t)] = None
+                    self._meta_entry_rows[(fld, t)] = 0
                     continue
                 lst.sort(key=lambda x: x[0])
                 arr = np.array([x[:6] for x in lst], dtype=np.int64).reshape(-1, 6)
@@ -172,6 +196,10 @@ class BlockIndexSearcher:
                     "icnt": np.array([v for x in lst for v in x[8]], dtype=np.int64),
                 }
                 self._meta_rows += len(lst)
+                self._meta_entry_rows[(fld, t)] = len(lst)
+        # LRU touch on every hit
+        for t in terms:
+            self._meta.move_to_end((fld, t))
         return {t: self._meta[(fld, t)] for t in terms}
 
     def _block_ubs(self, meta: dict[str, dict], weights: dict[str, float],

@@ -135,6 +135,10 @@ class IndexSearcher:
         # per-field 256-entry norm caches (avgdl is per field:
         # BM25Similarity.cs:91-102), built lazily, evaluated JVM-side
         self._cache_cols: dict[str, object] = {}
+        # per-field term-trigram inverted table for fuzzy candidate
+        # pruning (see _rewrite_fuzzy), built lazily + persisted
+        self._fuzzy_grams: dict[str, DataFrame] = {}
+        self._last_fuzzy_route: str | None = None
 
     def _fld(self, q) -> str:
         """Resolve a query's field, defaulting like QueryParserBase's
@@ -783,13 +787,86 @@ class IndexSearcher:
             return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
         raise TypeError(f"no term predicate for {q!r}")
 
+    _FUZZY_GRAM_N = 3
+
+    def _fuzzy_candidate_terms(self, t: str, fld: str, lev_cap: int) -> DataFrame:
+        """Bounded fuzzy candidate generation — the Spark analogue of
+        FuzzyTermsEnum intersecting a Levenshtein automaton with the term
+        dict (Search/FuzzyTermsEnum.cs, Util/Automaton/LevenshteinAutomata.cs
+        :35-39) instead of enumerating every term.
+
+        q-gram count filter in DISTINCT-gram space: one edit touches at
+        most n gram positions, so it can wipe out at most n distinct gram
+        TYPES of t — a term within levenshtein k of t therefore contains
+        at least D - k*n of t's D distinct n-grams (the distinct-set form
+        of the count filter of Gravano et al., VLDB'01; the positional
+        multiset bound |t|-n+1-kn is NOT sound over distinct sets for
+        repetitive terms like 'aaaaaaa'). When that lower bound is
+        >= 1, candidates are drawn from a lazily built, persisted
+        (gram, term) inverted table: an IN-list filter on the gram column
+        selects only the slices for the query's |t|-n+1 grams (narrow,
+        no shuffle; at 10^9-term scale the table would live as parquet
+        bucketed by gram so the IN-list becomes real scan pruning), then a
+        tiny groupBy(term) count >= threshold keeps only gram-sharing
+        terms — levenshtein runs on that small set, not the dictionary.
+        Short terms / large k (bound < 1) fall back to the full
+        length-banded dictionary scan, which is exact and still JVM-side."""
+        qgrams = sorted(
+            {t[i : i + self._FUZZY_GRAM_N] for i in range(len(t) - self._FUZZY_GRAM_N + 1)}
+        )
+        thresh = len(qgrams) - lev_cap * self._FUZZY_GRAM_N
+        if thresh < 1 or not qgrams:
+            self._last_fuzzy_route = "scan"
+            return self.index.term_stats
+        if fld not in self._fuzzy_grams:
+            terms = self.index.term_stats.filter(F.col("field") == fld).select(
+                "field", "term"
+            )
+            grams = terms.select(
+                "field",
+                "term",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(0),
+                                F.greatest(
+                                    F.length("term") - self._FUZZY_GRAM_N, F.lit(0)
+                                ),
+                            ),
+                            lambda i: F.col("term").substr(
+                                i + F.lit(1), F.lit(self._FUZZY_GRAM_N)
+                            ),
+                        )
+                    )
+                ).alias("gram"),
+            )
+            # repartition on gram so each IN-list probe touches few
+            # partitions' columnar batches (min/max pruning on the
+            # persisted frame); the table is built once per searcher
+            self._fuzzy_grams[fld] = grams.repartition("gram").persist()
+        g = self._fuzzy_grams[fld]
+        self._last_fuzzy_route = "ngram"
+        matched = (
+            g.filter(F.col("gram").isin(qgrams))
+            .groupBy("field", "term")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+            .filter(F.col("_shared") >= thresh)
+            .select("field", "term")
+        )
+        # restore df/ttf shape expected by the caller's predicate
+        return self.index.term_stats.join(matched, ["field", "term"], "left_semi")
+
     def _rewrite_fuzzy(self, q: FuzzyQuery) -> Query:
         """FuzzyQuery → top-terms boosted OR (FuzzyTermsEnum + TopTermsRewrite;
         boost = 1 - edits/min-term-length, FuzzyTermsEnum.cs).
 
         The candidate set comes from a pushdown scan of the term dictionary
         with JVM-side levenshtein + length-window pruning; only the
-        ≤max_expansions winners are collected to the driver.
+        ≤max_expansions winners are collected to the driver. Long terms
+        route through a trigram count prefilter first
+        (_fuzzy_candidate_terms) so the levenshtein never sees the whole
+        dictionary.
 
         transpositions=True (the reference default, FuzzyQuery.cs:61) counts
         an adjacent swap as ONE edit (Damerau / optimal string alignment).
@@ -807,8 +884,9 @@ class IndexSearcher:
         )
         if q.prefix_length > 0:
             pred = pred & F.col("term").startswith(t[: q.prefix_length])
+        source = self._fuzzy_candidate_terms(t, fld, lev_cap)
         cand = (
-            self.index.term_stats.filter(pred)
+            source.filter(pred)
             .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
             .filter(F.col("dist") <= lev_cap)
             .select("term", "dist")

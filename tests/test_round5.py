@@ -123,6 +123,92 @@ def test_es_step0_requires_ending_in_rv():
     assert spanish_stem("viendolo").startswith("viendol")
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy candidate pruning: trigram count prefilter == full-dictionary scan
+# ---------------------------------------------------------------------------
+def test_fuzzy_ngram_route_matches_scan(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import FuzzyQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    vocab = [r.term for r in idx.term_stats.limit(5).collect()]
+    for base in vocab:
+        if len(base) < 7:
+            base = base + "xyz"
+        for transpositions in (False, True):
+            q = FuzzyQuery(base, max_edits=1, transpositions=transpositions)
+            s1 = IndexSearcher(idx, mode="double")
+            r1 = s1.search(q, 20).collect()
+            route1 = s1._last_fuzzy_route
+            # force the fallback scan by making the threshold unusable
+            s2 = IndexSearcher(idx, mode="double")
+            s2._FUZZY_GRAM_N = 10**6
+            r2 = s2.search(q, 20).collect()
+            assert s2._last_fuzzy_route == "scan"
+            assert [(r.doc_id, round(r.score, 5)) for r in r1] == [
+                (r.doc_id, round(r.score, 5)) for r in r2
+            ], (base, transpositions, route1)
+
+
+def test_fuzzy_repetitive_term_falls_back_to_scan(spark):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import FuzzyQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    df = spark.createDataFrame(
+        [(0, "aaaaaaa repeats"), (1, "aaaaaab close"), (2, "unrelated")],
+        "doc_id long, text string",
+    )
+    s = IndexSearcher(build_index(df), mode="double")
+    hits = s.search(FuzzyQuery("aaaaaaa", max_edits=1), 10).collect()
+    # distinct-gram threshold unusable for 1-distinct-gram terms ->
+    # exact scan; both docs within distance 1 found
+    assert s._last_fuzzy_route == "scan"
+    assert sorted(r.doc_id for r in hits) == [0, 1]
+
+
+def test_fuzzy_ngram_route_is_bounded(spark, corpus_df):
+    """The levenshtein input on the ngram route is the gram-join result,
+    not the dictionary: its plan must contain the gram IN-list filter."""
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    cand = s._fuzzy_candidate_terms("distributed", idx.default_field, 1)
+    assert s._last_fuzzy_route == "ngram"
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    assert "gram" in plan and ("IN" in plan or "isin" in plan.lower())
+
+
+# ---------------------------------------------------------------------------
+# Block-meta cache: LRU eviction under the row bound
+# ---------------------------------------------------------------------------
+def test_block_meta_lru_eviction(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.block_searcher import BlockIndexSearcher
+    from lucenenet_spark.index.blocks import pack_postings
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    blocks = pack_postings(idx.postings).cache()
+    s = BlockIndexSearcher(idx, blocks, meta_cache_max_rows=3)
+    fld = idx.default_field
+    terms = [r.term for r in idx.term_stats.limit(6).collect()]
+    assert len(terms) >= 4
+    for t in terms:
+        m = s._load_meta(fld, [t])
+        assert m[t] is not None  # fits alone -> older entries evicted, not None
+        assert s._meta_rows <= 3
+    # earliest term was evicted; most recent ones survive
+    assert (fld, terms[0]) not in s._meta
+    # re-load after eviction works and stays bounded
+    m = s._load_meta(fld, [terms[0]])
+    assert m[terms[0]] is not None
+    assert s._meta_rows <= 3
+    blocks.unpersist()
+
+
 def test_fr_step4_skips_suffix_straddling_rv():
     from lucenenet_spark.analysis.snowball import french_stem
 
