@@ -1,0 +1,148 @@
+"""Round-5 gates: Portuguese/Italian/Dutch Snowball language packs.
+
+The driver testdata carries only en/zh/es/de/fr langs, so the gate
+deterministically REMAPS langs (es->pt, fr->it, de->nl) on the fly —
+both the Spark plan and the DuckDB oracle apply the identical remap, the
+same corrupt/restore pattern as cjk_bigram_query. Stemmer fidelity is
+pinned separately by the rule-traced fixture pairs in
+tests/test_snowball_more.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import _Q, _spark_score_q, gate
+from lucenenet_spark.search.queries import TermQuery
+
+_ROUTED_PTITNL: dict[str, tuple] = {}
+
+_REMAP = {"es": "pt", "fr": "it", "de": "nl"}
+
+
+def get_engine_routed_ptitnl(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.analysis.snowball_more import (
+        DutchAnalyzer,
+        ItalianAnalyzer,
+        PortugueseAnalyzer,
+    )
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_PTITNL:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        remap = F.create_map(
+            *[F.lit(x) for kv in _REMAP.items() for x in kv]
+        )
+        docs = docs.withColumn(
+            "lang", F.coalesce(remap[F.col("lang")], F.col("lang"))
+        )
+        router = LanguageRoutedAnalyzer(
+            {"pt": PortugueseAnalyzer(), "it": ItalianAnalyzer(), "nl": DutchAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_PTITNL[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_PTITNL[key]
+
+
+def _ptitnl_stem_sql() -> str:
+    from lucenenet_spark.analysis.snowball_more import (
+        dutch_stem,
+        italian_stem,
+        portuguese_stem,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def case(stem_fn):
+        whens = " ".join(
+            f"WHEN '{t}' THEN '{stem_fn(t)}'"
+            for t in _CORPUS_VOCAB if stem_fn(t) != t
+        )
+        return f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+    return (
+        f"CASE WHEN lang2 = 'pt' THEN {case(portuguese_stem)} "
+        f"WHEN lang2 = 'it' THEN {case(italian_stem)} "
+        f"WHEN lang2 = 'nl' THEN {case(dutch_stem)} "
+        f"ELSE term END"
+    )
+
+
+def _ptitnl_stop_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball_more import (
+        DUTCH_STOP_WORDS,
+        ITALIAN_STOP_WORDS,
+        PORTUGUESE_STOP_WORDS,
+    )
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    return (
+        f"((lang2 = 'pt' AND term NOT IN ({lst(PORTUGUESE_STOP_WORDS)})) OR "
+        f"(lang2 = 'it' AND term NOT IN ({lst(ITALIAN_STOP_WORDS)})) OR "
+        f"(lang2 = 'nl' AND term NOT IN ({lst(DUTCH_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('pt', 'it', 'nl') AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+
+
+_SNOWBALL_PTITNL_SQL = f"""
+WITH docs2 AS (
+  SELECT doc_id, text,
+         CASE lang WHEN 'es' THEN 'pt' WHEN 'fr' THEN 'it'
+                   WHEN 'de' THEN 'nl' ELSE lang END AS lang2
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang2,
+         unnest(string_split(text, ' ')) AS term
+  FROM docs2
+),
+tokf AS (
+  SELECT doc_id, {{stem}} AS term
+  FROM tok
+  WHERE term <> '' AND {{stop}}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = 'merg'
+"""
+
+
+def _ptitnl_sql() -> str:
+    return _SNOWBALL_PTITNL_SQL.format(
+        stem=_ptitnl_stem_sql(), stop=_ptitnl_stop_sql()
+    )
+
+
+@gate("snowball_ptitnl_term_query", _ptitnl_sql())
+def snowball_ptitnl_term_query(spark, sf_dir):
+    """TermQuery('merg') over a pt/it/nl routed index (langs remapped
+    es->pt, fr->it, de->nl): all three languages stem 'merge' -> 'merg'
+    by their own Snowball rules, each filtered by its own stop set —
+    Analysis/{Pt,It,Nl} analyzer parity at gate granularity."""
+    _, s = get_engine_routed_ptitnl(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merg")))
