@@ -832,3 +832,155 @@ class CJKAnalyzer(StandardAnalyzer):
     @property
     def supports_arrow_fast_path(self) -> bool:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Japanese (Kuromoji-class) analysis
+# ---------------------------------------------------------------------------
+# Hiragana function words (particles, auxiliaries, light verbs) dropped by
+# the reference's JapaneseAnalyzer via part-of-speech stop tags
+# (Lucene.Net.Analysis.Kuromoji/JapaneseAnalyzer.cs stop set + stoptags);
+# this subset covers the high-frequency closed-class forms.
+JAPANESE_STOP_WORDS = frozenset(
+    """の に は を た が で て と し れ さ ある いる も する から な こと
+    として い や など なっ ない この ため その あっ よう また もの という
+    あり まで られ なる へ か だ これ によって により おり より による ず
+    なり られる において ば なかっ なく しかし について せ だっ その後
+    できる それ う ので なお のみ でき き つ における および いう さらに
+    でも ら たり その他 に関する たち ます ん なら に対して 特に せる 及び
+    これら とき では にて ほか ながら うち そして とともに ただし かつて
+    それぞれ または に対する ほとんど と共に といった です とも ところ ここ""".split()
+)
+
+
+class JapaneseAnalyzer(StandardAnalyzer):
+    """Kuromoji-class Japanese analysis as a DOCUMENTED dictionary/bigram
+    hybrid (reference: Lucene.Net.Analysis.Kuromoji/JapaneseAnalyzer.cs,
+    JapaneseTokenizer.cs). A faithful Viterbi lattice over the MeCab
+    IPADIC cost model is out of scope in this sandbox (the dictionary
+    binary is not shippable); instead:
+
+    - runs of adjacent single-char CJK tokens (the Han/Hiragana classes
+      the UAX#29 subset tokenizer emits per-char) are segmented by GREEDY
+      LONGEST MATCH against a user dictionary — the same mechanism as
+      JapaneseTokenizer's user-dictionary overrides, which take priority
+      over the lattice in the reference;
+    - unmatched spans fall back to overlapping bigrams (an isolated
+      unmatched char stays a unigram) — Kuromoji's SEARCH-mode behaviour
+      of emitting n-grammed fragments for long unknown runs, and exactly
+      CJKAnalyzer's recall-preserving fallback;
+    - hiragana function words are dropped via JAPANESE_STOP_WORDS, the
+      analogue of JapaneseAnalyzer's POS stop tags + stop set;
+    - Katakana runs arrive as whole tokens from the tokenizer (loanwords
+      keep their natural segmentation).
+
+    Positions are TOKEN-STREAM indices (one per emitted token, like
+    JapaneseTokenizer's posIncr=1 stream, not char offsets): consecutive
+    dictionary words get consecutive positions, so PhraseQuery over them
+    matches adjacent text; dropped particles leave position holes
+    (StopFilter posIncr accumulation). Norm lengths count emitted tokens
+    post-stop-filter (FieldInvertState; the fallback bigrams are primary
+    tokens, not posIncr=0 overlays)."""
+
+    def __init__(self, user_dict=(), stopwords=JAPANESE_STOP_WORDS, **kw) -> None:
+        # The base tokenizer must NOT stop-filter: dropping a particle
+        # before run grouping would split a CJK run mid-dictionary-word.
+        # The ja stop set applies post-segmentation (like the reference,
+        # where the POS stop filter runs after JapaneseTokenizer).
+        kw.setdefault("stopwords", None)
+        super().__init__(**kw)
+        self.ja_stopwords = frozenset(stopwords or ())
+        self.user_dict = frozenset(user_dict)
+        self._max_word = max((len(w) for w in self.user_dict), default=0)
+
+    @staticmethod
+    def _is_cjk(tok: str) -> bool:
+        return len(tok) == 1 and bool(_CJK_SINGLE_RE.fullmatch(tok))
+
+    def _segment(self, run: str) -> list[str]:
+        """Greedy longest dictionary match; unmatched spans -> overlapping
+        bigrams (isolated unmatched char -> unigram). Returns the token
+        sequence in surface order."""
+        out: list[str] = []
+        n = len(run)
+        i = 0
+        unk_start = -1
+
+        def flush_unknown(lo: int, hi: int) -> None:
+            if lo < 0:
+                return
+            span = hi - lo
+            if span == 1:
+                out.append(run[lo])
+            else:
+                for k in range(lo, hi - 1):
+                    out.append(run[k : k + 2])
+
+        while i < n:
+            best = None
+            for L in range(min(self._max_word, n - i), 0, -1):
+                if run[i : i + L] in self.user_dict:
+                    best = run[i : i + L]
+                    break
+            if best is not None:
+                flush_unknown(unk_start, i)
+                unk_start = -1
+                out.append(best)
+                i += len(best)
+            else:
+                if unk_start < 0:
+                    unk_start = i
+                i += 1
+        flush_unknown(unk_start, n if unk_start >= 0 else -1)
+        return out
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, _ = super().tokenize_batch(texts)
+        n_rows = len(pd.Series(texts))
+        out_r: list[int] = []
+        out_t: list[str] = []
+        out_p: list[int] = []
+        r = row_idx.tolist()
+        t = terms.tolist()
+        p = positions.tolist()
+        n = len(t)
+        i = 0
+        cur_row = -1
+        counter = 0  # token-stream position within the current row
+        while i < n:
+            if r[i] != cur_row:
+                cur_row = r[i]
+                counter = 0
+            if not self._is_cjk(t[i]):
+                out_r.append(r[i]); out_t.append(t[i]); out_p.append(counter)
+                counter += 1
+                i += 1
+                continue
+            j = i + 1
+            while (
+                j < n and r[j] == r[i] and p[j] == p[j - 1] + 1
+                and self._is_cjk(t[j])
+            ):
+                j += 1
+            run = "".join(t[i:j])
+            for term in self._segment(run):
+                if term in self.ja_stopwords:
+                    counter += 1  # stop token leaves a position hole
+                    continue
+                out_r.append(r[i]); out_t.append(term); out_p.append(counter)
+                counter += 1
+            i = j
+        order = np.lexsort((np.asarray(out_p), np.asarray(out_r)))
+        field_lens = np.bincount(
+            np.asarray(out_r, dtype=np.int64), minlength=n_rows
+        ).astype(np.int32)
+        return (
+            np.asarray(out_r, dtype=np.int64)[order],
+            np.asarray(out_t, dtype=object)[order],
+            np.asarray(out_p, dtype=np.int32)[order],
+            field_lens,
+        )
+
+    @property
+    def supports_arrow_fast_path(self) -> bool:
+        return False

@@ -146,3 +146,41 @@ def snowball_ptitnl_term_query(spark, sf_dir):
     Analysis/{Pt,It,Nl} analyzer parity at gate granularity."""
     _, s = get_engine_routed_ptitnl(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("merg")))
+
+
+# ==========================================================================
+# Japanese (Kuromoji-class) analysis: dictionary segmentation over fused
+# ideographs (Lucene.Net.Analysis.Kuromoji/JapaneseAnalyzer.cs semantics at
+# gate granularity). Corrupt/restore: 'key value' fused into the 4-ideograph
+# compound 分散検索; JapaneseAnalyzer's user dictionary {分散, 検索}
+# segments it back into two dictionary words, so TermQuery('検索') returns
+# exactly the docs where the original adjacent pair occurred.
+# ==========================================================================
+from lucenenet_spark.plans.gate import SQL_PRELUDE, get_engine
+
+
+@gate(
+    "ja_analysis",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'key' AND b.term = 'value'
+""",
+)
+def ja_analysis(spark, sf_dir):
+    """'key value' fused to 分散検索, indexed through JapaneseAnalyzer
+    (per-char tokenize -> greedy user-dictionary longest match): TermQuery
+    on the dictionary word 検索 finds exactly the docs with the original
+    adjacent pair; the particle の and bigram fallback paths are pinned by
+    tests/test_round5.py."""
+    from lucenenet_spark.analysis.analyzers import JapaneseAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _, _, docs = get_engine(spark, sf_dir)
+    fused = docs.select(
+        "doc_id", F.regexp_replace("text", "key value", "分散検索").alias("text")
+    )
+    idx = build_index(fused, analyzer=JapaneseAnalyzer(user_dict=["分散", "検索"]))
+    s = IndexSearcher(idx, mode="double")
+    return s.docset(TermQuery("検索"))

@@ -216,3 +216,57 @@ def test_fr_step4_skips_suffix_straddling_rv():
     # is RV-confined; 'passions' -> final-s removal -> 'passion'
     assert french_stem("passions") == "passion"
     assert french_stem("merge") == "merg"
+
+
+# ---------------------------------------------------------------------------
+# JapaneseAnalyzer: dictionary/bigram hybrid (Kuromoji-class semantics)
+# ---------------------------------------------------------------------------
+def test_japanese_analyzer_segmentation():
+    from lucenenet_spark.analysis.analyzers import JapaneseAnalyzer
+
+    az = JapaneseAnalyzer(user_dict=["分散", "検索", "東京", "検索エンジン"])
+    # greedy longest dictionary match over a fused compound; positions are
+    # token-stream indices (consecutive dictionary words -> consecutive)
+    assert az.tokenize_text("分散検索 system") == [
+        ("分散", 0), ("検索", 1), ("system", 2)
+    ]
+    # particles dropped POST-segmentation (run not split by の), leaving
+    # a position hole
+    assert az.tokenize_text("東京の検索") == [("東京", 0), ("検索", 2)]
+    # unmatched span -> overlapping bigrams; particle-crossing bigram kept
+    assert az.tokenize_text("中国人です") == [
+        ("中国", 0), ("国人", 1), ("人で", 2)
+    ]
+    # isolated unmatched char stays a unigram
+    assert az.tokenize_text("山 mountain") == [("山", 0), ("mountain", 1)]
+    # katakana loanword runs pass through whole
+    assert az.tokenize_text("コンピュータ 検索") == [
+        ("コンピュータ", 0), ("検索", 1)
+    ]
+
+
+def test_japanese_analyzer_norms_and_phrase(spark):
+    from lucenenet_spark.analysis.analyzers import JapaneseAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PhraseQuery, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+    import pandas as pd
+
+    az = JapaneseAnalyzer(user_dict=["分散", "検索"])
+    # norm length counts emitted tokens post stop filter
+    _, _, _, lens = az.tokenize_batch(pd.Series(["東京の分散検索", "hello"]))
+    # run 東京の分散検索: bigrams 東京/京の/の分 + dict 分散/検索 ... 東京
+    # not in dict here -> 東,京 unmatched -> bigram 東京... count emitted
+    toks = az.tokenize_text("東京の分散検索")
+    assert lens[0] == len(toks) and lens[1] == 1
+
+    docs = spark.createDataFrame(
+        [(0, "分散検索 works"), (1, "検索分散 reversed"), (2, "検索 only")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=az)
+    s = IndexSearcher(idx, mode="double")
+    assert {r.doc_id for r in s.docset(TermQuery("検索")).collect()} == {0, 1, 2}
+    # dictionary words at consecutive positions -> phrase matches order
+    ph = PhraseQuery(terms=("分散", "検索"))
+    assert {r.doc_id for r in s.docset(ph).collect()} == {0}
