@@ -56,7 +56,8 @@ POSTINGS_SCHEMA = T.StructType(
 
 
 def _inverter_map(
-    analyzers: dict[str, StandardAnalyzer], id_col: str, with_positions: bool
+    analyzers: dict[str, StandardAnalyzer], id_col: str, with_positions: bool,
+    with_payloads: bool = False,
 ):
     """mapInArrow: corpus batches -> FULLY INVERTED posting rows.
 
@@ -90,6 +91,10 @@ def _inverter_map(
     ]
     if with_positions:
         arrow_fields.append(pa.field("positions", pa.list_(pa.int32())))
+    if with_payloads:
+        # per-position payload values, parallel to positions
+        # (Search/Payloads/; see analysis/payloads.py)
+        arrow_fields.append(pa.field("payloads", pa.list_(pa.float32())))
     arrow_fields += [pa.field("dl", pa.int32()), pa.field("norm_byte", pa.int32())]
     out_schema = pa.schema(arrow_fields)
 
@@ -111,6 +116,7 @@ def _inverter_map(
                             text_arr.to_pandas(), lang_arr.to_pandas()
                         )
                     )
+                    payloads = None
                     codes_np, uniques = pd.factorize(pd.Series(terms), sort=False)
                     codes = codes_np.astype(np.int64)
                     dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
@@ -118,10 +124,14 @@ def _inverter_map(
                     row_idx, codes, dictionary, positions, field_lens = (
                         analyzer.tokenize_batch_arrow(text_arr)
                     )
+                    payloads = None
                 else:
-                    row_idx, terms, positions, field_lens = analyzer.tokenize_batch(
-                        text_arr.to_pandas()
-                    )
+                    res = analyzer.tokenize_batch(text_arr.to_pandas())
+                    if len(res) == 5:
+                        row_idx, terms, positions, field_lens, payloads = res
+                    else:
+                        row_idx, terms, positions, field_lens = res
+                        payloads = None
                     codes_np, uniques = pd.factorize(pd.Series(terms), sort=False)
                     codes = codes_np.astype(np.int64)
                     dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
@@ -157,6 +167,18 @@ def _inverter_map(
                         pa.ListArray.from_arrays(
                             pa.array(offsets, type=pa.int32()),
                             pa.array(p_s.astype(np.int32), type=pa.int32()),
+                        )
+                    )
+                if with_payloads:
+                    if payloads is not None:
+                        pl_s = np.asarray(payloads, dtype=np.float32)[order]
+                    else:
+                        pl_s = np.ones(len(r_s), dtype=np.float32)
+                    pl_offsets = np.concatenate((starts, [len(pl_s)])).astype(np.int32)
+                    cols.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(pl_offsets, type=pa.int32()),
+                            pa.array(pl_s, type=pa.float32()),
                         )
                     )
                 cols += [
@@ -320,9 +342,20 @@ def build_index(
         analyzers = {f: analyzer for f in fields}
     field_names = list(analyzers)
 
-    schema = POSTINGS_SCHEMA if with_positions else T.StructType(
-        [f for f in POSTINGS_SCHEMA.fields if f.name != "positions"]
+    with_payloads = any(
+        getattr(a, "emits_payloads", False) for a in analyzers.values()
     )
+    schema_fields = [
+        f for f in POSTINGS_SCHEMA.fields if with_positions or f.name != "positions"
+    ]
+    if with_payloads:
+        at = next(
+            i for i, f in enumerate(schema_fields) if f.name == "dl"
+        )
+        schema_fields.insert(
+            at, T.StructField("payloads", T.ArrayType(T.FloatType()), True)
+        )
+    schema = T.StructType(schema_fields)
     routing_cols = sorted(
         {getattr(a, "routing_col", None) for a in analyzers.values()}
         - {None} - set(field_names)
@@ -331,7 +364,9 @@ def build_index(
         F.col(id_col).cast("long").alias("doc_id"),
         *[F.col(f).alias(f) for f in field_names],
         *[F.col(c).alias(c) for c in routing_cols],
-    ).mapInArrow(_inverter_map(analyzers, "doc_id", with_positions), schema)
+    ).mapInArrow(
+        _inverter_map(analyzers, "doc_id", with_positions, with_payloads), schema
+    )
     if persist:
         postings = postings.persist()
 

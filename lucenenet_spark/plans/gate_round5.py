@@ -184,3 +184,76 @@ def ja_analysis(spark, sf_dir):
     idx = build_index(fused, analyzer=JapaneseAnalyzer(user_dict=["分散", "検索"]))
     s = IndexSearcher(idx, mode="double")
     return s.docset(TermQuery("検索"))
+
+
+# ==========================================================================
+# Payload queries (Search/Payloads/PayloadTermQuery.cs +
+# AveragePayloadFunction.cs): every token gets a deterministic payload
+# (pos % 3 + 1) via the DelimitedPayloadTokenFilter chain; the query score
+# is the BM25 term kernel x the doc's average payload for that term. The
+# oracle reproduces payloads arithmetically from token positions.
+# ==========================================================================
+_PAYLOAD_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos, CAST((pos % 3) + 1 AS DOUBLE) AS payload
+  FROM tok WHERE term <> ''
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, avg(payload) AS apl
+  FROM tokp GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokp) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))
+             * p.apl) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = 'merge'
+"""
+
+
+@gate("payload_term", _PAYLOAD_SQL)
+def payload_term(spark, sf_dir):
+    """PayloadTermQuery('merge', avg): tokens rewritten to
+    'token|((pos%3)+1)' (DelimitedPayloadTokenFilter wire format), indexed
+    with payloads beside positions in the one-pass inversion; score =
+    BM25 term kernel x AveragePayloadFunction over the doc's payloads, all
+    in Column expressions."""
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PayloadTermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _, _, docs = get_engine(spark, sf_dir)
+    # F.transform's 2-arg lambda binds the second arg to the ARRAY INDEX —
+    # exactly the token position needed for the deterministic payload
+    payload_text = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.concat(
+                x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    fused = docs.select("doc_id", payload_text.alias("text"))
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    s = IndexSearcher(idx, mode="double")
+    return _spark_score_q(s.scored(PayloadTermQuery("merge", function="avg")))

