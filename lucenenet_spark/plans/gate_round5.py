@@ -257,3 +257,74 @@ def payload_term(spark, sf_dir):
     idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
     s = IndexSearcher(idx, mode="double")
     return _spark_score_q(s.scored(PayloadTermQuery("merge", function="avg")))
+
+
+# ==========================================================================
+# Spatial (Lucene.Net.Spatial semantics as native lat/lon predicates).
+# The corpus has no geo columns, so both sides derive deterministic
+# lat/lon from doc_id with exact integer arithmetic, then filter/sort
+# with the same double-precision haversine model (quantized to centi-km).
+# ==========================================================================
+_GEO_POINTS = """
+geo AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         CAST((doc_id * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+  FROM documents
+)
+"""
+
+
+def _geo_df(spark, sf_dir):
+    import os as _os
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        (((F.col("doc_id") * 104729) % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+    )
+
+
+@gate(
+    "geo_bbox",
+    "WITH " + _GEO_POINTS + """
+SELECT doc_id FROM geo
+WHERE lat >= 10.0 AND lat <= 60.0 AND (lon >= 170.0 OR lon <= -170.0)
+""",
+)
+def geo_bbox(spark, sf_dir):
+    """Dateline-crossing bounding box as a pushdown predicate
+    (BBoxStrategy semantics): lat in [10, 60], lon wrapping 170 -> -170."""
+    from lucenenet_spark.search.spatial import bbox_predicate
+
+    geo = _geo_df(spark, sf_dir)
+    return geo.filter(
+        bbox_predicate("lat", "lon", 10.0, 60.0, 170.0, -170.0)
+    ).select("doc_id")
+
+
+@gate(
+    "geo_distance_topk",
+    "WITH " + _GEO_POINTS + """
+SELECT doc_id,
+       CAST(floor(2.0 * 6371.0088 * asin(sqrt(
+         sin(radians(lat - 48.85) / 2) * sin(radians(lat - 48.85) / 2)
+         + cos(radians(lat)) * cos(radians(48.85))
+           * sin(radians(lon - 2.35) / 2) * sin(radians(lon - 2.35) / 2)
+       )) * 100 + 0.5) AS BIGINT) AS dist_q
+FROM geo
+ORDER BY dist_q ASC, doc_id ASC LIMIT 10
+""",
+)
+def geo_distance_topk(spark, sf_dir):
+    """10 nearest points to (48.85, 2.35) by haversine great-circle
+    distance (PointVectorStrategy distance sort), centi-km quantized."""
+    from lucenenet_spark.search.spatial import geo_distance_topk as topk
+
+    geo = _geo_df(spark, sf_dir)
+    out = topk(geo, "lat", "lon", 48.85, 2.35, k=10)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("dist_km") * 100 + F.lit(0.5)).cast("long").alias("dist_q"),
+    )

@@ -343,3 +343,66 @@ def test_payload_query_requires_payload_index(spark, corpus_df):
     s = IndexSearcher(idx, mode="double")
     with _pytest.raises(ValueError, match="payload"):
         s.scored(PayloadTermQuery("w0000")).count()
+
+
+# ---------------------------------------------------------------------------
+# Spatial: bbox, haversine filter, distance top-k
+# ---------------------------------------------------------------------------
+def test_spatial_bbox_and_distance(spark):
+    import math
+
+    from lucenenet_spark.search.spatial import (
+        EARTH_RADIUS_KM,
+        bbox_predicate,
+        geo_distance_filter,
+        geo_distance_topk,
+        haversine_km,
+    )
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(0, 48.8566, 2.3522),   # Paris
+         (1, 51.5074, -0.1278),  # London
+         (2, 40.7128, -74.006),  # New York
+         (3, 35.6762, 139.6503), # Tokyo
+         (4, -33.8688, 151.2093),# Sydney
+         (5, 50.0, 179.9), (6, 50.0, -179.9)],  # dateline pair
+        "doc_id long, lat double, lon double",
+    )
+
+    # plain box
+    euro = pts.filter(bbox_predicate("lat", "lon", 40.0, 60.0, -10.0, 10.0))
+    assert {r.doc_id for r in euro.collect()} == {0, 1}
+    # dateline wrap: lon >= 170 OR lon <= -170
+    wrap = pts.filter(bbox_predicate("lat", "lon", 40.0, 60.0, 170.0, -170.0))
+    assert {r.doc_id for r in wrap.collect()} == {5, 6}
+
+    # haversine sanity: Paris-London ~343-344 km
+    d = pts.filter(F.col("doc_id") == 1).select(
+        haversine_km("lat", "lon", 48.8566, 2.3522).alias("d")
+    ).collect()[0]["d"]
+    assert 340 < d < 350
+
+    # circle filter == brute haversine (bbox prefilter loses nothing)
+    brute = pts.select(
+        "doc_id", haversine_km("lat", "lon", 48.8566, 2.3522).alias("d")
+    ).filter(F.col("d") <= 400).collect()
+    filt = geo_distance_filter(pts, "lat", "lon", 48.8566, 2.3522, 400.0).collect()
+    assert {r.doc_id for r in filt} == {r.doc_id for r in brute} == {0, 1}
+
+    # distance top-k ordering
+    top = geo_distance_topk(pts, "lat", "lon", 48.8566, 2.3522, k=3).collect()
+    assert [r.doc_id for r in top] == [0, 1, 2]
+    assert top[0]["dist_km"] == pytest.approx(0.0, abs=1e-6)
+
+    # the bbox predicate reaches the parquet scan (pushdown), proving the
+    # filter is not a post-scan Python step
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "pts")
+        pts.write.parquet(path)
+        scan = spark.read.parquet(path).filter(
+            bbox_predicate("lat", "lon", 40.0, 60.0, -10.0, 10.0)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "GreaterThanOrEqual(lat,40.0)" in plan
