@@ -60,19 +60,39 @@ _ALPHA_CLS = (
     "A-Za-z0-9_À-ɏ"
     "Ͱ-ϿЀ-ӿ԰-֏א-תؠ-ي"
     "٠-٩ऀ-ॿ"
+    # supplementary-plane letters (UAX#29 ALetter outside the BMP --
+    # documented subset): mathematical alphanumerics, Gothic, Deseret
+    "\U0001D400-\U0001D7FF\U00010330-\U0001034A\U00010400-\U0001044F"
 )
-_HAN_CLS = "⺀-⻿㐀-䶿一-鿿豈-﫿"
+# UAX#29 Extend/Format: combining marks (and ZWNJ/ZWJ) never start a
+# token but extend the one in progress -- the reference JFlex DFA folds
+# them into the current token (StandardTokenizerImpl.cs Extend class).
+# Covers combining diacriticals (+supplement/extended), Cyrillic, Hebrew
+# points, Arabic harakat, general combining marks, half marks, ZWNJ/ZWJ.
+_COMB_CLS = (
+    "\u0300-\u036F\u0483-\u0489\u0591-\u05BD\u05BF\u05C1\u05C2\u05C4\u05C5\u05C7"
+    "\u0610-\u061A\u064B-\u065F\u0670\u1AB0-\u1AFF\u1DC0-\u1DFF"
+    "\u20D0-\u20F0\uFE20-\uFE2F\u200C\u200D"
+)
+# Han: BMP blocks + supplementary ideographic planes (CJK ext B-G +
+# compatibility supplement) -- one token per character either way
+_HAN_CLS = (
+    "⺀-⻿㐀-䶿一-鿿豈-﫿"
+    "\U00020000-\U0002A6DF\U0002A700-\U0002EBEF"
+    "\U0002F800-\U0002FA1F\U00030000-\U0003134A"
+)
 _HIRAGANA_CLS = "ぁ-ゖゝ-ゟ"
 _KATAKANA_CLS = "ァ-ヺー-ヿㇰ-ㇿ"
 _HANGUL_CLS = "ᄀ-ᇿ㄰-㆏가-힯"
 _SEASIAN_CLS = "ก-ฺเ-๛ກ-ຽເ-ໍက-ဿ"
+_ALPHA_BODY = f"[{_ALPHA_CLS}][{_ALPHA_CLS}{_COMB_CLS}]*"
 _TOKEN_RE = re.compile(
-    f"[{_ALPHA_CLS}]+(?:[.'][{_ALPHA_CLS}]+)*"
-    f"|[{_KATAKANA_CLS}]+"
-    f"|[{_HANGUL_CLS}]+"
+    f"{_ALPHA_BODY}(?:[.']{_ALPHA_BODY})*"
+    f"|[{_KATAKANA_CLS}][{_KATAKANA_CLS}{_COMB_CLS}]*"
+    f"|[{_HANGUL_CLS}][{_HANGUL_CLS}{_COMB_CLS}]*"
     f"|[{_SEASIAN_CLS}]+"
-    f"|[{_HAN_CLS}]"
-    f"|[{_HIRAGANA_CLS}]"
+    f"|[{_HAN_CLS}][{_COMB_CLS}]*"
+    f"|[{_HIRAGANA_CLS}][{_COMB_CLS}]*"
 )
 
 DEFAULT_MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.cs:52
@@ -158,7 +178,7 @@ def tokenize_batch_arrow(
     alphabet = "A-Za-z0-9_À-ɏ"
     keep = (
         alphabet + _ALPHA_CLS + _HAN_CLS + _HIRAGANA_CLS
-        + _KATAKANA_CLS + _HANGUL_CLS + _SEASIAN_CLS
+        + _KATAKANA_CLS + _HANGUL_CLS + _SEASIAN_CLS + _COMB_CLS
     )
     delim = f"[^{keep}.']+"
     anchored = f"^(?:[{alphabet}]+(?:[.'][{alphabet}]+)*)$"

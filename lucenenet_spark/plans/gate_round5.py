@@ -328,3 +328,36 @@ def geo_distance_topk(spark, sf_dir):
         "doc_id",
         F.floor(F.col("dist_km") * 100 + F.lit(0.5)).cast("long").alias("dist_q"),
     )
+
+
+# ==========================================================================
+# Supplementary-plane tokenization (StandardTokenizerImpl.cs handles the
+# astral planes; the BMP-subset tokenizer was extended in round 5).
+# Corrupt/restore: 'key value' fused into a PLANE-2 ideograph pair
+# 𠮷𡃁 (U+20BB7, U+210C1) — per-char ideographic tokenization puts them
+# at adjacent positions, so PhraseQuery finds exactly the original pairs.
+# ==========================================================================
+@gate(
+    "astral_term_query",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'key' AND b.term = 'value'
+""",
+)
+def astral_term_query(spark, sf_dir):
+    """'key value' fused to the supplementary-plane pair 𠮷𡃁: the
+    UAX#29 tokenizer emits one token per ideograph (now beyond the BMP),
+    and PhraseQuery('𠮷','𡃁') recovers exactly the docs with the
+    original adjacent pair."""
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import PhraseQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _, _, docs = get_engine(spark, sf_dir)
+    fused = docs.select(
+        "doc_id", F.regexp_replace("text", "key value", "𠮷𡃁").alias("text")
+    )
+    idx = build_index(fused)
+    s = IndexSearcher(idx, mode="double")
+    return s.docset(PhraseQuery(terms=("𠮷", "𡃁")))

@@ -406,3 +406,45 @@ def test_spatial_bbox_and_distance(spark):
         )
         plan = scan._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "GreaterThanOrEqual(lat,40.0)" in plan
+
+
+# ---------------------------------------------------------------------------
+# Supplementary planes + combining marks (UAX#29 extension)
+# ---------------------------------------------------------------------------
+def test_astral_and_combining_tokenization():
+    import pandas as pd
+    import pyarrow as pa
+
+    from lucenenet_spark.analysis import analyzers as A
+    from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+
+    az = StandardAnalyzer()
+    # plane-2 Han: one token per ideograph
+    assert az.tokenize_text("hello \U00020BB7\U000210C1 world") == [
+        ("hello", 0), ("\U00020BB7", 1), ("\U000210C1", 2), ("world", 3)
+    ]
+    # combining acute stays inside the token (NFD café)
+    assert az.tokenize_text("café latte") == [
+        ("café", 0), ("latte", 1)
+    ]
+    # Arabic harakat do not split the word
+    toks = az.tokenize_text("مَرْحَبًا hi")
+    assert len(toks) == 2 and toks[1][0] == "hi"
+    # ZWNJ joins (Persian-style), emoji are dropped (not word chars)
+    assert len(az.tokenize_text("ab‌cd")) == 1
+    assert az.tokenize_text("emoji \U0001F600 x") == [("emoji", 0), ("x", 1)]
+    # math alphanumerics are ALetter
+    assert az.tokenize_text("\U0001D400\U0001D401 m")[0][0] == "\U0001D400\U0001D401"
+
+    # arrow fast path stays byte-identical on the extended corpus
+    texts = pd.Series([
+        "hello \U00020BB7野 world", "café latte",
+        "مَرْحَبًا بالعالم", "ab‌cd", "plain ascii",
+    ])
+    r1 = A.tokenize_batch(texts)
+    r2 = A.tokenize_batch_arrow(pa.array(texts.astype(str)))
+    t2 = r2[2].take(pa.array(r2[1], type=pa.int64()))
+    assert list(r1[1]) == t2.to_pylist()
+    assert list(r1[0]) == list(r2[0])
+    assert list(r1[2]) == list(r2[3])
+    assert list(r1[3]) == list(r2[4])
