@@ -16,8 +16,11 @@ Parity contract implemented here:
   one token per character; Katakana/Hangul script runs; Thai/Lao/Myanmar
   runs (no dictionary segmentation, as in the reference's standard
   tokenizer — ThaiAnalyzer layers it). Tokens longer than 255 chars are
-  dropped (StandardAnalyzer.cs:52 DEFAULT_MAX_TOKEN_LENGTH). Combining
-  marks/supplementary planes remain out of scope (documented subset).
+  dropped (StandardAnalyzer.cs:52 DEFAULT_MAX_TOKEN_LENGTH). r5:
+  supplementary-plane Han (CJK ext B-G) + selected astral ALetter ranges
+  (math alphanumerics, Gothic, Deseret) are tokenized, and combining
+  marks / ZWNJ/ZWJ (UAX#29 Extend/Format) extend the token in progress;
+  astral scripts beyond those ranges remain a documented subset.
 - LowerCaseFilter (Analysis/Core/LowerCaseFilter.cs): ASCII + Latin-1
   lowercasing via str.lower().
 - StopFilter (Analysis/Core/StopFilter.cs:135): removes the exact 33-word

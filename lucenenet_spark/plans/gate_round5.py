@@ -361,3 +361,57 @@ def astral_term_query(spark, sf_dir):
     idx = build_index(fused)
     s = IndexSearcher(idx, mode="double")
     return s.docset(PhraseQuery(terms=("𠮷", "𡃁")))
+
+
+# ==========================================================================
+# PayloadNearQuery: ordered span over two payload-carrying terms; the score
+# aggregates every payload of every matching span (PayloadNearSpanScorer).
+# ==========================================================================
+_PAYLOAD_NEAR_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos, CAST((pos % 3) + 1 AS DOUBLE) AS payload
+  FROM tok WHERE term <> ''
+),
+spans AS (
+  SELECT a.doc_id, a.payload AS pl_a, b.payload AS pl_b
+  FROM tokp a JOIN tokp b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+  WHERE a.term = 'key' AND b.term = 'agg'
+)
+SELECT doc_id,
+       CAST(floor(sum(pl_a + pl_b) / (2.0 * count(*)) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM spans GROUP BY doc_id
+"""
+
+
+@gate("payload_near", _PAYLOAD_NEAR_SQL)
+def payload_near(spark, sf_dir):
+    """payload_near_scores(['key','agg'], slop=2, avg) over the
+    pos%3+1-payloaded corpus: avg payload over all payloads of all
+    ordered spans within slop, exactly reproduced arithmetically by the
+    oracle's position self-join."""
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.spans import payload_near_scores
+
+    _, _, docs = get_engine(spark, sf_dir)
+    payload_text = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.concat(
+                x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    fused = docs.select("doc_id", payload_text.alias("text"))
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    out = payload_near_scores(idx, ["key", "agg"], slop=2, function="avg")
+    return _spark_score_q(out)

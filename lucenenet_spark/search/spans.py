@@ -195,3 +195,60 @@ def span_near_pattern_docs(
     distinct_pos = F.size(F.array_distinct(F.array(*cols))) == n
     width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
     return joined.filter(distinct_pos & (width <= slop)).select("doc_id").distinct()
+
+
+def _positions_with_payloads(
+    index: InvertedIndex, term: str, i: int, field: str | None = None
+) -> DataFrame:
+    fld = field or index.default_field
+    p = index.postings.filter((F.col("field") == fld) & (F.col("term") == term))
+    if "payloads" not in p.columns:
+        raise ValueError(
+            "index has no payloads column — build with a payload-emitting "
+            "analyzer (e.g. DelimitedPayloadAnalyzer)"
+        )
+    z = p.select(
+        "doc_id",
+        F.explode(F.arrays_zip("positions", "payloads")).alias("z"),
+    )
+    return z.select(
+        "doc_id",
+        F.col("z.positions").alias(f"p{i}"),
+        F.col("z.payloads").cast("double").alias(f"pl{i}"),
+    )
+
+
+def payload_near_scores(
+    index: InvertedIndex, terms: list[str], slop: int = 0,
+    function: str = "avg", field: str | None = None,
+) -> DataFrame:
+    """PayloadNearQuery (Search/Payloads/PayloadNearQuery.cs): ordered
+    span-near over `terms`, scored by the payload function accumulated
+    over EVERY payload of EVERY matching span in the doc
+    (PayloadNearSpanScorer.ProcessPayloads — avg = payloadsSeen-weighted
+    mean; min/max over the same multiset). Returns (doc_id, score).
+
+    The whole thing is a position join + one groupBy aggregate — no UDF,
+    the same shape as span_near_docs with payloads riding along."""
+    n = len(terms)
+    assert n >= 2
+    parts = [_positions_with_payloads(index, t, i, field) for i, t in enumerate(terms)]
+    joined = parts[0]
+    for i in range(1, n):
+        joined = joined.join(parts[i], "doc_id").filter(
+            F.col(f"p{i}") > F.col(f"p{i-1}")
+        )
+    width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+    spans = joined.filter(width <= slop)
+    pls = [F.col(f"pl{i}") for i in range(n)]
+    if function == "avg":
+        score = (
+            F.sum(sum(pls[1:], pls[0])) / (F.lit(float(n)) * F.count(F.lit(1)))
+        )
+    elif function == "min":
+        score = F.min(F.least(*pls))
+    elif function == "max":
+        score = F.max(F.greatest(*pls))
+    else:
+        raise ValueError(f"unknown payload function: {function!r}")
+    return spans.groupBy("doc_id").agg(score.alias("score"))

@@ -448,3 +448,30 @@ def test_astral_and_combining_tokenization():
     assert list(r1[0]) == list(r2[0])
     assert list(r1[2]) == list(r2[3])
     assert list(r1[3]) == list(r2[4])
+
+
+def test_payload_near_scores(spark):
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.spans import payload_near_scores
+
+    docs = spark.createDataFrame(
+        [(0, "cat|2.0 dog|4.0"),           # one span, payloads 2,4 -> avg 3
+         (1, "cat|1.0 x cat|8.0 dog|6.0"), # spans (1,6) and (8,6) -> avg 5.25? slop
+         (2, "dog|9.0 cat|9.0")],          # wrong order -> no span
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, analyzer=DelimitedPayloadAnalyzer())
+    # slop=1: doc1 span1 = cat@0..dog@3 width 2 > slop; span2 = cat@2,dog@3 ok
+    out = {r.doc_id: r.score for r in
+           payload_near_scores(idx, ["cat", "dog"], slop=1, function="avg").collect()}
+    assert out[0] == pytest.approx(3.0)
+    assert out[1] == pytest.approx((8.0 + 6.0) / 2)
+    assert 2 not in out
+    # slop=2 admits doc1's wide span too: payloads {1,6,8,6} -> avg 5.25
+    out2 = {r.doc_id: r.score for r in
+            payload_near_scores(idx, ["cat", "dog"], slop=2, function="avg").collect()}
+    assert out2[1] == pytest.approx((1 + 6 + 8 + 6) / 4)
+    mn = {r.doc_id: r.score for r in
+          payload_near_scores(idx, ["cat", "dog"], slop=2, function="min").collect()}
+    assert mn[1] == pytest.approx(1.0)
