@@ -473,3 +473,66 @@ def decoded_doclen(norm_byte_col):
         vals = (1.0 / (table * table)).tolist()
     arr = F.array(*[F.lit(float(v)) for v in vals])
     return F.element_at(arr, norm_byte_col + 1)
+
+
+def add_indexes(*indexes: InvertedIndex) -> InvertedIndex:
+    """IndexWriter.AddIndexes(Directory[]) analogue: concatenate indexes
+    into one, rebasing doc ids by each prior index's docBase
+    (reference: src/Lucene.Net/Index/IndexWriter.cs AddIndexes — segments
+    are appended with docBase = sum of previous maxDocs;
+    ReaderUtil.SubIndex). Collection statistics (df, ttf, sumTotalTermFreq,
+    maxDoc) are re-aggregated from the unioned postings, so BM25 over the
+    combined index equals a single build over the concatenated corpus.
+
+    Pure DataFrame unions + one small max(doc_id) lookup per input — the
+    unions are narrow (no shuffle); only the term_stats re-aggregation
+    shuffles, with map-side partial sums."""
+    from functools import reduce as _reduce
+
+    assert indexes, "add_indexes needs at least one index"
+    first = indexes[0]
+    fields = first.fields
+    for ix in indexes[1:]:
+        if ix.fields != fields:
+            raise ValueError(f"field mismatch: {ix.fields} != {fields}")
+        if set(ix.postings.columns) != set(first.postings.columns):
+            raise ValueError("postings schema mismatch between indexes")
+
+    base = 0
+    posts, dls = [], []
+    for ix in indexes:
+        hi_row = ix.doclens.agg(F.max("doc_id")).collect()[0][0]
+        hi = int(hi_row) if hi_row is not None else -1
+        shift = base
+        posts.append(
+            ix.postings.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+        )
+        dls.append(
+            ix.doclens.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+        )
+        base += hi + 1
+
+    postings = _reduce(lambda a, b: a.unionByName(b), posts)
+    doclens = _reduce(lambda a, b: a.unionByName(b), dls)
+    term_stats = (
+        _reduce(lambda a, b: a.unionByName(b), [ix.term_stats for ix in indexes])
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+    )
+    max_doc = sum(ix.max_doc for ix in indexes)
+    by_field: dict[str, int] = {}
+    for ix in indexes:
+        d = ix.sum_ttf_by_field or {ix.default_field: ix.sum_ttf}
+        for k, v in d.items():
+            by_field[k] = by_field.get(k, 0) + int(v)
+    return InvertedIndex(
+        postings=postings,
+        doclens=doclens,
+        term_stats=term_stats,
+        max_doc=max_doc,
+        sum_ttf=by_field.get(fields[0], 0),
+        analyzer=first.analyzer,
+        fields=fields,
+        sum_ttf_by_field=by_field,
+        analyzers=first.analyzers,
+    )

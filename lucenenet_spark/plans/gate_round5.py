@@ -415,3 +415,42 @@ def payload_near(spark, sf_dir):
     idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
     out = payload_near_scores(idx, ["key", "agg"], slop=2, function="avg")
     return _spark_score_q(out)
+
+
+# ==========================================================================
+# IndexWriter.AddIndexes: two half-corpus indexes concatenated with docBase
+# rebasing must equal one full-corpus build — stats (df/ttf/dl/maxDoc) are
+# re-aggregated, so BM25 scores match the single-build oracle exactly.
+# ==========================================================================
+from lucenenet_spark.plans.gate import _SQL_SCORED, _Q, _tsc
+
+
+@gate(
+    "add_indexes_term",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q
+FROM ({_tsc('vector')})
+""",
+)
+def add_indexes_term(spark, sf_dir):
+    """Build two independent indexes over the doc_id halves (second half
+    re-keyed to 0..m-1, the per-directory doc numbering AddIndexes sees),
+    concatenate with add_indexes (docBase rebase restores the original
+    ids), and score TermQuery('vector') — must equal the full-build
+    oracle row for row."""
+    import os as _os
+
+    from lucenenet_spark.index.builder import add_indexes, build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    mid = docs.agg(F.expr("max(doc_id)")).collect()[0][0] // 2 + 1
+    lo = docs.filter(F.col("doc_id") < mid)
+    hi = docs.filter(F.col("doc_id") >= mid).withColumn(
+        "doc_id", F.col("doc_id") - F.lit(mid)
+    )
+    idx = add_indexes(build_index(lo), build_index(hi))
+    s = IndexSearcher(idx, mode="double")
+    from lucenenet_spark.search.queries import TermQuery
+
+    return _spark_score_q(s.scored(TermQuery("vector")))

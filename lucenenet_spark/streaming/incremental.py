@@ -206,3 +206,47 @@ class IncrementalIndexer:
             sum_ttf_by_field=by_field or None,
         )
         return IndexSearcher(idx)
+
+
+class LiveFieldValues:
+    """Read-your-writes field lookup (Search/LiveFieldValues.cs): values
+    written since the last searcher refresh are served from a driver-side
+    overlay map; once a refresh makes them searchable, the overlay is
+    pruned and lookups fall through to the index.
+
+    The reference keeps {id -> value} for in-flight docs keyed by the
+    searcher generation; here the generation is the IncrementalIndexer's
+    committed-segment set, and `lookup_fn` is any function resolving an id
+    against the current searcher (e.g. a stored-fields lookup). The
+    overlay is driver-resident and bounded by the write rate between
+    refreshes — the same memory contract as the reference."""
+
+    def __init__(self, lookup_fn=None):
+        self._pending: dict = {}
+        self._lookup_fn = lookup_fn
+
+    def add(self, doc_id, value) -> None:
+        """Record a write that is not yet searchable (IndexWriter.Add +
+        LiveFieldValues.Add in the reference update path)."""
+        self._pending[doc_id] = value
+
+    def delete(self, doc_id) -> None:
+        """Record a delete: lookups return None until the refresh."""
+        self._pending[doc_id] = None
+
+    def refreshed(self) -> None:
+        """Called after the searcher refresh that made pending writes
+        visible (SearcherLifetimeManager hook order): drop the overlay."""
+        self._pending.clear()
+
+    def get(self, doc_id):
+        """Current value: overlay first (read-your-writes), then the
+        searcher-backed lookup."""
+        if doc_id in self._pending:
+            return self._pending[doc_id]
+        if self._lookup_fn is not None:
+            return self._lookup_fn(doc_id)
+        return None
+
+    def __len__(self) -> int:
+        return len(self._pending)

@@ -475,3 +475,50 @@ def test_payload_near_scores(spark):
     mn = {r.doc_id: r.score for r in
           payload_near_scores(idx, ["cat", "dog"], slop=2, function="min").collect()}
     assert mn[1] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# addIndexes + LiveFieldValues
+# ---------------------------------------------------------------------------
+def test_add_indexes_equals_single_build(spark, corpus_df):
+    from lucenenet_spark.index.builder import add_indexes, build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+    from pyspark.sql import functions as F
+
+    full = build_index(corpus_df, text_col="text", id_col="doc_id")
+    mid = corpus_df.agg(F.max("doc_id")).collect()[0][0] // 2 + 1
+    lo = corpus_df.filter(F.col("doc_id") < mid)
+    hi = corpus_df.filter(F.col("doc_id") >= mid).withColumn(
+        "doc_id", F.col("doc_id") - F.lit(mid)
+    )
+    combined = add_indexes(build_index(lo), build_index(hi))
+    assert combined.max_doc == full.max_doc
+    assert combined.sum_ttf == full.sum_ttf
+    term = full.term_stats.limit(1).collect()[0]["term"]
+    a = {(r.doc_id, round(r.score, 6))
+         for r in IndexSearcher(full, mode="double").scored(TermQuery(term)).collect()}
+    b = {(r.doc_id, round(r.score, 6))
+         for r in IndexSearcher(combined, mode="double").scored(TermQuery(term)).collect()}
+    assert a == b and a
+
+
+def test_live_field_values():
+    from lucenenet_spark.streaming.incremental import LiveFieldValues
+
+    store = {1: "one", 2: "two"}
+    lv = LiveFieldValues(lookup_fn=store.get)
+    assert lv.get(1) == "one"
+    lv.add(1, "ONE-pending")
+    lv.add(3, "three-pending")
+    lv.delete(2)
+    # read-your-writes before refresh
+    assert lv.get(1) == "ONE-pending"
+    assert lv.get(3) == "three-pending"
+    assert lv.get(2) is None
+    assert len(lv) == 3
+    # refresh makes the searcher authoritative again
+    store.update({1: "ONE", 3: "three"})
+    del store[2]
+    lv.refreshed()
+    assert lv.get(1) == "ONE" and lv.get(2) is None and len(lv) == 0
