@@ -454,3 +454,45 @@ def add_indexes_term(spark, sf_dir):
     from lucenenet_spark.search.queries import TermQuery
 
     return _spark_score_q(s.scored(TermQuery("vector")))
+
+
+# ==========================================================================
+# DocValues updates (Index/NumericDocValuesFieldUpdates.cs): an update
+# batch overrides per-doc values without reindex; a sort over the merged
+# view must reflect the updates. MERGE expressed as union + anti-join.
+# ==========================================================================
+@gate(
+    "docvalues_update_sort",
+    """
+WITH dv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN doc_id * 1000 ELSE n_chars END AS value
+  FROM documents
+)
+SELECT doc_id, CAST(value AS BIGINT) AS value
+FROM dv ORDER BY value DESC, doc_id ASC LIMIT 10
+""",
+)
+def docvalues_update_sort(spark, sf_dir):
+    """numeric doc-values from n_chars; an update batch rewrites every
+    7th doc's value to doc_id*1000; top-10 by the merged value — the
+    update must win over the base relation."""
+    import os as _os
+
+    from lucenenet_spark.index.docvalues import (
+        apply_doc_values_updates,
+        numeric_doc_values,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    dv = numeric_doc_values(docs, "doc_id", "n_chars")
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", (F.col("doc_id") * 1000).alias("value"))
+    )
+    merged = apply_doc_values_updates(dv, updates)
+    return (
+        merged.orderBy(F.desc("value"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col("value").cast("long").alias("value"))
+    )

@@ -522,3 +522,17 @@ def test_live_field_values():
     del store[2]
     lv.refreshed()
     assert lv.get(1) == "ONE" and lv.get(2) is None and len(lv) == 0
+
+
+def test_doc_values_updates_generations(spark):
+    from lucenenet_spark.index.docvalues import apply_doc_values_updates
+
+    dv = spark.createDataFrame(
+        [(0, 10), (1, 11), (2, 12)], "doc_id long, value long"
+    )
+    u1 = spark.createDataFrame([(1, 100), (9, 999)], "doc_id long, value long")
+    u2 = spark.createDataFrame([(1, 200), (2, 300)], "doc_id long, value long")
+    out = {r.doc_id: r.value
+           for r in apply_doc_values_updates(dv, u1, u2).collect()}
+    # later generation wins; unknown key 9 ignored; untouched rows keep value
+    assert out == {0: 10, 1: 200, 2: 300}
