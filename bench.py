@@ -61,7 +61,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # the testdata parquet is ONE row group, which Spark maps to ONE task
+    # no matter maxPartitionBytes — repartition after read or the whole
+    # tokenize+invert pipeline runs single-threaded (TODO.md gotcha)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(min(cpus, 16), "doc_id")
+        .persist()
+    )
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
