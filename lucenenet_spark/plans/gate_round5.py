@@ -496,3 +496,181 @@ def docvalues_update_sort(spark, sf_dir):
         .limit(10)
         .select("doc_id", F.col("value").cast("long").alias("value"))
     )
+
+
+# ==========================================================================
+# Nordic + Russian Snowball packs (Analysis/{Sv,No,Da,Ru}/*Analyzer.cs):
+# langs remapped es->sv, fr->no, de->da, zh->ru on the fly; the ru docs'
+# token 'merge' is corrupted into the inflected Cyrillic form 'слияниями'
+# so the Russian chain has a real suffix to strip. One routed engine
+# serves both gates. Stemmer fidelity is pinned by the rule-traced
+# fixtures in tests/test_snowball_nordic.py.
+# ==========================================================================
+_ROUTED_NORDIC_RU: dict[str, tuple] = {}
+
+_RU_INFLECTED = "слияниями"  # instrumental plural; russian_stem -> 'слиян'
+
+
+def get_engine_nordic_ru(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.analysis.snowball_nordic import (
+        DanishAnalyzer,
+        NorwegianAnalyzer,
+        SwedishAnalyzer,
+    )
+    from lucenenet_spark.analysis.snowball_ru import RussianAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_NORDIC_RU:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.select(
+            "doc_id",
+            F.when(
+                F.col("lang") == "zh",
+                F.regexp_replace("text", "merge", _RU_INFLECTED),
+            ).otherwise(F.col("text")).alias("text"),
+            F.when(F.col("lang") == "es", F.lit("sv"))
+            .when(F.col("lang") == "fr", F.lit("no"))
+            .when(F.col("lang") == "de", F.lit("da"))
+            .when(F.col("lang") == "zh", F.lit("ru"))
+            .otherwise(F.col("lang")).alias("lang"),
+        )
+        router = LanguageRoutedAnalyzer(
+            {
+                "sv": SwedishAnalyzer(),
+                "no": NorwegianAnalyzer(),
+                "da": DanishAnalyzer(),
+                "ru": RussianAnalyzer(),
+            }
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_NORDIC_RU[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_NORDIC_RU[key]
+
+
+def _nordic_ru_stem_sql() -> str:
+    from lucenenet_spark.analysis.snowball_nordic import (
+        danish_stem,
+        norwegian_stem,
+        swedish_stem,
+    )
+    from lucenenet_spark.analysis.snowball_ru import russian_stem
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def case(stem_fn, extra=()):
+        vocab = sorted(set(_CORPUS_VOCAB) | set(extra))
+        whens = " ".join(
+            f"WHEN '{t}' THEN '{stem_fn(t)}'"
+            for t in vocab if stem_fn(t) != t
+        )
+        return f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+    return (
+        f"CASE WHEN lang2 = 'sv' THEN {case(swedish_stem)} "
+        f"WHEN lang2 = 'no' THEN {case(norwegian_stem)} "
+        f"WHEN lang2 = 'da' THEN {case(danish_stem)} "
+        f"WHEN lang2 = 'ru' THEN {case(russian_stem, (_RU_INFLECTED,))} "
+        f"ELSE term END"
+    )
+
+
+def _nordic_ru_stop_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball_nordic import (
+        DANISH_STOP_WORDS,
+        NORWEGIAN_STOP_WORDS,
+        SWEDISH_STOP_WORDS,
+    )
+    from lucenenet_spark.analysis.snowball_ru import RUSSIAN_STOP_WORDS
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    return (
+        f"((lang2 = 'sv' AND term NOT IN ({lst(SWEDISH_STOP_WORDS)})) OR "
+        f"(lang2 = 'no' AND term NOT IN ({lst(NORWEGIAN_STOP_WORDS)})) OR "
+        f"(lang2 = 'da' AND term NOT IN ({lst(DANISH_STOP_WORDS)})) OR "
+        f"(lang2 = 'ru' AND term NOT IN ({lst(RUSSIAN_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('sv', 'no', 'da', 'ru') AND "
+        f"term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+
+
+_SNOWBALL_NORDIC_RU_SQL = """
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN replace(text, 'merge', '{inflected}')
+              ELSE text END AS text,
+         CASE lang WHEN 'es' THEN 'sv' WHEN 'fr' THEN 'no'
+                   WHEN 'de' THEN 'da' WHEN 'zh' THEN 'ru'
+                   ELSE lang END AS lang2
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang2,
+         unnest(string_split(text, ' ')) AS term
+  FROM docs2
+),
+tokf AS (
+  SELECT doc_id, {stem} AS term
+  FROM tok
+  WHERE term <> '' AND {stop}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{qterm}'
+"""
+
+
+def _nordic_ru_sql(qterm: str) -> str:
+    return _SNOWBALL_NORDIC_RU_SQL.format(
+        inflected=_RU_INFLECTED,
+        stem=_nordic_ru_stem_sql(),
+        stop=_nordic_ru_stop_sql(),
+        qterm=qterm,
+    )
+
+
+@gate("snowball_nordic_term_query", _nordic_ru_sql("merg"))
+def snowball_nordic_term_query(spark, sf_dir):
+    """TermQuery('merg') over the sv/no/da/ru routed index: all three
+    Nordic stemmers reduce 'merge' -> 'merg' (e-ending in step 1's suffix
+    set), en docs keep the unstemmed 'merge', and ru docs had theirs
+    corrupted to Cyrillic — so the match set is exactly the Nordic docs,
+    each scored with its own language's stop set in df/dl/avgdl."""
+    _, s = get_engine_nordic_ru(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merg")))
+
+
+@gate("russian_term_query", _nordic_ru_sql("слиян"))
+def russian_term_query(spark, sf_dir):
+    """TermQuery('слиян') — the Russian Snowball stem of the corrupted
+    inflected form 'слияниями' (noun suffix ями + RV-confined и): only
+    the remapped ru docs match, proving the Cyrillic tokenize -> stop ->
+    stem chain end-to-end (Analysis/Ru/RussianAnalyzer.cs parity at gate
+    granularity)."""
+    _, s = get_engine_nordic_ru(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("слиян")))
