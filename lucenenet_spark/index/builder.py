@@ -257,6 +257,13 @@ class InvertedIndex:
         self.term_stats.cache()
         return self
 
+    def unpersist(self) -> "InvertedIndex":
+        """Release the cached index tables (IndexReader.close analogue)."""
+        self.postings.unpersist()
+        self.doclens.unpersist()
+        self.term_stats.unpersist()
+        return self
+
     # ------------------------------------------------------------------
     def save(self, path: str, num_term_partitions: int = 8) -> None:
         """Persist as parquet laid out for query-time pruning.
