@@ -674,3 +674,320 @@ def russian_term_query(spark, sf_dir):
     granularity)."""
     _, s = get_engine_nordic_ru(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("слиян")))
+
+
+# ==========================================================================
+# Light-stemmer language packs (analysis/light.py): Arabic / Persian /
+# Hindi (script-transliterated corrupt/restore) and Indonesian / Czech /
+# Bulgarian. Langs are remapped on the fly (es/fr/de -> target), and for
+# non-Latin scripts the text is deterministically transliterated char-
+# by-char (translate() on BOTH sides) so each language's normalize+stem
+# chain actually fires. Stemmer fidelity is pinned by the rule-traced
+# fixtures in tests/test_light_stemmers.py; the gates prove the routed
+# tokenize -> stop -> normalize -> stem -> BM25 pipeline end-to-end.
+# ==========================================================================
+from lucenenet_spark.analysis.light import (  # noqa: E402
+    ARABIC_STOP_WORDS,
+    BULGARIAN_STOP_WORDS,
+    CZECH_STOP_WORDS,
+    HINDI_STOP_WORDS,
+    INDONESIAN_STOP_WORDS,
+    PERSIAN_STOP_WORDS,
+    arabic_normalize,
+    arabic_stem,
+    bulgarian_stem,
+    czech_stem,
+    hindi_normalize,
+    hindi_stem,
+    indonesian_stem,
+    persian_normalize,
+)
+
+_TRANSLIT_SRC = "abcdefghijklmnopqrstuvwxyz"
+_AR_DST = "ابثدةفجحيذكلمنوصقرستضعطخىز"
+_HI_DST = "अबचदेफगहिजकलमनओपटरसतुवठडयझ"
+_BG_DST = "абцдефгхийклмнопщрстувшжюз"
+
+
+def _tr(word: str, dst: str) -> str:
+    return word.translate(str.maketrans(_TRANSLIT_SRC, dst))
+
+
+def _ar_final(w: str) -> str:
+    return arabic_stem(arabic_normalize(w))
+
+
+def _fa_final(w: str) -> str:
+    return persian_normalize(w)
+
+
+def _hi_final(w: str) -> str:
+    return hindi_stem(hindi_normalize(w))
+
+
+_ROUTED_LIGHT1: dict[str, tuple] = {}
+_ROUTED_LIGHT2: dict[str, tuple] = {}
+
+
+def get_engine_light_arfahi(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.light import (
+        ArabicAnalyzer,
+        HindiAnalyzer,
+        PersianAnalyzer,
+    )
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_LIGHT1:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.select(
+            "doc_id",
+            F.when(
+                F.col("lang").isin("es", "fr"),
+                F.translate("text", _TRANSLIT_SRC, _AR_DST),
+            )
+            .when(F.col("lang") == "de", F.translate("text", _TRANSLIT_SRC, _HI_DST))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("lang") == "es", F.lit("ar"))
+            .when(F.col("lang") == "fr", F.lit("fa"))
+            .when(F.col("lang") == "de", F.lit("hi"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        router = LanguageRoutedAnalyzer(
+            {"ar": ArabicAnalyzer(), "fa": PersianAnalyzer(), "hi": HindiAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_LIGHT1[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_LIGHT1[key]
+
+
+def get_engine_light_idczbg(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.light import (
+        BulgarianAnalyzer,
+        CzechAnalyzer,
+        IndonesianAnalyzer,
+    )
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_LIGHT2:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "de", F.translate("text", _TRANSLIT_SRC, _BG_DST))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("lang") == "es", F.lit("id"))
+            .when(F.col("lang") == "fr", F.lit("cs"))
+            .when(F.col("lang") == "de", F.lit("bg"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        router = LanguageRoutedAnalyzer(
+            {
+                "id": IndonesianAnalyzer(),
+                "cs": CzechAnalyzer(),
+                "bg": BulgarianAnalyzer(),
+            }
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_LIGHT2[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_LIGHT2[key]
+
+
+def _case_over(vocab_pairs) -> str:
+    whens = " ".join(
+        f"WHEN '{src}' THEN '{dst}'" for src, dst in vocab_pairs if src != dst
+    )
+    return f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+
+def _stop_in(ws) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+
+def _light1_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    ar_case = _case_over(
+        (_tr(w, _AR_DST), _ar_final(_tr(w, _AR_DST))) for w in _CORPUS_VOCAB
+    )
+    fa_case = _case_over(
+        (_tr(w, _AR_DST), _fa_final(_tr(w, _AR_DST))) for w in _CORPUS_VOCAB
+    )
+    hi_case = _case_over(
+        (_tr(w, _HI_DST), _hi_final(_tr(w, _HI_DST))) for w in _CORPUS_VOCAB
+    )
+    stop = (
+        f"((lang2 = 'ar' AND term NOT IN ({_stop_in(ARABIC_STOP_WORDS)})) OR "
+        f"(lang2 = 'fa' AND term NOT IN ({_stop_in(PERSIAN_STOP_WORDS)})) OR "
+        f"(lang2 = 'hi' AND term NOT IN ({_stop_in(HINDI_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('ar', 'fa', 'hi') AND term NOT IN ({_stop_in(ENGLISH_STOP_WORDS)})))"
+    )
+    t_ar = _ar_final(_tr("merge", _AR_DST))
+    t_fa = _fa_final(_tr("merge", _AR_DST))
+    t_hi = _hi_final(_tr("merge", _HI_DST))
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE lang WHEN 'es' THEN 'ar' WHEN 'fr' THEN 'fa'
+                   WHEN 'de' THEN 'hi' ELSE lang END AS lang2,
+         CASE WHEN lang IN ('es', 'fr')
+                THEN translate(text, '{_TRANSLIT_SRC}', '{_AR_DST}')
+              WHEN lang = 'de'
+                THEN translate(text, '{_TRANSLIT_SRC}', '{_HI_DST}')
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang2, unnest(string_split(text, ' ')) AS term
+  FROM docs2
+),
+tokf AS (
+  SELECT doc_id,
+         CASE WHEN lang2 = 'ar' THEN {ar_case}
+              WHEN lang2 = 'fa' THEN {fa_case}
+              WHEN lang2 = 'hi' THEN {hi_case}
+              ELSE term END AS term
+  FROM tok
+  WHERE term <> '' AND {stop}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor(SUM(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term IN ('{t_ar}', '{t_fa}', '{t_hi}')
+GROUP BY p.doc_id
+"""
+
+
+def _light2_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    id_case = _case_over((w, indonesian_stem(w)) for w in _CORPUS_VOCAB)
+    cs_case = _case_over((w, czech_stem(w)) for w in _CORPUS_VOCAB)
+    bg_case = _case_over(
+        (_tr(w, _BG_DST), bulgarian_stem(_tr(w, _BG_DST))) for w in _CORPUS_VOCAB
+    )
+    stop = (
+        f"((lang2 = 'id' AND term NOT IN ({_stop_in(INDONESIAN_STOP_WORDS)})) OR "
+        f"(lang2 = 'cs' AND term NOT IN ({_stop_in(CZECH_STOP_WORDS)})) OR "
+        f"(lang2 = 'bg' AND term NOT IN ({_stop_in(BULGARIAN_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('id', 'cs', 'bg') AND term NOT IN ({_stop_in(ENGLISH_STOP_WORDS)})))"
+    )
+    t_id = indonesian_stem("merge")
+    t_cs = czech_stem("merge")
+    t_bg = bulgarian_stem(_tr("merge", _BG_DST))
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE lang WHEN 'es' THEN 'id' WHEN 'fr' THEN 'cs'
+                   WHEN 'de' THEN 'bg' ELSE lang END AS lang2,
+         CASE WHEN lang = 'de'
+                THEN translate(text, '{_TRANSLIT_SRC}', '{_BG_DST}')
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang2, unnest(string_split(text, ' ')) AS term
+  FROM docs2
+),
+tokf AS (
+  SELECT doc_id,
+         CASE WHEN lang2 = 'id' THEN {id_case}
+              WHEN lang2 = 'cs' THEN {cs_case}
+              WHEN lang2 = 'bg' THEN {bg_case}
+              ELSE term END AS term
+  FROM tok
+  WHERE term <> '' AND {stop}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor(SUM(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term IN ('{t_id}', '{t_cs}', '{t_bg}')
+GROUP BY p.doc_id
+"""
+
+
+@gate("light_arfahi_term_query", _light1_sql())
+def light_arfahi_term_query(spark, sf_dir):
+    """OR of the three script-local stems of (transliterated) 'merge'
+    over the ar/fa/hi routed index: Arabic Light-10 normalize+stem,
+    Persian normalize (no stem, per the reference chain), Hindi
+    normalize+light stem — Analysis/{Ar,Fa,Hi} parity at gate
+    granularity (langs disjoint, so each doc scores via exactly its own
+    language's chain)."""
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    _, s = get_engine_light_arfahi(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(_ar_final(_tr("merge", _AR_DST))), Occur.SHOULD),
+        (TermQuery(_fa_final(_tr("merge", _AR_DST))), Occur.SHOULD),
+        (TermQuery(_hi_final(_tr("merge", _HI_DST))), Occur.SHOULD),
+    )
+    return _spark_score_q(s.scored(q))
+
+
+@gate("light_idczbg_term_query", _light2_sql())
+def light_idczbg_term_query(spark, sf_dir):
+    """OR of indonesian_stem('merge')='merge' (also matches unstemmed
+    en/zh docs — both sides agree), czech_stem('merge')='merg', and the
+    Bulgarian stem of Cyrillic-transliterated 'merge'='мерг' over the
+    id/cs/bg routed index — Analysis/{Id,Cz,Bg} parity at gate
+    granularity."""
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    _, s = get_engine_light_idczbg(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(indonesian_stem("merge")), Occur.SHOULD),
+        (TermQuery(czech_stem("merge")), Occur.SHOULD),
+        (TermQuery(bulgarian_stem(_tr("merge", _BG_DST))), Occur.SHOULD),
+    )
+    return _spark_score_q(s.scored(q))
