@@ -530,3 +530,210 @@ class BulgarianAnalyzer(_SnowballAnalyzer):
 
     def __init__(self, stopwords=BULGARIAN_STOP_WORDS, **kw):
         super().__init__(stopwords, **kw)
+
+
+# ===========================================================================
+# Latvian (Latvian light stemmer)
+# ===========================================================================
+
+LATVIAN_STOP_WORDS = frozenset(
+    "un ar es tu viņš viņa mēs jūs viņi tas tā šis šī kas kurš kura ka "
+    "bet vai uz no pie par pēc pirms līdz kad tad ja ne nav ir bija būs "
+    "būt tikai arī vēl jau kā šeit tur visi viss sava savs".split()
+)
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+# (suffix, suffix vowel count, palatalizes) — checked in order, first
+# match strips (LatvianStemmer.cs affixes table)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False),
+    ("ajam", 2, False), ("ajām", 2, False),
+    ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False),
+    ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False),
+    ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False),
+    ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True),
+    ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False),
+    ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(stem: str, removed_first: str) -> str:
+    """LatvianStemmer.cs Unpalatalize: s[len] is the first removed char,
+    so the kš/ņņ recodings only fire when the stripped suffix began with
+    'u' (us/u endings)."""
+    if removed_first == "u":
+        if stem.endswith("kš"):
+            return stem[:-1] + "st"
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem.endswith(("pj", "bj", "mj", "vj")):
+        return stem[:-1]
+    if stem.endswith("šņ"):
+        return stem[:-2] + "sn"
+    if stem.endswith("žņ"):
+        return stem[:-2] + "zn"
+    if stem.endswith("šļ"):
+        return stem[:-2] + "sl"
+    if stem.endswith("žļ"):
+        return stem[:-2] + "zl"
+    if stem.endswith("ļņ"):
+        return stem[:-2] + "ln"
+    if stem.endswith("ļļ"):
+        return stem[:-2] + "ll"
+    if stem.endswith("č"):
+        return stem[:-1] + "c"
+    if stem.endswith("ļ"):
+        return stem[:-1] + "l"
+    if stem.endswith("ņ"):
+        return stem[:-1] + "n"
+    return stem
+
+
+def latvian_stem(word: str) -> str:
+    """LatvianStemmer.cs:35-216: first affix (in table order) whose
+    vowel count is strictly below the word's total vowel count and that
+    leaves >= 3 chars strips; palatalizing affixes then fire the
+    unpalatalization recodings."""
+    nv = sum(1 for c in word if c in _LV_VOWELS)
+    for affix, vc, palat in _LV_AFFIXES:
+        if nv > vc and len(word) >= len(affix) + 3 and word.endswith(affix):
+            stem = word[: -len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if palat else stem
+    return word
+
+
+class LatvianAnalyzer(_SnowballAnalyzer):
+    """Analysis/Lv/LatvianAnalyzer.cs analogue (stop + Latvian light
+    stemmer)."""
+
+    _stem = staticmethod(latvian_stem)
+
+    def __init__(self, stopwords=LATVIAN_STOP_WORDS, **kw):
+        super().__init__(stopwords, **kw)
+
+
+# ===========================================================================
+# Sorani Kurdish
+# ===========================================================================
+
+SORANI_STOP_WORDS = frozenset(
+    "و لە بە بۆ کە ئەم ئەو ئەگەر بەڵام یان هەر هەموو هیچ چی کێ لەگەڵ "
+    "دوای پێش ناو سەر ژێر بەر دە نە".split()
+)
+
+_CKB_HARAKAT = frozenset("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(word: str) -> str:
+    """SoraniNormalizer.cs:53-113: yeh variants -> farsi yeh, kaf ->
+    keheh, heh-ZWNJ and final/teh-marbuta heh -> ae, heh doachashmee ->
+    heh, initial reh -> rreh, drop tatweel/harakat + format chars."""
+    import unicodedata
+
+    # faithful in-place simulation: the final-heh check compares against
+    # the CURRENT buffer length mid-scan, so a heh followed by a later-
+    # deleted diacritic is NOT final at visit time (matches the C# loop)
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in ("ي", "ى"):
+            s[i] = "ی"
+        elif c == "ك":
+            s[i] = "ک"
+        elif c == "‌":
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"
+            del s[i]
+            continue
+        elif c == "ه":
+            if i == len(s) - 1:
+                s[i] = "ە"
+        elif c == "ة":
+            s[i] = "ە"
+        elif c == "ھ":
+            s[i] = "ه"
+        elif c == "ر":
+            if i == 0:
+                s[i] = "ڕ"
+        elif c == "ڒ":
+            s[i] = "ڕ"
+        elif c in _CKB_HARAKAT or unicodedata.category(c) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(word: str) -> str:
+    """SoraniStemmer.cs:29-131: postposition (-دا / -نا one char / -ەوە),
+    possessive (-مان/-یان/-تان), then the indefinite/definite/plural
+    chain, longest form first per group."""
+    n = len(word)
+    if n > 5 and word.endswith("دا"):
+        word = word[:-2]
+    elif n > 4 and word.endswith("نا"):
+        word = word[:-1]
+    elif n > 6 and word.endswith("ەوە"):
+        word = word[:-3]
+    n = len(word)
+    if n > 6 and (word.endswith("مان") or word.endswith("یان")
+                  or word.endswith("تان")):
+        word = word[:-3]
+    n = len(word)
+    if n > 6 and word.endswith("ێکی"):
+        return word[:-3]
+    if n > 7 and word.endswith("یەکی"):
+        return word[:-4]
+    if n > 5 and word.endswith("ێک"):
+        return word[:-2]
+    if n > 6 and word.endswith("یەک"):
+        return word[:-3]
+    if n > 6 and word.endswith("ەکە"):
+        return word[:-3]
+    if n > 5 and word.endswith("کە"):
+        return word[:-2]
+    if n > 7 and word.endswith("ەکان"):
+        return word[:-4]
+    if n > 6 and word.endswith("کان"):
+        return word[:-3]
+    if n > 7 and word.endswith("یانی"):
+        return word[:-4]
+    if n > 6 and word.endswith("انی"):
+        return word[:-3]
+    if n > 6 and word.endswith("یان"):
+        return word[:-3]
+    if n > 5 and word.endswith("ان"):
+        return word[:-2]
+    if n > 7 and word.endswith("یانە"):
+        return word[:-4]
+    if n > 6 and word.endswith("انە"):
+        return word[:-3]
+    if n > 5 and (word.endswith("ایە") or word.endswith("ەیە")):
+        return word[:-2]
+    if n > 4 and word.endswith("ە"):
+        return word[:-1]
+    if n > 4 and word.endswith("ی"):
+        return word[:-1]
+    return word
+
+
+class SoraniAnalyzer(_SnowballAnalyzer):
+    """Analysis/Ckb/SoraniAnalyzer.cs analogue (stop -> normalize ->
+    light stem)."""
+
+    _stem = staticmethod(lambda t: sorani_stem(sorani_normalize(t)))
+
+    def __init__(self, stopwords=SORANI_STOP_WORDS, **kw):
+        super().__init__(stopwords, **kw)

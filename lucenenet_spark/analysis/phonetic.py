@@ -1,0 +1,213 @@
+"""Phonetic encoders + PhoneticAnalyzer — the
+`Lucene.Net.Analysis.Phonetic` module analogue (PhoneticFilter.cs wraps
+commons-codec encoders; these are the published algorithms
+re-implemented from their specifications):
+
+- soundex: classic American Soundex (Odell & Russell; the commons-codec
+  ``Soundex.US_ENGLISH`` variant with the H/W-transparency rule).
+- refined_soundex: commons-codec RefinedSoundex (unbounded length,
+  9-class code table, vowels emit '0' on transition).
+- cologne_phonetic: Postel's Koelner Phonetik (1969) for German-language
+  names — context-sensitive code table, duplicate collapse, interior
+  '0' removal.
+
+PhoneticAnalyzer mirrors PhoneticFilter's two modes:
+- inject=False: each token is REPLACED by its phonetic key (the
+  _SnowballAnalyzer unique-term dictionary pattern — O(|vocab|) Python).
+- inject=True: the key is emitted ALONGSIDE the original at the same
+  position (posIncrement 0, the CommonGramsAnalyzer overlap pattern);
+  norms count originals only (discountOverlaps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from lucenenet_spark.analysis.analyzers import StandardAnalyzer
+from lucenenet_spark.analysis.snowball import _SnowballAnalyzer
+
+# --------------------------------------------------------------- Soundex
+_SOUNDEX_CODE = {}
+for _letters, _d in (
+    ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+    ("l", "4"), ("mn", "5"), ("r", "6"),
+):
+    for _c in _letters:
+        _SOUNDEX_CODE[_c] = _d
+
+
+def soundex(word: str) -> str:
+    """Classic 4-char Soundex (PhoneticFilter.cs + commons-codec
+    Soundex): first letter + up to 3 consonant-class digits; vowels
+    reset the repeat-collapse, h/w are transparent (Ashcraft -> a261)."""
+    w = [c for c in word.lower() if "a" <= c <= "z"]
+    if not w:
+        return word
+    out = [w[0]]
+    last = _SOUNDEX_CODE.get(w[0], "0")
+    for c in w[1:]:
+        if c in "hw":
+            continue  # transparent: do not reset the previous code
+        code = _SOUNDEX_CODE.get(c, "0")
+        if code == "0":
+            last = "0"
+            continue
+        if code != last:
+            out.append(code)
+            if len(out) == 4:
+                break
+        last = code
+    return ("".join(out) + "000")[:4]
+
+
+# ------------------------------------------------------- Refined Soundex
+_REFINED_CODE = {}
+for _letters, _d in (
+    ("bp", "1"), ("fv", "2"), ("cks", "3"), ("gj", "4"), ("qxz", "5"),
+    ("dt", "6"), ("l", "7"), ("mn", "8"), ("r", "9"),
+):
+    for _c in _letters:
+        _REFINED_CODE[_c] = _d
+
+
+def refined_soundex(word: str) -> str:
+    """commons-codec RefinedSoundex: first letter, then the code of
+    EVERY letter (vowels/h/w/y = '0') appended on each code transition,
+    no length cap (testing -> t6036084)."""
+    w = [c for c in word.lower() if "a" <= c <= "z"]
+    if not w:
+        return word
+    out = [w[0]]
+    last = None
+    for c in w:
+        code = _REFINED_CODE.get(c, "0")
+        if code != last:
+            out.append(code)
+        last = code
+    return "".join(out)
+
+
+# ------------------------------------------------------ Koelner Phonetik
+_KP_VOWELS = frozenset("aeijouy")
+
+
+def cologne_phonetic(word: str) -> str:
+    """Postel's Koelner Phonetik (1969): context-sensitive digit codes,
+    collapse adjacent duplicates, strip interior '0's (muller -> 657,
+    breschnew -> 17863)."""
+    w = [c for c in word.lower() if "a" <= c <= "z" or c in "äöüß"]
+    w = ["a" if c in "äö" else "u" if c == "ü" else "s" if c == "ß" else c
+         for c in w]
+    n = len(w)
+    codes = []
+    for i, c in enumerate(w):
+        prev = w[i - 1] if i > 0 else ""
+        nxt = w[i + 1] if i + 1 < n else ""
+        if c in _KP_VOWELS:
+            codes.append("0")
+        elif c == "h":
+            codes.append("")  # h is silent
+        elif c in "b":
+            codes.append("1")
+        elif c == "p":
+            codes.append("3" if nxt == "h" else "1")
+        elif c in "dt":
+            codes.append("8" if nxt in "csz" else "2")
+        elif c in "fvw":
+            codes.append("3")
+        elif c in "gkq":
+            codes.append("4")
+        elif c == "c":
+            if i == 0:
+                codes.append("4" if nxt in "ahkloqrux" else "8")
+            elif prev in "sz":
+                codes.append("8")
+            else:
+                codes.append("4" if nxt in "ahkoqux" else "8")
+        elif c == "x":
+            codes.append("8" if prev in "ckq" else "48")
+        elif c == "l":
+            codes.append("5")
+        elif c in "mn":
+            codes.append("6")
+        elif c == "r":
+            codes.append("7")
+        elif c in "sz":
+            codes.append("8")
+        else:
+            codes.append("")
+    flat = "".join(codes)
+    # collapse adjacent duplicates, then drop non-leading zeros
+    out = []
+    for ch in flat:
+        if out and out[-1] == ch:
+            continue
+        out.append(ch)
+    collapsed = "".join(out)
+    if not collapsed:
+        return word
+    return collapsed[0] + collapsed[1:].replace("0", "")
+
+
+_ENCODERS = {
+    "soundex": soundex,
+    "refined_soundex": refined_soundex,
+    "cologne": cologne_phonetic,
+}
+
+
+class PhoneticAnalyzer(_SnowballAnalyzer):
+    """Analysis.Phonetic/PhoneticFilter.cs analogue.
+
+    inject=False replaces each term with its phonetic key (term-
+    dictionary mapping); inject=True additionally emits the key at the
+    original's position (posIncrement 0) so exact AND phonetic matching
+    coexist — keys that equal their source term are not duplicated."""
+
+    def __init__(self, encoder: str = "soundex", inject: bool = False,
+                 stopwords=None, **kw):
+        super().__init__(stopwords, **kw)
+        if encoder not in _ENCODERS:
+            raise ValueError(f"unknown phonetic encoder: {encoder!r}")
+        self.encoder_name = encoder
+        self.encode = _ENCODERS[encoder]
+        self.inject = inject
+
+    @property
+    def _stem(self):
+        return self.encode
+
+    def tokenize_batch(self, texts: pd.Series):
+        if not self.inject:
+            return super().tokenize_batch(texts)
+        # inject mode: bypass the replace-mode stemming, then append the
+        # keys as posIncr-0 overlaps (CommonGramsAnalyzer pattern);
+        # field_lens counts originals only (discountOverlaps)
+        row_idx, terms, positions, field_lens = StandardAnalyzer.tokenize_batch(
+            self, texts
+        )
+        if not len(terms):
+            return row_idx, terms, positions, field_lens
+        codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+        keys = np.array([self.encode(u) for u in uniques], dtype=object)
+        injected = keys[codes]
+        differs = injected != terms
+        out_r = np.concatenate([row_idx, row_idx[differs]])
+        out_t = np.concatenate([terms, injected[differs]])
+        out_p = np.concatenate([positions, positions[differs]])
+        order = np.lexsort((out_p, out_r))
+        return (
+            out_r[order],
+            out_t[order].astype(object),
+            out_p[order].astype(np.int32),
+            field_lens,
+        )
+
+    def query_terms(self, text: str) -> list[tuple[str, int]]:
+        """Query side always maps to the key (PhoneticFilter on the
+        query chain): in inject mode the key token is in the index."""
+        _, terms, positions, _ = StandardAnalyzer.tokenize_batch(
+            self, pd.Series([text])
+        )
+        return [(self.encode(t), int(p)) for t, p in zip(terms, positions)]

@@ -991,3 +991,209 @@ def light_idczbg_term_query(spark, sf_dir):
         (TermQuery(bulgarian_stem(_tr("merge", _BG_DST))), Occur.SHOULD),
     )
     return _spark_score_q(s.scored(q))
+
+
+# ==========================================================================
+# Latvian + Sorani Kurdish packs: same remap/transliterate scheme
+# (es -> lv keeps Latin text; fr -> ckb transliterates to Arabic script,
+# where SoraniNormalizer then folds teh marbuta -> ae etc.). de/en/zh
+# stay on the default English chain, so their unstemmed 'merge' matches
+# neither query term.
+# ==========================================================================
+from lucenenet_spark.analysis.light import (  # noqa: E402
+    LATVIAN_STOP_WORDS,
+    SORANI_STOP_WORDS,
+    latvian_stem,
+    sorani_normalize,
+    sorani_stem,
+)
+
+_ROUTED_LIGHT3: dict[str, tuple] = {}
+
+
+def _ckb_final(w: str) -> str:
+    return sorani_stem(sorani_normalize(w))
+
+
+def get_engine_light_lvckb(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.light import LatvianAnalyzer, SoraniAnalyzer
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_LIGHT3:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "fr", F.translate("text", _TRANSLIT_SRC, _AR_DST))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("lang") == "es", F.lit("lv"))
+            .when(F.col("lang") == "fr", F.lit("ckb"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        router = LanguageRoutedAnalyzer(
+            {"lv": LatvianAnalyzer(), "ckb": SoraniAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_LIGHT3[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_LIGHT3[key]
+
+
+def _light3_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    lv_case = _case_over((w, latvian_stem(w)) for w in _CORPUS_VOCAB)
+    ckb_case = _case_over(
+        (_tr(w, _AR_DST), _ckb_final(_tr(w, _AR_DST))) for w in _CORPUS_VOCAB
+    )
+    stop = (
+        f"((lang2 = 'lv' AND term NOT IN ({_stop_in(LATVIAN_STOP_WORDS)})) OR "
+        f"(lang2 = 'ckb' AND term NOT IN ({_stop_in(SORANI_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('lv', 'ckb') AND term NOT IN ({_stop_in(ENGLISH_STOP_WORDS)})))"
+    )
+    t_lv = latvian_stem("merge")
+    t_ckb = _ckb_final(_tr("merge", _AR_DST))
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE lang WHEN 'es' THEN 'lv' WHEN 'fr' THEN 'ckb'
+                   ELSE lang END AS lang2,
+         CASE WHEN lang = 'fr'
+                THEN translate(text, '{_TRANSLIT_SRC}', '{_AR_DST}')
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang2, unnest(string_split(text, ' ')) AS term
+  FROM docs2
+),
+tokf AS (
+  SELECT doc_id,
+         CASE WHEN lang2 = 'lv' THEN {lv_case}
+              WHEN lang2 = 'ckb' THEN {ckb_case}
+              ELSE term END AS term
+  FROM tok
+  WHERE term <> '' AND {stop}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor(SUM(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term IN ('{t_lv}', '{t_ckb}')
+GROUP BY p.doc_id
+"""
+
+
+@gate("light_lvckb_term_query", _light3_sql())
+def light_lvckb_term_query(spark, sf_dir):
+    """OR of latvian_stem('merge')='merg' and the Sorani stem of the
+    Arabic-transliterated 'merge' over the lv/ckb routed index —
+    Analysis/{Lv,Ckb} parity at gate granularity (unstemmed en/de/zh
+    docs match neither term)."""
+    from lucenenet_spark.search.queries import BooleanQuery, Occur
+
+    _, s = get_engine_light_lvckb(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(latvian_stem("merge")), Occur.SHOULD),
+        (TermQuery(_ckb_final(_tr("merge", _AR_DST))), Occur.SHOULD),
+    )
+    return _spark_score_q(s.scored(q))
+
+
+# ==========================================================================
+# Phonetic module (Analysis.Phonetic/PhoneticFilter.cs + commons-codec
+# Soundex): every term replaced by its phonetic key at index AND query
+# time, so TermQuery(soundex('merge')) matches docs containing any word
+# in merge's phonetic class — df/tf/norms all computed over key-merged
+# postings on both sides.
+# ==========================================================================
+from lucenenet_spark.analysis.phonetic import soundex as _soundex  # noqa: E402
+
+_PHONETIC_ENGINE: dict[str, tuple] = {}
+
+
+def get_engine_phonetic(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.phonetic import PhoneticAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _PHONETIC_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(
+            docs.select("doc_id", "text"), analyzer=PhoneticAnalyzer("soundex")
+        ).cache()
+        _PHONETIC_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _PHONETIC_ENGINE[key]
+
+
+def _phonetic_sql() -> str:
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    sdx_case = _case_over((w, _soundex(w)) for w in _CORPUS_VOCAB)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tokf AS (
+  SELECT doc_id, {sdx_case} AS term
+  FROM tok WHERE term <> ''
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{_soundex("merge")}'
+"""
+
+
+@gate("phonetic_term_query", _phonetic_sql())
+def phonetic_term_query(spark, sf_dir):
+    """TermQuery(soundex('merge')) over a PhoneticAnalyzer(soundex)
+    index (replace mode, no stop set — PhoneticFilter.cs semantics):
+    phonetic-class retrieval with BM25 over key-merged postings."""
+    _, s = get_engine_phonetic(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery(_soundex("merge"))))

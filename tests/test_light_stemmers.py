@@ -149,3 +149,44 @@ def test_czech_stem(word, expected):
 )
 def test_bulgarian_stem(word, expected):
     assert bulgarian_stem(word) == expected
+
+
+# ---------------------------------------------------------------- Latvian
+from lucenenet_spark.analysis.light import latvian_stem, sorani_normalize, sorani_stem
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("cilvēks", "cilvēk"),   # -s (vc 0)
+        ("latviešu", "latvieš"), # -u palatalizing, no recoding applies
+        ("valodas", "valod"),    # -as
+        ("ceļu", "cel"),         # -u, then ļ -> l unpalatalization
+        ("tas", "tas"),          # 1 vowel: -as needs vc>1, -s leaves 2 chars
+    ],
+)
+def test_latvian_stem(word, expected):
+    assert latvian_stem(word) == expected
+
+
+# ---------------------------------------------------------------- Sorani
+def test_sorani_normalize():
+    assert sorani_normalize("كتاب") == "کتاب"      # kaf -> keheh
+    assert sorani_normalize("ماله") == "مالە"      # final heh -> ae
+    assert sorani_normalize("رەش") == "ڕەش"        # initial reh -> rreh
+    assert sorani_normalize("ئێستاي") == "ئێستای"  # yeh -> farsi yeh
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("پیاوەکان", "پیاو"),    # definite plural -ekan
+        ("کتێبێک", "کتێب"),      # indefinite -êk
+        ("شارەکە", "شارە"),      # len 6: -ەکە needs len>6, falls to -کە
+        ("پیاوەکە", "پیاو"),     # len 7: definite -ەکە strips
+        ("شاردا", "شاردا"),      # postposition -دا needs len>5: keeps
+        ("باخچەدا", "باخچ"),     # -دا strips, then final -ە also strips
+    ],
+)
+def test_sorani_stem(word, expected):
+    assert sorani_stem(word) == expected
