@@ -1197,3 +1197,115 @@ def phonetic_term_query(spark, sf_dir):
     phonetic-class retrieval with BM25 over key-merged postings."""
     _, s = get_engine_phonetic(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery(_soundex("merge"))))
+
+
+# ==========================================================================
+# Greek pack (Analysis/El): es -> el remap with Greek transliteration
+# ('w' -> final sigma, 'x'/'y' -> accented vowels so the
+# GreekLowerCaseFilter fold actually fires before the 23-rule stemmer).
+# ==========================================================================
+from lucenenet_spark.analysis.greek import (  # noqa: E402
+    GREEK_STOP_WORDS,
+    greek_lowercase,
+    greek_stem,
+)
+
+_EL_DST = "αβψδεφγηιξκλμνοπθρστυωςάέζ"
+
+_EL_ENGINE: dict[str, tuple] = {}
+
+
+def _el_final(w: str) -> str:
+    return greek_stem(greek_lowercase(w))
+
+
+def get_engine_greek(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.greek import GreekAnalyzer
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _EL_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "es", F.translate("text", _TRANSLIT_SRC, _EL_DST))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("lang") == "es", F.lit("el"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        router = LanguageRoutedAnalyzer({"el": GreekAnalyzer()})
+        idx = build_index(docs, analyzer=router).cache()
+        _EL_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _EL_ENGINE[key]
+
+
+def _greek_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    el_case = _case_over(
+        (_tr(w, _EL_DST), _el_final(_tr(w, _EL_DST))) for w in _CORPUS_VOCAB
+    )
+    stop = (
+        f"((lang2 = 'el' AND term NOT IN ({_stop_in(GREEK_STOP_WORDS)})) OR "
+        f"(lang2 <> 'el' AND term NOT IN ({_stop_in(ENGLISH_STOP_WORDS)})))"
+    )
+    t_el = _el_final(_tr("merge", _EL_DST))
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE lang WHEN 'es' THEN 'el' ELSE lang END AS lang2,
+         CASE WHEN lang = 'es'
+                THEN translate(text, '{_TRANSLIT_SRC}', '{_EL_DST}')
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang2, unnest(string_split(text, ' ')) AS term
+  FROM docs2
+),
+tokf AS (
+  SELECT doc_id,
+         CASE WHEN lang2 = 'el' THEN {el_case} ELSE term END AS term
+  FROM tok
+  WHERE term <> '' AND {stop}
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{t_el}'
+"""
+
+
+@gate("greek_term_query", _greek_sql())
+def greek_term_query(spark, sf_dir):
+    """TermQuery over the Greek stem of transliterated 'merge' on an
+    el-routed index: GreekLowerCaseFilter fold (final sigma, tonos) +
+    the 23-rule GreekStemmer — Analysis/El parity, pinned separately by
+    the 343 published golden vectors (tests/test_greek.py sample)."""
+    _, s = get_engine_greek(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery(_el_final(_tr("merge", _EL_DST)))))
