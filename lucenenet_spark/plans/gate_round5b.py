@@ -138,3 +138,96 @@ def snowball_roca_term_query(spark, sf_dir):
     Analysis/{Ro,Ca} analyzer parity at gate granularity."""
     _, s = get_engine_routed_roca(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("merg")))
+
+
+# ===========================================================================
+# Finnish + Hungarian (Uralic) — same remap-on-the-fly pattern
+# ===========================================================================
+
+_ROUTED_FIHU: dict[str, tuple] = {}
+
+_REMAP_FIHU = {"es": "fi", "fr": "hu"}
+
+
+def get_engine_routed_fihu(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.analysis.snowball_uralic import (
+        FinnishAnalyzer,
+        HungarianAnalyzer,
+    )
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_FIHU:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        remap = F.create_map(
+            *[F.lit(x) for kv in _REMAP_FIHU.items() for x in kv]
+        )
+        docs = docs.withColumn(
+            "lang", F.coalesce(remap[F.col("lang")], F.col("lang"))
+        )
+        router = LanguageRoutedAnalyzer(
+            {"fi": FinnishAnalyzer(), "hu": HungarianAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_FIHU[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_FIHU[key]
+
+
+def _fihu_stem_sql() -> str:
+    from lucenenet_spark.analysis.snowball_uralic import (
+        finnish_stem,
+        hungarian_stem,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def case(stem_fn):
+        whens = " ".join(
+            f"WHEN '{t}' THEN '{stem_fn(t)}'"
+            for t in _CORPUS_VOCAB if stem_fn(t) != t
+        )
+        return f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+    return (
+        f"CASE WHEN lang2 = 'fi' THEN {case(finnish_stem)} "
+        f"WHEN lang2 = 'hu' THEN {case(hungarian_stem)} "
+        f"ELSE term END"
+    )
+
+
+def _fihu_stop_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball_uralic import (
+        FINNISH_STOP_WORDS,
+        HUNGARIAN_STOP_WORDS,
+    )
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    return (
+        f"((lang2 = 'fi' AND term NOT IN ({lst(FINNISH_STOP_WORDS)})) OR "
+        f"(lang2 = 'hu' AND term NOT IN ({lst(HUNGARIAN_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('fi', 'hu') AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+
+
+def _fihu_sql() -> str:
+    sql = _SNOWBALL_ROCA_SQL.replace(
+        "WHEN 'es' THEN 'ro' WHEN 'fr' THEN 'ca'",
+        "WHEN 'es' THEN 'fi' WHEN 'fr' THEN 'hu'",
+    )
+    return sql.format(stem=_fihu_stem_sql(), stop=_fihu_stop_sql())
+
+
+@gate("snowball_fihu_term_query", _fihu_sql())
+def snowball_fihu_term_query(spark, sf_dir):
+    """TermQuery('merg') over a fi/hu routed index (langs remapped
+    es->fi, fr->hu): both languages stem 'merge' -> 'merg' by their own
+    Snowball rules, each filtered by its own stop set — Analysis/{Fi,Hu}
+    analyzer parity at gate granularity."""
+    _, s = get_engine_routed_fihu(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merg")))
