@@ -1,0 +1,254 @@
+"""Round-5 part-4 gates: Irish + Basque routed OR query, and an
+Armenian-script gate over a deterministic transliteration of the corpus.
+
+Driver testdata carries only en/zh/es/de/fr langs and ASCII text, so:
+
+- `snowball_gaeu_term_query` remaps langs on the fly (es->ga, fr->eu)
+  like the other second-wave pack gates; the OR query pairs a term only
+  the Basque stemmer produces ('mer' < 'merge') with one only the Irish
+  initial_morph produces ('te' < 'the', th->t lenition), so BOTH
+  languages' pipelines contribute result rows, and both contribute to
+  avgdl/N in every score.
+- `armenian_term_query` derives an Armenian-script corpus INSIDE the
+  query on both engines: each token is transliterated through a fixed
+  ASCII->Armenian letter map and given the 'ների' case ending, which the
+  Snowball Armenian stemmer then strips (or not — per its own region
+  rules, reproduced in the oracle's CASE map). Exercises the full
+  non-Latin pipeline: UAX#29 Armenian-run tokenization, the hy stop set,
+  pV/R2-limited among matching.
+
+Stemmer fidelity is pinned separately by tests/test_snowball_misc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import _spark_score_q, gate
+from lucenenet_spark.plans.gate_round5b import _SNOWBALL_ROCA_SQL
+from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+
+# ===========================================================================
+# Irish + Basque routed index (es->ga, fr->eu)
+# ===========================================================================
+
+_ROUTED_GAEU: dict[str, tuple] = {}
+
+_REMAP_GAEU = {"es": "ga", "fr": "eu"}
+
+
+def get_engine_routed_gaeu(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.analysis.snowball_misc import (
+        BasqueAnalyzer,
+        IrishAnalyzer,
+    )
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_GAEU:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        remap = F.create_map(
+            *[F.lit(x) for kv in _REMAP_GAEU.items() for x in kv]
+        )
+        docs = docs.withColumn(
+            "lang", F.coalesce(remap[F.col("lang")], F.col("lang"))
+        )
+        router = LanguageRoutedAnalyzer(
+            {"ga": IrishAnalyzer(), "eu": BasqueAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_GAEU[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_GAEU[key]
+
+
+def _gaeu_stem_sql() -> str:
+    from lucenenet_spark.analysis.snowball_misc import basque_stem, irish_stem
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def case(stem_fn):
+        whens = " ".join(
+            f"WHEN '{t}' THEN '{stem_fn(t)}'"
+            for t in _CORPUS_VOCAB if stem_fn(t) != t
+        )
+        return f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+    return (
+        f"CASE WHEN lang2 = 'ga' THEN {case(irish_stem)} "
+        f"WHEN lang2 = 'eu' THEN {case(basque_stem)} "
+        f"ELSE term END"
+    )
+
+
+def _gaeu_stop_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball_misc import (
+        BASQUE_STOP_WORDS,
+        IRISH_EXTRA_STOPS,
+        IRISH_STOP_WORDS,
+    )
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    ga = IRISH_STOP_WORDS | IRISH_EXTRA_STOPS
+    return (
+        f"((lang2 = 'ga' AND term NOT IN ({lst(ga)})) OR "
+        f"(lang2 = 'eu' AND term NOT IN ({lst(BASQUE_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('ga', 'eu') AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+
+
+def _gaeu_sql() -> str:
+    sql = _SNOWBALL_ROCA_SQL.replace(
+        "WHEN 'es' THEN 'ro' WHEN 'fr' THEN 'ca'",
+        "WHEN 'es' THEN 'ga' WHEN 'fr' THEN 'eu'",
+    )
+    # OR of two terms: per-term BM25 rows summed per doc, then rounded —
+    # the same DisjunctionSum shape as the boolean_or gate.
+    sql = sql.replace(
+        "SELECT p.doc_id,\n"
+        "       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf\n"
+        "             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)\n"
+        "         AS score_q\n"
+        "FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs\n"
+        "WHERE p.term = 'merg'\n",
+        "SELECT doc_id,\n"
+        "       CAST(floor(sum(score) * 10000 + 0.5) AS BIGINT) AS score_q\n"
+        "FROM (SELECT p.doc_id,\n"
+        "             (ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf\n"
+        "              / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) AS score\n"
+        "      FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs\n"
+        "      WHERE p.term IN ('mer', 'te'))\n"
+        "GROUP BY doc_id\n",
+    )
+    return sql.format(stem=_gaeu_stem_sql(), stop=_gaeu_stop_sql())
+
+
+@gate("snowball_gaeu_term_query", _gaeu_sql())
+def snowball_gaeu_term_query(spark, sf_dir):
+    """OR('mer','te') over a ga/eu routed index (langs remapped es->ga,
+    fr->eu): 'mer' only exists via Basque stemming of 'merge', 'te' only
+    via Irish th->t lenition of 'the' (an English stop word the Irish
+    stop set does NOT contain) — Analysis/{Ga,Eu} analyzer parity at
+    gate granularity."""
+    _, s = get_engine_routed_gaeu(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery("mer"), Occur.SHOULD), (TermQuery("te"), Occur.SHOULD)
+    )
+    return _spark_score_q(s.scored(q))
+
+
+# ===========================================================================
+# Armenian over a transliterated corpus
+# ===========================================================================
+
+_HY_ASCII = "abcdefghijklmnopqrstuvwxyz"
+_HY_TRANS = "աբցդեֆգհիջկլմնոպքրստւվշխյզ"
+_HY_SUFFIX = "ների"
+
+_HY_ENGINE: dict[str, tuple] = {}
+
+
+def _hy_token(t: str) -> str:
+    return t.translate(str.maketrans(_HY_ASCII, _HY_TRANS)) + _HY_SUFFIX
+
+
+def get_engine_armenian(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball_misc import ArmenianAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _HY_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.split(F.col("text"), " "), lambda t: t != F.lit("")
+                    ),
+                    lambda t: F.concat(
+                        F.translate(t, _HY_ASCII, _HY_TRANS), F.lit(_HY_SUFFIX)
+                    ),
+                ),
+                " ",
+            ),
+        )
+        idx = build_index(docs, analyzer=ArmenianAnalyzer()).cache()
+        _HY_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _HY_ENGINE[key]
+
+
+def _hy_sql() -> str:
+    from lucenenet_spark.analysis.snowball_misc import (
+        ARMENIAN_STOP_WORDS,
+        armenian_stem,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    whens = " ".join(
+        f"WHEN '{_hy_token(t)}' THEN '{armenian_stem(_hy_token(t))}'"
+        for t in _CORPUS_VOCAB
+        if armenian_stem(_hy_token(t)) != _hy_token(t)
+    )
+    stem = f"(CASE term {whens} ELSE term END)" if whens else "term"
+    stops = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(ARMENIAN_STOP_WORDS)
+    )
+    q = armenian_stem(_hy_token("merge"))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         translate(unnest(string_split(text, ' ')),
+                   '{_HY_ASCII}', '{_HY_TRANS}') || '{_HY_SUFFIX}' AS term0
+  FROM documents
+  WHERE text IS NOT NULL
+),
+tokf AS (
+  SELECT doc_id, {stem.replace("term", "term0")} AS term
+  FROM tok
+  WHERE term0 <> '{_HY_SUFFIX}' AND term0 NOT IN ({stops})
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{q}'
+"""
+
+
+@gate("armenian_term_query", _hy_sql())
+def armenian_term_query(spark, sf_dir):
+    """TermQuery over an Armenian-script corpus derived from documents
+    by a fixed ASCII->Armenian transliteration + 'ների' case ending;
+    the ArmenianAnalyzer (UAX#29 Armenian runs + hy stop set + Snowball
+    Armenian) strips the ending per its own pV/R2 rules —
+    Analysis/Hy/ArmenianAnalyzer.cs parity at gate granularity."""
+    from lucenenet_spark.analysis.snowball_misc import armenian_stem
+
+    _, s = get_engine_armenian(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery(armenian_stem(_hy_token("merge")))))
