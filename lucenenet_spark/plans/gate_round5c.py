@@ -252,3 +252,72 @@ def armenian_term_query(spark, sf_dir):
 
     _, s = get_engine_armenian(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery(armenian_stem(_hy_token("merge")))))
+
+
+# ===========================================================================
+# Turkish routed index (es->tr)
+# ===========================================================================
+
+_ROUTED_TR: dict[str, tuple] = {}
+
+
+def get_engine_routed_tr(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.analysis.snowball_turkish import TurkishAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_TR:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.withColumn(
+            "lang",
+            F.when(F.col("lang") == "es", F.lit("tr")).otherwise(F.col("lang")),
+        )
+        router = LanguageRoutedAnalyzer({"tr": TurkishAnalyzer()})
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_TR[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_TR[key]
+
+
+def _tr_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.snowball_turkish import (
+        TURKISH_STOP_WORDS,
+        turkish_stem,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN '{turkish_stem(t)}'"
+        for t in _CORPUS_VOCAB if turkish_stem(t) != t
+    )
+    stem = f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    sql = _SNOWBALL_ROCA_SQL.replace(
+        "WHEN 'es' THEN 'ro' WHEN 'fr' THEN 'ca'",
+        "WHEN 'es' THEN 'tr' WHEN 'fr' THEN lang",
+    )
+    stem_sql = f"CASE WHEN lang2 = 'tr' THEN {stem} ELSE term END"
+    stop_sql = (
+        f"((lang2 = 'tr' AND term NOT IN ({lst(TURKISH_STOP_WORDS)})) OR "
+        f"(lang2 <> 'tr' AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+    sql = sql.replace("WHERE p.term = 'merg'", "WHERE p.term = 'da'")
+    return sql.format(stem=stem_sql, stop=stop_sql)
+
+
+@gate("turkish_term_query", _tr_sql())
+def turkish_term_query(spark, sf_dir):
+    """TermQuery('da') over a tr routed index (langs remapped es->tr):
+    'da' exists only via the Snowball Turkish noun-suffix pass stemming
+    'data' (DA case ending with vowel harmony), and the tr stop set runs
+    BEFORE stemming so the stop word 'da' survives as a produced term —
+    Analysis/Tr/TurkishAnalyzer.cs parity at gate granularity."""
+    _, s = get_engine_routed_tr(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("da")))
