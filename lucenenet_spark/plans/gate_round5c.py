@@ -321,3 +321,85 @@ def turkish_term_query(spark, sf_dir):
     Analysis/Tr/TurkishAnalyzer.cs parity at gate granularity."""
     _, s = get_engine_routed_tr(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("da")))
+
+
+# ===========================================================================
+# Galician (RSLP) + Brazilian routed index (es->gl, fr->br)
+# ===========================================================================
+
+_ROUTED_GLBR: dict[str, tuple] = {}
+
+
+def get_engine_routed_glbr(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.brazilian import BrazilianAnalyzer
+    from lucenenet_spark.analysis.rslp import GalicianAnalyzer
+    from lucenenet_spark.analysis.snowball import LanguageRoutedAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ROUTED_GLBR:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        remap = F.create_map(
+            *[F.lit(x) for kv in {"es": "gl", "fr": "br"}.items() for x in kv]
+        )
+        docs = docs.withColumn(
+            "lang", F.coalesce(remap[F.col("lang")], F.col("lang"))
+        )
+        router = LanguageRoutedAnalyzer(
+            {"gl": GalicianAnalyzer(), "br": BrazilianAnalyzer()}
+        )
+        idx = build_index(docs, analyzer=router).cache()
+        _ROUTED_GLBR[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ROUTED_GLBR[key]
+
+
+def _glbr_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.brazilian import (
+        BRAZILIAN_STOP_WORDS,
+        _brazilian_token_stem,
+    )
+    from lucenenet_spark.analysis.rslp import (
+        GALICIAN_STOP_WORDS,
+        galician_stem,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def case(stem_fn):
+        whens = " ".join(
+            f"WHEN '{t}' THEN '{stem_fn(t)}'"
+            for t in _CORPUS_VOCAB if stem_fn(t) != t
+        )
+        return f"(CASE term {whens} ELSE term END)" if whens else "term"
+
+    def lst(ws):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ws))
+
+    stem_sql = (
+        f"CASE WHEN lang2 = 'gl' THEN {case(galician_stem)} "
+        f"WHEN lang2 = 'br' THEN {case(_brazilian_token_stem)} "
+        f"ELSE term END"
+    )
+    stop_sql = (
+        f"((lang2 = 'gl' AND term NOT IN ({lst(GALICIAN_STOP_WORDS)})) OR "
+        f"(lang2 = 'br' AND term NOT IN ({lst(BRAZILIAN_STOP_WORDS)})) OR "
+        f"(lang2 NOT IN ('gl', 'br') AND term NOT IN ({lst(ENGLISH_STOP_WORDS)})))"
+    )
+    sql = _SNOWBALL_ROCA_SQL.replace(
+        "WHEN 'es' THEN 'ro' WHEN 'fr' THEN 'ca'",
+        "WHEN 'es' THEN 'gl' WHEN 'fr' THEN 'br'",
+    )
+    return sql.format(stem=stem_sql, stop=stop_sql)
+
+
+@gate("rslp_glbr_term_query", _glbr_sql())
+def rslp_glbr_term_query(spark, sf_dir):
+    """TermQuery('merg') over a gl/br routed index (langs remapped
+    es->gl, fr->br): Galician via the RSLP rule engine, Brazilian via
+    the hand-written Step1-5 stripper — Analysis/Gl + Analysis/Br
+    analyzer parity at gate granularity."""
+    _, s = get_engine_routed_glbr(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merg")))
