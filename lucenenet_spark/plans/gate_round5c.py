@@ -403,3 +403,100 @@ def rslp_glbr_term_query(spark, sf_dir):
     analyzer parity at gate granularity."""
     _, s = get_engine_routed_glbr(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("merg")))
+
+
+# ===========================================================================
+# Thai over a transliterated, pair-joined corpus
+# ===========================================================================
+
+_TH_ASCII = "abcdefghijklmnopqrstuvwxyz"
+_TH_TRANS = "กขคงจฉชซญดตถทนบปผฝพฟภมยรลว"
+
+_TH_ENGINE: dict[str, tuple] = {}
+
+
+def _th_token(t: str) -> str:
+    return t.translate(str.maketrans(_TH_ASCII, _TH_TRANS))
+
+
+def get_engine_thai(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.thai import ThaiAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _TH_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        # transliterate the whole text, then join adjacent token pairs:
+        # leftmost non-overlapping '(a) (b)' -> 'ab' produces runs the
+        # analyzer must re-segment via its dictionary
+        docs = docs.withColumn(
+            "text",
+            F.regexp_replace(
+                F.translate(F.col("text"), _TH_ASCII, _TH_TRANS),
+                r"(\S+) (\S+)", r"$1$2",
+            ),
+        )
+        az = ThaiAnalyzer(user_dict={_th_token(t) for t in _CORPUS_VOCAB})
+        idx = build_index(docs, analyzer=az).cache()
+        _TH_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _TH_ENGINE[key]
+
+
+def _th_sql() -> str:
+    from lucenenet_spark.analysis.thai import THAI_STOP_WORDS
+
+    stops = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(THAI_STOP_WORDS)
+    )
+    q = _th_token("merge")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         translate(unnest(string_split(text, ' ')),
+                   '{_TH_ASCII}', '{_TH_TRANS}') AS term
+  FROM documents
+  WHERE text IS NOT NULL
+),
+tokf AS (
+  SELECT doc_id, term FROM tok
+  WHERE term <> '' AND term NOT IN ({stops})
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{q}'
+"""
+
+
+@gate("thai_term_query", _th_sql())
+def thai_term_query(spark, sf_dir):
+    """TermQuery over a Thai-script corpus derived by transliterating
+    documents and joining adjacent token pairs into unspaced runs; the
+    ThaiAnalyzer's greedy dictionary segmentation must split every run
+    back into the original token stream (the oracle is the identity
+    pipeline), exercising run segmentation, positions, and the th stop
+    set — Analysis/Th/ThaiAnalyzer.cs parity at gate granularity."""
+    _, s = get_engine_thai(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery(_th_token("merge"))))
