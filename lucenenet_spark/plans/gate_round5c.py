@@ -500,3 +500,40 @@ def thai_term_query(spark, sf_dir):
     set — Analysis/Th/ThaiAnalyzer.cs parity at gate granularity."""
     _, s = get_engine_thai(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery(_th_token("merge"))))
+
+
+# ===========================================================================
+# Leading wildcard via the reversed-term dictionary
+# ===========================================================================
+
+_REV_INDEX: dict[str, object] = {}
+
+
+def _get_reversed(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.reversed import ReversedTermIndex
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _REV_INDEX:
+        idx, _s, _d = get_engine(spark, sf_dir)
+        _REV_INDEX[key] = ReversedTermIndex(idx)
+    return _REV_INDEX[key]
+
+
+def _leading_wildcard_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE
+
+    return SQL_PRELUDE + """
+SELECT DISTINCT doc_id FROM post WHERE term LIKE '%rk'
+"""
+
+
+@gate("leading_wildcard_query", _leading_wildcard_sql())
+def leading_wildcard_query(spark, sf_dir):
+    """WildcardQuery('*rk') rewritten to a PrefixQuery over the
+    reversed-term dictionary (ReverseStringFilter.cs pattern): the
+    predicate is a pushdown-friendly startswith on rterm instead of a
+    full-dictionary regex scan."""
+    return _get_reversed(spark, sf_dir).docset("*rk")
