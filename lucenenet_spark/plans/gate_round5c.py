@@ -537,3 +537,39 @@ def leading_wildcard_query(spark, sf_dir):
     predicate is a pushdown-friendly startswith on rterm instead of a
     full-dictionary regex scan."""
     return _get_reversed(spark, sf_dir).docset("*rk")
+
+
+# ===========================================================================
+# XML query parser (CoreParser surface)
+# ===========================================================================
+
+def _xml_parser_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE, _SQL_SCORED, _tsc
+
+    return SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT m.doc_id,
+       CAST(floor((m.score + coalesce(o.score, 0.0)) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM ({_tsc('merge')}) m
+LEFT JOIN ({_tsc('scan')}) o USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'dup')
+"""
+
+
+@gate("xml_parser_query", _xml_parser_sql())
+def xml_parser_query(spark, sf_dir):
+    """CoreParser XML front-end producing the same Query tree as the
+    classic parser: a BooleanQuery with must/should/mustNot clauses
+    parsed from XML elements (Xml/CoreParser.cs + Builders/*)."""
+    from lucenenet_spark.plans.gate import _spark_score_q as score_q
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.queryparser.xml import CoreParser
+
+    _, s, _ = get_engine(spark, sf_dir)
+    q = CoreParser().parse("""
+        <BooleanQuery fieldName="text">
+          <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery>scan</TermQuery></Clause>
+          <Clause occurs="mustNot"><TermQuery>dup</TermQuery></Clause>
+        </BooleanQuery>
+    """)
+    return score_q(s.scored(q))
