@@ -142,3 +142,149 @@ def expression_rescore_gate(spark, sf_dir):
         "doc_id",
         F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
     )
+
+
+# ==========================================================================
+# Sandbox queries (Lucene.Net.Sandbox/Queries) + Queries/TermsFilter
+# ==========================================================================
+
+# similarity/boost exprs shared by the two fuzzy oracles (prefixLength=0,
+# target 'tabl', minSim 0.5): sim = 1 - lev/min(len), boost = (sim-.5)/.5
+_SF_SIM = "(1.0 - levenshtein(term, '{t}') / CAST(least(length(term), {n}) AS DOUBLE))"
+
+
+def _slow_fuzzy_sql() -> str:
+    sim = _SF_SIM.format(t="tabl", n=4)
+    return SQL_PRELUDE + "," + _SQL_SCORED + f"""
+, var AS (
+  SELECT term, ({sim} - 0.5) / 0.5 AS vboost
+  FROM ts
+  WHERE {sim} > 0.5
+  ORDER BY CAST(floor((({sim} - 0.5) / 0.5) * 1000000 + 0.5) AS BIGINT) DESC, term ASC
+  LIMIT 50
+)
+SELECT s.doc_id,
+       CAST(floor(sum(v.vboost * s.idf * 2.2 * s.tf / (s.tf + s.nrm)) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM sc s JOIN var v USING (term)
+GROUP BY s.doc_id
+ORDER BY score_q DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+@gate("slow_fuzzy_query", _slow_fuzzy_sql())
+def slow_fuzzy_query(spark, sf_dir):
+    """SlowFuzzyQuery('tabl', minSim=0.5): similarity-threshold variants
+    with boost (sim-minSim)/(1-minSim) OR-ed into BM25
+    (Sandbox/Queries/SlowFuzzyQuery.cs + SlowFuzzyTermsEnum.cs:119,148)."""
+    from lucenenet_spark.plans.gate import _spark_score_q as score_q
+    from lucenenet_spark.search.sandbox import SlowFuzzyQuery, slow_fuzzy_rewrite
+
+    _, s, _ = get_engine(spark, sf_dir)
+    q = slow_fuzzy_rewrite(s, SlowFuzzyQuery(term="tabl", min_similarity=0.5))
+    out = s.scored(q)
+    return (
+        score_q(out)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _flt_sql() -> str:
+    sims = {src: _SF_SIM.format(t=src, n=len(src)) for src in ("tabl", "merg")}
+    cand_selects = " UNION ALL ".join(
+        f"""
+  SELECT '{src}' AS src, term AS vterm, df, ({sim} - 0.5) / 0.5 AS boost
+  FROM ts WHERE {sim} > 0.5"""
+        for src, sim in sims.items()
+    )
+    return SQL_PRELUDE + f"""
+, cand AS ({cand_selects})
+, kept AS (
+  SELECT * FROM (
+    SELECT cand.*,
+           row_number() OVER (
+             PARTITION BY src
+             ORDER BY CAST(floor(boost * 1000000 + 0.5) AS BIGINT) DESC, vterm ASC
+           ) AS rn
+    FROM cand
+  ) WHERE rn <= 50
+)
+, dfres AS (
+  SELECT k.src,
+         coalesce((SELECT ts.df FROM ts WHERE ts.term = k.src), sum(k.df) // count(*)) AS sdf
+  FROM kept k GROUP BY k.src
+)
+, final AS (
+  SELECT k.vterm,
+         k.boost * k.boost * (ln(cs.n / (d.sdf + 1)) + 1) AS fscore
+  FROM kept k JOIN dfres d USING (src), cs
+)
+, topq AS (
+  SELECT vterm, fscore FROM final
+  ORDER BY CAST(floor(fscore * 1000000 + 0.5) AS BIGINT) DESC, vterm ASC
+  LIMIT 10
+)
+SELECT p.doc_id,
+       CAST(floor(sum(t.fscore) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM post p JOIN topq t ON p.term = t.vterm
+GROUP BY p.doc_id
+ORDER BY score_q DESC, p.doc_id ASC LIMIT 20
+"""
+
+
+@gate("fuzzy_like_this", _flt_sql())
+def fuzzy_like_this_gate(spark, sf_dir):
+    """FuzzyLikeThisQuery('tabl merg'): per-source-term fuzzy variants,
+    source-idf folded scores (score = boost^2 * (ln(N/(df+1))+1), avg
+    variant df when the source term is absent), global top-10 variants,
+    ignoreTF ConstantScore sum per doc
+    (Sandbox/Queries/FuzzyLikeThisQuery.cs:229,318,337)."""
+    from lucenenet_spark.search.sandbox import fuzzy_like_this
+
+    _, s, _ = get_engine(spark, sf_dir)
+    out = fuzzy_like_this(
+        s, "tabl merg", min_similarity=0.5, max_num_terms=10, ignore_tf=True
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@gate(
+    "sorted_set_sort",
+    SQL_PRELUDE + """
+SELECT doc_id, min(term) AS sort_key
+FROM post GROUP BY doc_id
+ORDER BY sort_key ASC, doc_id ASC LIMIT 20
+""",
+)
+def sorted_set_sort(spark, sf_dir):
+    """SortedSetSortField(MIN, asc): docs ordered by the smallest value of
+    a multivalued string field (Sandbox/Queries/SortedSetSortField.cs +
+    SortedSetSelector MIN) — one partial-agg groupBy into TakeOrdered."""
+    from lucenenet_spark.search.sandbox import sorted_set_sort_field
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    dv = idx.postings.filter(F.col("field") == "text").select("doc_id", "term")
+    return sorted_set_sort_field(dv, value_col="term", selector="min", ascending=True, k=20)
+
+
+@gate(
+    "terms_filter",
+    SQL_PRELUDE + """
+SELECT DISTINCT doc_id FROM post WHERE term IN ('merge', 'scan', 'dup')
+""",
+)
+def terms_filter_gate(spark, sf_dir):
+    """TermsFilter (Queries/TermsFilter.cs): match-any-of-N set filter as a
+    single IN-list predicate over postings — one scan, pushdown-friendly."""
+    from lucenenet_spark.search.sandbox import terms_filter
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return terms_filter(idx, ["merge", "scan", "dup"])
