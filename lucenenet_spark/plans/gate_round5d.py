@@ -288,3 +288,47 @@ def terms_filter_gate(spark, sf_dir):
 
     idx, _, _ = get_engine(spark, sf_dir)
     return terms_filter(idx, ["merge", "scan", "dup"])
+
+
+# ==========================================================================
+# ICU folding (Lucene.Net.Analysis.Icu/ICUFoldingFilter.cs)
+# ==========================================================================
+_ICU_ENGINE: dict[str, tuple] = {}
+
+
+def _icu_engine(spark, sf_dir):
+    """Index the corpus with every vowel swapped for an accented variant
+    (deterministic translate in BOTH engines' reach), analyzed through
+    ICUFoldingAnalyzer — folding must restore the plain-ASCII index
+    exactly, so the oracle is the PLAIN corpus's scoring CTE."""
+    import os as _os
+
+    from lucenenet_spark.analysis.icu import ICUFoldingAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _ICU_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        accented = docs.withColumn("text", F.translate("text", "aeiou", "àéîõü"))
+        idx = build_index(accented, analyzer=ICUFoldingAnalyzer()).cache()
+        _ICU_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _ICU_ENGINE[key]
+
+
+@gate(
+    "icu_folding_term",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q FROM ({_tsc('merge')})
+""",
+)
+def icu_folding_term(spark, sf_dir):
+    """BM25 for 'merge' over an accent-decorated corpus indexed through
+    ICUFoldingAnalyzer (NFKC + casefold + diacritic strip): folding makes
+    the decorated index identical — tf, df, doclens, norms — to the plain
+    corpus the oracle scores (ICUFoldingFilter.cs / UTR#30)."""
+    from lucenenet_spark.plans.gate import _spark_score_q as score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _icu_engine(spark, sf_dir)
+    return score_q(s.scored(TermQuery("merge")))
