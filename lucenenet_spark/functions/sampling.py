@@ -1,0 +1,102 @@
+"""Deterministic sampling for training-data pipelines.
+
+Mixture construction over a web corpus — "keep 50% of English, 20% of
+German, 5% of the tail" — needs a sampler that is (a) deterministic
+across reruns and cluster sizes (no RNG state, no partition-order
+dependence), (b) cheap (one digest per row, no shuffle), and (c)
+auditable (the keep/drop decision is a pure function of the row key).
+The standard construction is hash-mod sampling: a uniform 32-bit hash
+of (salt, id) compared against a per-stratum integer threshold.
+
+- :func:`sample_hash` — first 8 hex chars of ``md5(salt # id)`` as a
+  bigint, the repo's one cross-engine digest (same convention as
+  dedup.minhash_base); uniform on [0, 2^32).
+- :func:`deterministic_sample` — corpus-wide fraction.
+- :func:`stratified_sample` — per-stratum fractions (mixture weights),
+  one CASE expression, zero shuffles: the filter is embedded in the
+  scan, so at 100 TB this prunes rows before anything else runs.
+- :func:`split_train_holdout` — disjoint train/holdout split from the
+  same hash (a row's split never changes when data is added, the
+  property random-split lacks).
+
+Changing ``salt`` draws an independent sample; fractions are quantized
+to 1e-6 (integer threshold) so Spark and any SQL oracle agree exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_hash",
+    "deterministic_sample",
+    "stratified_sample",
+    "split_train_holdout",
+]
+
+_DENOM = 1_000_000
+
+
+def sample_hash(id_col: Column, salt: str = "") -> Column:
+    """Uniform 32-bit hash of (salt, id): first 8 hex chars of
+    md5('salt#id') as a bigint."""
+    key = F.concat(F.lit(salt), F.lit("#"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(round(fraction * _DENOM))
+
+
+def deterministic_sample(
+    docs: DataFrame, fraction: float, *, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, decided by hash(salt, id) — rerun-stable
+    and independent of partitioning."""
+    bucket = sample_hash(F.col(id_col), salt) % F.lit(_DENOM)
+    return docs.filter(bucket < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash-mod sampling: mixture weighting in one scan.
+
+    `fractions` maps stratum value -> keep fraction; unlisted strata get
+    `default_fraction`. The per-row threshold is a single CASE column, so
+    the whole operation is a pushdown-friendly filter with no shuffle and
+    no per-stratum passes (contrast df.sampleBy, which is seeded but
+    partition-order sensitive).
+    """
+    thresh = F.lit(_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(_threshold(frac))).otherwise(
+            thresh
+        )
+    bucket = sample_hash(F.col(id_col), salt) % F.lit(_DENOM)
+    return docs.filter(bucket < thresh)
+
+
+def split_train_holdout(
+    docs: DataFrame,
+    holdout_fraction: float,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) disjoint split on the same hash: a row is holdout
+    iff bucket < threshold, train otherwise — stable under corpus growth."""
+    bucket = sample_hash(F.col(id_col), salt) % F.lit(_DENOM)
+    t = F.lit(_threshold(holdout_fraction))
+    return docs.filter(bucket >= t), docs.filter(bucket < t)

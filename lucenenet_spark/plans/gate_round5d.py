@@ -332,3 +332,88 @@ def icu_folding_term(spark, sf_dir):
 
     _, s = _icu_engine(spark, sf_dir)
     return score_q(s.scored(TermQuery("merge")))
+
+
+# ==========================================================================
+# Training-pipeline operators: deterministic stratified sampling +
+# benchmark decontamination (n-gram overlap)
+# ==========================================================================
+
+def _hex8_of(key_sql: str) -> str:
+    """First 8 hex chars of md5(key) as an integer, digit by digit —
+    the DuckDB mirror of sampling.sample_hash (same trick as the
+    MinHash oracle in gate_pipeline)."""
+    dig = "(strpos('0123456789abcdef', substr(md5({k}), {p}, 1)) - 1)"
+    return " + ".join(
+        f"({dig.format(k=key_sql, p=j + 1)}) * {16 ** (7 - j)}" for j in range(8)
+    )
+
+
+def _stratified_sql() -> str:
+    h = _hex8_of("concat('mix1#', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ({h}) % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+                WHEN 'zh' THEN 100000 ELSE 50000 END
+"""
+
+
+@gate("stratified_sample", _stratified_sql())
+def stratified_sample_gate(spark, sf_dir):
+    """Mixture-weighted corpus sampling: keep 50% en / 20% de / 10% zh /
+    5% tail, decided by a salted md5 hash of the doc id — deterministic
+    across reruns and cluster sizes, zero shuffles (one CASE threshold
+    inside the scan filter). functions/sampling.py."""
+    from lucenenet_spark.functions.sampling import stratified_sample
+    from lucenenet_spark.plans.gate import _docs_table
+
+    docs = _docs_table(spark, sf_dir)
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2, "zh": 0.1},
+        default_fraction=0.05, salt="mix1",
+    )
+    return out.select("doc_id", "lang")
+
+
+_DECONTAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 12), ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 11, 1))) AS u(i)
+),
+pg AS (
+  SELECT DISTINCT doc_id AS probe_id,
+         array_to_string(list_slice(t, i, i + 12), ' ') AS shingle
+  FROM (SELECT doc_id, list_slice(t, 1, 40) AS t FROM toks WHERE doc_id % 50 = 0),
+       UNNEST(range(1, greatest(len(t) - 11, 1))) AS u(i)
+),
+perdoc AS (SELECT doc_id, count(*) AS doc_grams FROM dg GROUP BY doc_id),
+hits AS (
+  SELECT d.doc_id, p.probe_id, count(*) AS overlap
+  FROM dg d JOIN pg p USING (shingle) GROUP BY d.doc_id, p.probe_id
+)
+SELECT h.doc_id, h.probe_id, CAST(h.overlap AS BIGINT) AS overlap,
+       CAST(x.doc_grams AS BIGINT) AS doc_grams
+FROM hits h JOIN perdoc x USING (doc_id)
+"""
+
+
+@gate("decontam_overlap", _DECONTAM_SQL)
+def decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C recipe): 13-token-gram
+    overlap between every training doc and a probe set (each 50th doc's
+    40-token prefix, standing in for benchmark examples). Reports
+    (doc, probe, shared distinct 13-grams, doc grams); near-duplicate
+    docs of a probed source surface alongside the source itself.
+    functions/decontam.py — probe side broadcast, train side never
+    shuffled on raw strings."""
+    from lucenenet_spark.functions.decontam import ngram_overlap_report
+    from lucenenet_spark.plans.gate import _docs_table
+
+    docs = _docs_table(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 40)).alias("text"),
+    )
+    return ngram_overlap_report(docs, probes, n=13)
