@@ -339,3 +339,97 @@ def simhash64(terms: DataFrame, tf_col: str | None = "tf", n_bits: int = 60) -> 
         F.lit(0).cast("long"),
     )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    *,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    The dense-vector analogue of minhash_lsh_pairs: each vector gets an
+    n_planes sign signature (SimHash over deterministic hyperplanes,
+    similarity.hyperplanes); the signature splits into n_bands bands and
+    two vectors become a candidate pair iff they agree on some whole band
+    (collision probability per band = (1 - theta/pi)^(n_planes/n_bands),
+    so recall at a given cosine is tunable by the band shape exactly as in
+    minhash banding). Candidates then get an EXACT cosine (codegen'd
+    zip_with fold, no UDF) and pairs below `threshold` are dropped —
+    LSH only ever costs recall, never precision.
+
+    Scale shape (the same three defenses as the minhash path): the
+    band-bucket join shuffles only (band, 4-bit key) pairs; buckets larger
+    than `max_bucket_size` are dropped BEFORE the pair join (an LSH bucket
+    that big is a collision cluster — quadratic pairs, near-zero
+    precision); candidate ids are deduplicated across bands BEFORE the
+    vectors are re-joined, so each surviving pair fetches its two
+    dim-float arrays exactly once. Threshold comparison happens on the
+    1e-4-quantized value so any SQL oracle agrees exactly at the boundary.
+
+    Returns (id_a, id_b, cos_q) with id_a < id_b, cos_q = cosine * 1e4
+    rounded, cos_q >= round(threshold * 1e4).
+    """
+    from lucenenet_spark.functions.similarity import hyperplanes
+
+    if n_planes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_planes={n_planes}")
+    planes = hyperplanes(n_planes, seed, dim)
+
+    def dot(plane: list[float]):
+        qlit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), qlit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat(*[F.when(dot(p) >= 0, "1").otherwise("0") for p in planes])
+    width = n_planes // n_bands
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"{b}|"), F.substring(F.col("sig"), b * width + 1, width))
+            for b in range(n_bands)
+        ]
+    )
+    buckets = (
+        emb.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+        .select("vec_id", F.explode(band_keys).alias("bkey"))
+    )
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket_size)
+            .select("bkey")
+        )
+        buckets = buckets.join(ok, "bkey")
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bkey")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pair = cand.join(va, "id_a").join(vb, "id_b")
+
+    def fold(prod):
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot_ab = fold(F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a.cast("double") * b))
+    n2a = fold(F.zip_with(F.col("va"), F.col("va"), lambda a, b: a.cast("double") * b))
+    n2b = fold(F.zip_with(F.col("vb"), F.col("vb"), lambda a, b: a.cast("double") * b))
+    cos_q = F.floor(dot_ab / F.sqrt(n2a * n2b) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return (
+        pair.select("id_a", "id_b", cos_q.alias("cos_q"))
+        .filter(F.col("cos_q") >= F.lit(int(round(threshold * 10000))))
+    )

@@ -417,3 +417,76 @@ def decontam_overlap(spark, sf_dir):
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, 40)).alias("text"),
     )
     return ngram_overlap_report(docs, probes, n=13)
+
+
+# ==========================================================================
+# Embedding-cosine near-duplicate detection (banded hyperplane LSH +
+# exact quantized cosine verify) — functions/dedup.embedding_near_duplicates
+# ==========================================================================
+_END_PLANES = 16
+_END_BANDS = 4
+_END_SEED = 42
+_END_DIM = 64
+_END_THRESH = 0.40
+
+
+def _embed_neardup_sql() -> str:
+    from lucenenet_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(_END_PLANES, _END_SEED, _END_DIM)
+    sign_cases = ",\n           ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    )
+    width = _END_PLANES // _END_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, concat('{b}|', substr(sig, {b * width + 1}, {width})) AS bkey FROM sig"
+        for b in range(_END_BANDS)
+    )
+    thresh_q = int(round(_END_THRESH * 10000))
+    return f"""
+WITH sig AS (
+  SELECT vec_id,
+         concat(
+           {sign_cases}
+         ) AS sig
+  FROM embeddings
+),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b USING (bkey)
+  WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor(list_dot_product(x.v, y.v)
+               / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+  FROM cand c
+  JOIN e x ON x.vec_id = c.id_a
+  JOIN e y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos_q FROM scored WHERE cos_q >= {thresh_q}
+"""
+
+
+@gate("dedup_embedding_cosine", _embed_neardup_sql())
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: 16-plane/4-band sign-LSH candidate
+    generation, exact zip_with-fold cosine verify at threshold 0.40 (the
+    synthetic corpus's top pairwise cosine is ~0.51, so the gate exercises
+    both collision and verification). Oracle reproduces the identical
+    plane literals, band keys, and quantized cosine."""
+    import os
+
+    from lucenenet_spark.functions.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_duplicates(
+        emb, _END_THRESH, n_planes=_END_PLANES, n_bands=_END_BANDS,
+        seed=_END_SEED, dim=_END_DIM,
+    )

@@ -141,3 +141,62 @@ def test_decontaminate_drops_contaminated(contam_dfs):
     # min_overlap policy: requiring >3 shared grams spares doc1
     kept2 = {r["doc_id"] for r in decontaminate(docs, probes, n=13, min_overlap=4).collect()}
     assert kept2 == {1, 2, 3}
+
+
+# ----------------------------------------------------------------------
+# embedding near-dup
+# ----------------------------------------------------------------------
+
+def test_embedding_near_duplicates(spark):
+    from lucenenet_spark.functions.dedup import embedding_near_duplicates
+
+    dim = 64
+    base = [float((i * 37 % 19) - 9) for i in range(dim)]
+    near = list(base)
+    near[0] += 0.01                      # cosine ~ 1 with base
+    anti = [-x for x in base]            # cosine -1
+    other = [float((i * 53 % 23) - 11) for i in range(dim)]
+    rows = [(0, base), (1, near), (2, anti), (3, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        (r["id_a"], r["id_b"]): r["cos_q"]
+        for r in embedding_near_duplicates(emb, 0.95, dim=dim).collect()
+    }
+    # identical-direction pair always collides in every band and passes
+    assert (0, 1) in out and out[(0, 1)] >= 9990
+    # opposite/unrelated vectors never reach the threshold
+    assert all(k == (0, 1) for k in out)
+
+    # ids come back ordered, and a tighter threshold can only shrink output
+    loose = embedding_near_duplicates(emb, 0.10, dim=dim).collect()
+    tight = embedding_near_duplicates(emb, 0.99, dim=dim).collect()
+    assert len(tight) <= len(loose)
+    for r in loose:
+        assert r["id_a"] < r["id_b"]
+
+
+def test_embedding_near_duplicates_bucket_cap(spark):
+    from lucenenet_spark.functions.dedup import embedding_near_duplicates
+
+    dim = 8
+    v = [1.0] * dim
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    # all 6 identical vectors share every bucket: cap 5 drops the cluster
+    assert embedding_near_duplicates(
+        emb, 0.9, dim=dim, max_bucket_size=5
+    ).count() == 0
+    # without the cap the full 15-pair clique appears
+    assert embedding_near_duplicates(
+        emb, 0.9, dim=dim, max_bucket_size=None
+    ).count() == 15
+
+
+def test_embedding_near_duplicates_validation(spark):
+    from lucenenet_spark.functions.dedup import embedding_near_duplicates
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        embedding_near_duplicates(emb, 0.5, n_planes=16, n_bands=5)
