@@ -490,3 +490,100 @@ def dedup_embedding_cosine(spark, sf_dir):
         emb, _END_THRESH, n_planes=_END_PLANES, n_bands=_END_BANDS,
         seed=_END_SEED, dim=_END_DIM,
     )
+
+
+# ==========================================================================
+# Hunspell affix stemming wired into indexing + search
+# (Analysis/Hunspell/HunspellStemFilter.cs longestOnly mode over an inline
+# .aff/.dic pair, the reference's own test-dictionary pattern).
+# ==========================================================================
+_HUN_AFF = """SET UTF-8
+
+SFX A Y 1
+SFX A   0     e         .
+
+PFX B Y 1
+PFX B   0     s         .
+"""
+
+# surface forms: valu+e=value, tabl+e=table, merg+e=merge, lin+e=line,
+# s+can=scan; every other corpus token has no stem and passes through.
+_HUN_DIC = """5
+valu/A
+tabl/A
+merg/A
+lin/A
+can/B
+"""
+
+_HUN_ENGINE: dict[str, tuple] = {}
+
+
+def _hunspell_engine(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.analysis.hunspell import hunspell_analyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _HUN_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        an = hunspell_analyzer(_HUN_AFF, _HUN_DIC, stopwords=ENGLISH_STOP_WORDS)
+        idx = build_index(docs, analyzer=an).cache()
+        _HUN_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _HUN_ENGINE[key]
+
+
+def _hunspell_sql_tail(term: str) -> str:
+    """Stem CASE generated by the SAME longest-only stemmer the engine
+    routes through (fidelity of the affix engine itself is pinned by the
+    reference-traced tables in tests/test_hunspell.py)."""
+    from lucenenet_spark.analysis.hunspell import (
+        HunspellDictionary,
+        HunspellStemmer,
+        _make_longest_only,
+    )
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    stem = _make_longest_only(HunspellStemmer(HunspellDictionary(_HUN_AFF, _HUN_DIC)))
+    whens = " ".join(
+        f"WHEN '{t}' THEN '{stem(t)}'" for t in _CORPUS_VOCAB if stem(t) != t
+    )
+    return f""",
+tokst AS (SELECT doc_id, CASE term {whens} ELSE term END AS term, pos FROM tokf),
+post2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tokst GROUP BY doc_id, term),
+ts2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post2 GROUP BY term)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts2.df + 0.5) / (ts2.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post2 p JOIN dl USING (doc_id) JOIN ts2 USING (term), cs
+WHERE p.term = '{term}'
+"""
+
+
+@gate("hunspell_term_query", SQL_PRELUDE + _hunspell_sql_tail("tabl"))
+def hunspell_term_query(spark, sf_dir):
+    """TermQuery('tabl') over a Hunspell-stemmed index: the SFX rule
+    restores 'table' -> dict entry 'tabl', so df/tf/scores are computed on
+    the affix-stemmed vocabulary (suffix strip, longest-only selection);
+    dl/avgdl unchanged (stemming is term-renaming)."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _hunspell_engine(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("tabl")))
+
+
+@gate("hunspell_prefix_strip", SQL_PRELUDE + _hunspell_sql_tail("can"))
+def hunspell_prefix_strip(spark, sf_dir):
+    """TermQuery('can'): PFX rule strips the leading 's' of 'scan' and
+    validates the restored stem against the dict entry 'can/B' — prefix
+    rules participate in indexing exactly like suffixes."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _hunspell_engine(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("can")))
