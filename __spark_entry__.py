@@ -91,7 +91,11 @@ def _ordered() -> list[tuple[str, tuple]]:
     seen = [
         x for x in items if x[0] in verified and x[0] not in canary
     ]
-    return fresh + core + seen
+    # The canary must land inside the driver's 50-slot window every round,
+    # so at most (50 - len(canary)) fresh gates go ahead of it; overflow
+    # fresh gates queue right behind and become next round's fresh head.
+    head_n = max(0, 50 - len(core))
+    return fresh[:head_n] + core + fresh[head_n:] + seen
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -587,3 +587,47 @@ def hunspell_prefix_strip(spark, sf_dir):
 
     _, s = _hunspell_engine(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("can")))
+
+
+# ==========================================================================
+# PathHierarchyTokenizer drill-down (Analysis/Path/PathHierarchyTokenizer.cs)
+# ==========================================================================
+_PATH_ENGINE: dict[str, tuple] = {}
+
+
+def _path_engine(spark, sf_dir):
+    import os as _os
+
+    from lucenenet_spark.analysis.path_hierarchy import PathHierarchyAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _PATH_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        paths = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"),
+                F.lit("/"), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        idx = build_index(paths, analyzer=PathHierarchyAnalyzer()).cache()
+        _PATH_ENGINE[key] = (idx, IndexSearcher(idx))
+    return _PATH_ENGINE[key]
+
+
+@gate(
+    "path_drilldown",
+    "SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'src3'",
+)
+def path_drilldown(spark, sf_dir):
+    """Drill-down on a hierarchical path facet: each doc indexes the
+    growing prefixes of /lang/source/doc_id, so a TermQuery on the
+    ancestor path '/en/src3' selects exactly that subtree — the
+    taxonomy-facet pattern with component-boundary semantics (no
+    LIKE-prefix false positives such as src30)."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _path_engine(spark, sf_dir)
+    return s.docset(TermQuery("/en/src3"))
