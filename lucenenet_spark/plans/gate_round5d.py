@@ -631,3 +631,127 @@ def path_drilldown(spark, sf_dir):
 
     _, s = _path_engine(spark, sf_dir)
     return s.docset(TermQuery("/en/src3"))
+
+
+# ==========================================================================
+# ClassicAnalyzer (Analysis/Standard/ClassicAnalyzer.cs + ClassicFilter.cs)
+# and WordDelimiterFilter (Analysis/Miscellaneous/WordDelimiterFilter.cs)
+# ==========================================================================
+from lucenenet_spark.plans.gate import _spark_score_q  # noqa: E402
+
+
+def _reroot_prelude(docs2_cte: str) -> str:
+    """Re-root the shared BM25 prelude on an augmented docs2 corpus
+    (same trick as gate_round3._PRELUDE_URL)."""
+    return (
+        SQL_PRELUDE.replace("WITH tok AS", "WITH " + docs2_cte + ",\ntok AS")
+        .replace("FROM documents\n", "FROM docs2\n")
+        .replace("FROM documents d", "FROM docs2 d")
+    )
+
+
+_CLASSIC_DOCS2 = (
+    "docs2 AS (SELECT doc_id, text || ' usa dept' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || ' corp' AS text FROM documents)"
+)
+_CLASSIC_ENGINE: dict[str, tuple] = {}
+
+
+def _classic_engine(spark, sf_dir):
+    from lucenenet_spark.analysis.classic import ClassicAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CLASSIC_ENGINE:
+        _, _, docs = get_engine(spark, sf_dir)
+        docs2 = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" u.s.a. dept"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(" corp's"),
+            ).alias("text"),
+        )
+        idx = build_index(docs2, analyzer=ClassicAnalyzer()).cache()
+        _CLASSIC_ENGINE[key] = IndexSearcher(idx, mode="double")
+    return _CLASSIC_ENGINE[key]
+
+
+@gate(
+    "classic_analysis",
+    _reroot_prelude(_CLASSIC_DOCS2) + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (""" + _tsc("dept3") + """)
+""",
+)
+def classic_analysis(spark, sf_dir):
+    """ClassicAnalyzer round-trip: the injected raw suffix
+    `` u.s.a. dept3 corp's`` must analyze to exactly ``usa dept3 corp``
+    (ACRONYM dot-strip, possessive strip BEFORE the stop filter) so BM25
+    for ``dept3`` matches the plain-word oracle corpus bit-for-bit —
+    scores, df, and dl all shift identically on both sides."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    s = _classic_engine(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("dept3")))
+
+
+_WDF_DOCS2 = (
+    "docs2 AS (SELECT doc_id, text || ' wi fi ' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || ' pro' AS text FROM documents)"
+)
+_WDF_ENGINE: dict[str, tuple] = {}
+
+
+def _wdf_engine(spark, sf_dir):
+    from lucenenet_spark.analysis.worddelim import WordDelimiterAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WDF_ENGINE:
+        _, _, docs = get_engine(spark, sf_dir)
+        docs2 = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" WiFi"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("Pro's"),
+            ).alias("text"),
+        )
+        idx = build_index(docs2, analyzer=WordDelimiterAnalyzer()).cache()
+        _WDF_ENGINE[key] = IndexSearcher(idx, mode="double")
+    return _WDF_ENGINE[key]
+
+
+@gate(
+    "word_delimiter_phrase",
+    _reroot_prelude(_WDF_DOCS2) + "," + _SQL_SCORED + """,
+pf AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS freq
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fi' AND b.term = '3'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT ((SELECT ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) FROM ts, cs WHERE term = 'fi')
+        + (SELECT ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) FROM ts, cs WHERE term = '3')) AS idf
+)
+SELECT pf.doc_id,
+       CAST(floor((idfs.idf * 2.2 * pf.freq /
+             (pf.freq + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+       AS score_q
+FROM pf JOIN dl USING (doc_id), idfs, cs
+""",
+)
+def word_delimiter_phrase(spark, sf_dir):
+    """WordDelimiterFilter positions end-to-end: the raw token
+    ``WiFi3Pro's`` expands to ``wi fi 3 pro`` at CONSECUTIVE positions
+    (case-change + numeric splits + possessive strip), so the exact
+    PhraseQuery ``"fi 3"`` selects doc_id%7==3 with scores matching the
+    pre-split oracle corpus."""
+    from lucenenet_spark.search.queries import PhraseQuery
+
+    s = _wdf_engine(spark, sf_dir)
+    return _spark_score_q(s.scored(PhraseQuery(terms=("fi", "3"))))

@@ -1,0 +1,111 @@
+"""ClassicAnalyzer + WordDelimiterFilter fixtures (no Spark needed).
+
+Expected streams follow the reference grammar/filter semantics:
+ClassicTokenizerImpl.cs JFlex productions + ClassicFilter.cs:62-101, and
+WordDelimiterFilter.cs / WordDelimiterIterator.cs boundary rules.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from lucenenet_spark.analysis.classic import ClassicAnalyzer, classic_filter_series
+from lucenenet_spark.analysis.worddelim import WordDelimiterAnalyzer, split_subwords
+
+
+# ---------------------------------------------------------------- classic
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        # ACRONYM: trailing-dot form strips dots; dotless form is HOST
+        ("U.S.A. report", [("usa", 0), ("report", 1)]),
+        ("U.S.A report", [("u.s.a", 0), ("report", 1)]),
+        # HOST keeps dots; longest-match beats the ACRONYM prefix
+        ("visit lucene.apache.org now", [("visit", 0), ("lucene.apache.org", 1), ("now", 2)]),
+        ("x.y.a.b deep", [("x.y.a.b", 0), ("deep", 1)]),
+        # COMPANY / EMAIL survive whole
+        ("call AT&T first", [("call", 0), ("at&t", 1), ("first", 2)]),
+        (
+            "mail some.user@mail.example.com today",
+            [("mail", 0), ("some.user@mail.example.com", 1), ("today", 2)],
+        ),
+        # NUM needs a digit; plain hyphenation splits
+        ("pay 1,000 for wi-fi5 not foo-bar", [
+            ("pay", 0), ("1,000", 1), ("wi-fi5", 3), ("foo", 5), ("bar", 6),
+        ]),
+        ("pi is 3.14 here", [("pi", 0), ("3.14", 2), ("here", 3)]),
+        # APOSTROPHE kept whole; ClassicFilter strips only trailing 's
+        ("O'Reilly's book don't", [("o'reilly", 0), ("book", 1), ("don't", 2)]),
+        # possessive strip happens BEFORE the stop filter: it's -> it -> hole
+        ("it's a trap", [("trap", 2)]),
+        # digit-bearing possessive is NOT an APOSTROPHE token (grammar: ALPHA only)
+        ("dept3's files", [("dept3", 0), ("s", 1), ("files", 2)]),
+    ],
+)
+def test_classic_tokenize(text, expected):
+    assert ClassicAnalyzer().tokenize_text(text) == expected
+
+
+def test_classic_filter_series_shapes():
+    s = pd.Series(["U.S.A.", "O'Reilly's", "don't", "plain", "u.s.a"])
+    out = classic_filter_series(s).tolist()
+    # dotless u.s.a is HOST-shaped, not ACRONYM -> untouched
+    assert out == ["USA", "O'Reilly", "don't", "plain", "u.s.a"]
+
+
+def test_classic_field_lens_count_survivors():
+    rows, terms, pos, lens = ClassicAnalyzer().tokenize_batch(
+        pd.Series(["it's a trap", "U.S.A. dept corp's"])
+    )
+    assert lens.tolist() == [1, 3]
+    assert terms.tolist() == ["trap", "usa", "dept", "corp"]
+
+
+# ---------------------------------------------------------- word delimiter
+@pytest.mark.parametrize(
+    "token,parts",
+    [
+        ("PowerShot", ["Power", "Shot"]),
+        ("USAToday", ["USA", "Today"]),
+        ("WiFi5Pro", ["Wi", "Fi", "5", "Pro"]),
+        ("wi-fi", ["wi", "fi"]),
+        ("500-42", ["500", "42"]),
+        ("j2se", ["j", "2", "se"]),
+        ("----", []),
+        ("ABC", ["ABC"]),
+    ],
+)
+def test_split_subwords(token, parts):
+    assert split_subwords(token) == parts
+
+
+def test_split_flags_off():
+    assert split_subwords("PowerShot", split_on_case_change=False) == ["PowerShot"]
+    assert split_subwords("j2se", split_on_numerics=False) == ["j2se"]
+
+
+def test_wdf_positions_consecutive_and_holes():
+    a = WordDelimiterAnalyzer()
+    # "the" stop-removed leaves the hole at 0; parts advance one position each
+    assert a.tokenize_text("the PowerShot500's zoom") == [
+        ("power", 1), ("shot", 2), ("500", 3), ("zoom", 4),
+    ]
+    # all-delimiter token vanishes but still consumes a position (gap accumulation)
+    assert a.tokenize_text("-- plain words") == [("plain", 1), ("words", 2)]
+
+
+def test_wdf_catenate_and_preserve_overlap():
+    a = WordDelimiterAnalyzer(catenate_all=True, preserve_original=True, stopwords=None)
+    toks = a.tokenize_text("Wi-Fi5")
+    # original + catenation + first part all overlap at position 0
+    assert ("wi-fi5", 0) in toks and ("wifi5", 0) in toks and ("wi", 0) in toks
+    assert ("fi", 1) in toks and ("5", 2) in toks
+
+
+def test_wdf_norm_counts_only_increments():
+    a = WordDelimiterAnalyzer(catenate_all=True, preserve_original=True, stopwords=None)
+    _, _, _, lens = a.tokenize_batch(pd.Series(["Wi-Fi5"]))
+    # wi/fi/5 advance; original + catenation overlap (posIncr 0) and are
+    # discounted from the norm length (discountOverlaps=true)
+    assert lens.tolist() == [3]
