@@ -353,6 +353,18 @@ class EnglishAnalyzer(StandardAnalyzer):
     (unique tokens), not per token — the vectorized equivalent of the
     per-token filter chain.
 
+    ``stem_exclusions`` is the SetKeywordMarkerFilter seam
+    (Analysis/Miscellaneous/SetKeywordMarkerFilter.cs, wired by
+    EnglishAnalyzer.cs's stemExclusionSet ctor arg): matching tokens pass
+    the stemmer untouched. ``stem_overrides`` is the
+    StemmerOverrideFilter seam
+    (Analysis/Miscellaneous/StemmerOverrideFilter.cs): matching tokens
+    are replaced by the dictionary value INSTEAD of being stemmed. Both
+    match the lowercased token, like the reference chains (the marker
+    filters sit after LowerCaseFilter); overrides win over exclusions,
+    mirroring StemmerOverrideFilter setting keywordAtt so later stemmers
+    skip the token.
+
     Note: the engine's StandardTokenizer subset splits on apostrophes, so
     possessive 's never reaches the filter as a suffix on this corpus
     alphabet; strip_possessive is applied defensively for custom regexes.
@@ -362,16 +374,24 @@ class EnglishAnalyzer(StandardAnalyzer):
         self,
         stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+        stem_exclusions: frozenset[str] | None = None,
+        stem_overrides: dict[str, str] | None = None,
     ) -> None:
         super().__init__(
             stopwords=stopwords, max_token_length=max_token_length, lowercase=True
         )
+        self.stem_exclusions = stem_exclusions
+        self.stem_overrides = stem_overrides
 
-    @staticmethod
-    def _stem_one(tok: str) -> str:
+    def _stem_one(self, tok: str) -> str:
         from lucenenet_spark.analysis.porter import porter_stem, strip_possessive
 
-        return porter_stem(strip_possessive(tok))
+        t = strip_possessive(tok)
+        if self.stem_overrides is not None and t in self.stem_overrides:
+            return self.stem_overrides[t]
+        if self.stem_exclusions is not None and t in self.stem_exclusions:
+            return t
+        return porter_stem(t)
 
     def tokenize_batch(self, texts: pd.Series):
         row_idx, terms, positions, field_lens = super().tokenize_batch(texts)

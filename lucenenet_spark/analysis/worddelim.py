@@ -20,15 +20,19 @@ Emission (positions follow the reference: each generated part advances the
 position by 1; catenations and the preserved original overlap, posIncr 0):
 - alpha parts when ``generate_word_parts``; digit parts when
   ``generate_number_parts``
+- ``catenate_words`` / ``catenate_numbers``: each maximal same-type run
+  joined, overlapping the run's first subword (or standing alone as the
+  run's emission when generation is off)
 - ``catenate_all``: all parts joined, emitted at the FIRST part's position
 - ``preserve_original``: the raw token at the incoming position, the first
   part overlapping it
+- a boundary-free token passes through unchanged regardless of the
+  generate flags (the reference's single-subword fast path,
+  WordDelimiterFilter.cs:281)
 - a token that yields nothing (all delimiters) leaves a position hole —
   the reference accumulates its increment into the next token
   (WordDelimiterFilter.cs:189,585-607)
 
-Documented subset: CATENATE_WORDS/CATENATE_NUMBERS (same-type run joins)
-are not implemented — ``catenate_all`` covers the gate-able semantics.
 Norm lengths count posIncr>=1 survivors only (discountOverlaps=true, like
 the CommonGrams/CJK stages here).
 """
@@ -106,6 +110,8 @@ class WordDelimiterAnalyzer(StandardAnalyzer):
         split_on_case_change: bool = True,
         split_on_numerics: bool = True,
         stem_english_possessive: bool = True,
+        catenate_words: bool = False,
+        catenate_numbers: bool = False,
         catenate_all: bool = False,
         preserve_original: bool = False,
         stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
@@ -122,6 +128,8 @@ class WordDelimiterAnalyzer(StandardAnalyzer):
         self.split_on_case_change = split_on_case_change
         self.split_on_numerics = split_on_numerics
         self.stem_english_possessive = stem_english_possessive
+        self.catenate_words = catenate_words
+        self.catenate_numbers = catenate_numbers
         self.catenate_all = catenate_all
         self.preserve_original = preserve_original
 
@@ -135,26 +143,54 @@ class WordDelimiterAnalyzer(StandardAnalyzer):
             split_on_case_change=self.split_on_case_change,
             split_on_numerics=self.split_on_numerics,
         )
+        # single-subword fast path (WordDelimiterFilter.cs:281): a token
+        # with no boundaries passes through unchanged regardless of the
+        # generate flags — it is not "generated", it just survives.
+        if parts == [raw] and raw == token:
+            return [(token, 1)]
+
         out: list[tuple[str, int]] = []
         if self.preserve_original:
             out.append((token, 1))
-        first_incr = 0 if self.preserve_original else 1
-        emitted_parts = 0
+        # the first parts-derived ADVANCING emission overlaps the
+        # preserved original instead of opening a new position
+        overlap_next = self.preserve_original
+
+        def advance(sub: str) -> None:
+            nonlocal overlap_next
+            out.append((sub, 0 if overlap_next else 1))
+            overlap_next = False
+
+        # same-type runs for CATENATE_WORDS / CATENATE_NUMBERS
+        runs: list[tuple[bool, list[str]]] = []
         for p in parts:
-            is_digit = p.isdigit()
-            gen = self.generate_number_parts if is_digit else self.generate_word_parts
-            if not gen:
-                continue
-            out.append((p, first_incr if emitted_parts == 0 else 1))
-            emitted_parts += 1
-        if self.catenate_all and len(parts) >= 1:
-            cat = "".join(parts)
-            # at the first part's position (overlap)
-            insert_at = 1 if self.preserve_original else (1 if emitted_parts else 0)
-            if emitted_parts == 0 and not self.preserve_original:
-                out.append((cat, 1))
+            d = p.isdigit()
+            if runs and runs[-1][0] == d:
+                runs[-1][1].append(p)
             else:
-                out.insert(insert_at, (cat, 0))
+                runs.append((d, [p]))
+        any_parts = False
+        for is_digit, run in runs:
+            gen = self.generate_number_parts if is_digit else self.generate_word_parts
+            cat = self.catenate_numbers if is_digit else self.catenate_words
+            if gen:
+                advance(run[0])
+                if cat and len(run) > 1:
+                    # catenation overlaps the run's FIRST subword
+                    out.append(("".join(run), 0))
+                for p in run[1:]:
+                    advance(p)
+                any_parts = True
+            elif cat:
+                advance("".join(run))  # the run's sole emission
+                any_parts = True
+        if self.catenate_all and parts:
+            joined = "".join(parts)
+            first_idx = 1 if self.preserve_original else 0
+            if any_parts and len(out) > first_idx:
+                out.insert(first_idx + 1, (joined, 0))
+            else:
+                advance(joined)
         return out
 
     def tokenize_batch(self, texts: pd.Series):

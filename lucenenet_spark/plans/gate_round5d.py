@@ -755,3 +755,178 @@ def word_delimiter_phrase(spark, sf_dir):
 
     s = _wdf_engine(spark, sf_dir)
     return _spark_score_q(s.scored(PhraseQuery(terms=("fi", "3"))))
+
+
+# ==========================================================================
+# SetKeywordMarkerFilter + StemmerOverrideFilter
+# (Analysis/Miscellaneous/SetKeywordMarkerFilter.cs, StemmerOverrideFilter.cs)
+# ==========================================================================
+_KWM_ENGINE: dict[str, tuple] = {}
+
+
+def _kwm_engine(spark, sf_dir):
+    from lucenenet_spark.analysis.analyzers import EnglishAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key not in _KWM_ENGINE:
+        _, _, docs = get_engine(spark, sf_dir)
+        idx = build_index(
+            docs,
+            analyzer=EnglishAnalyzer(
+                stem_exclusions=frozenset({"merge"}),
+                stem_overrides={"stream": "flow"},
+            ),
+        ).cache()
+        _KWM_ENGINE[key] = IndexSearcher(idx, mode="double")
+    return _KWM_ENGINE[key]
+
+
+def _kwm_stem_case() -> str:
+    from lucenenet_spark.analysis.porter import porter_stem
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+
+    def m(t: str) -> str:
+        if t == "stream":
+            return "flow"  # StemmerOverrideFilter entry
+        if t == "merge":
+            return t  # SetKeywordMarkerFilter exclusion
+        return porter_stem(t)
+
+    whens = " ".join(f"WHEN '{t}' THEN '{m(t)}'" for t in _CORPUS_VOCAB if m(t) != t)
+    return f"CASE term {whens} ELSE term END"
+
+
+@gate(
+    "keyword_marker_stem",
+    SQL_PRELUDE + f""",
+tokst AS (SELECT doc_id, {_kwm_stem_case()} AS term, pos FROM tokf),
+post2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tokst GROUP BY doc_id, term),
+ts2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post2 GROUP BY term),
+sc2 AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + (cs.n - ts2.df + 0.5) / (ts2.df + 0.5)) * 2.2 * p.tf
+           / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n))) AS score
+  FROM post2 p JOIN dl USING (doc_id) JOIN ts2 USING (term), cs
+)
+SELECT doc_id, CAST(floor(sum(score) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM sc2 WHERE term IN ('merge', 'flow') GROUP BY doc_id
+""",
+)
+def keyword_marker_stem(spark, sf_dir):
+    """Stem protection end-to-end: 'merge' is keyword-marked (stays
+    'merge', NOT 'merg') and 'stream' is override-mapped to 'flow', while
+    the rest of the vocabulary Porter-stems normally — df/idf shift for
+    every affected term on both sides. OR query over the protected and
+    overridden forms."""
+    from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+
+    s = _kwm_engine(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery("merge"), Occur.SHOULD), (TermQuery("flow"), Occur.SHOULD)
+    )
+    return _spark_score_q(s.scored(q))
+
+
+# ==========================================================================
+# JaroWinklerDistance spell ranking (Suggest/Spell/JaroWinklerDistance.cs,
+# DirectSpellChecker.Distance seam)
+# ==========================================================================
+@gate(
+    "spell_jaro_winkler",
+    SQL_PRELUDE + """
+SELECT term, df,
+       CAST(floor(jaro_winkler_similarity(term, 'par') * 10000 + 0.5) AS BIGINT) AS sim_q
+FROM ts
+WHERE term <> 'par' AND damerau_levenshtein(term, 'par') <= 2
+ORDER BY sim_q DESC, df DESC, term ASC LIMIT 5
+""",
+)
+def spell_jaro_winkler(spark, sf_dir):
+    """DirectSpellChecker with the JaroWinkler IStringDistance: the same
+    edit-bounded candidate generation (FuzzyTermsEnum stage), re-ranked by
+    the Winkler prefix-boosted Jaro similarity — DuckDB's
+    jaro_winkler_similarity implements the same formula (verified term-by-
+    term on this vocabulary at 1e-4 quantization)."""
+    from lucenenet_spark.search.suggest import spell_suggest
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return spell_suggest(idx, "par", n=5, max_edits=2, distance="jaro_winkler")
+
+
+# ==========================================================================
+# LLM-pipeline: PII scrubbing + Gopher repetition quality signals
+# ==========================================================================
+from lucenenet_spark.functions.pii import pii_sql_expr  # noqa: E402
+
+_PII_SUFFIX_SQL = (
+    "' contact u' || CAST(doc_id % 7 AS VARCHAR) || '@ex' || CAST(doc_id % 5 AS VARCHAR) "
+    "|| '.com ssn 123-45-6789 call 555-867-5309 ip 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) "
+    "|| ' card 4111 1111 1111 1111 end'"
+)
+
+
+@gate(
+    "pii_scrub",
+    f"""
+WITH docs2 AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+SELECT doc_id, {pii_sql_expr("text")} AS text FROM docs2
+""",
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction round-trip: inject deterministic email/SSN/phone/IP/
+    card spans, scrub with the typed-tag regexp chain (all JVM-side
+    regexp_replace), compare the full scrubbed text against the identical
+    RE2 chain in DuckDB."""
+    from lucenenet_spark.functions.pii import scrub_pii
+
+    _, _, docs = get_engine(spark, sf_dir)
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com ssn 123-45-6789 call 555-867-5309 ip 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" card 4111 1111 1111 1111 end"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs2)
+
+
+@gate(
+    "gopher_repetition",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT w) AS BIGINT) AS n_unique
+       FROM tok GROUP BY doc_id),
+tw AS (SELECT doc_id, max(c) AS top_word
+       FROM (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+       GROUP BY doc_id),
+bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bw
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+tb AS (SELECT doc_id, max(c) AS top_big, CAST(sum(c) AS BIGINT) AS n_big
+       FROM (SELECT doc_id, bw, count(*) AS c FROM bg GROUP BY doc_id, bw)
+       GROUP BY doc_id)
+SELECT nt.doc_id, n_tokens, n_unique,
+       CAST(floor(10000.0 * top_word / greatest(n_tokens, 1) + 0.5) AS BIGINT) AS top_word_q,
+       CAST(floor(10000.0 * coalesce(top_big, 0) / greatest(coalesce(n_big, 0), 1) + 0.5) AS BIGINT) AS top_bigram_q
+FROM nt JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+""",
+)
+def gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document — computed as pure
+    per-row array expressions (split + array_sort + aggregate longest-run
+    = mode count): ZERO shuffles at any corpus size, vs the oracle's
+    classic explode/groupBy formulation."""
+    from lucenenet_spark.functions.repetition import repetition_stats
+
+    _, _, docs = get_engine(spark, sf_dir)
+    return repetition_stats(docs)

@@ -57,13 +57,23 @@ def spell_suggest(
     max_edits: int = 2,
     field: str | None = None,
     min_doc_freq: int = 1,
+    distance: str = "osa",
 ) -> DataFrame:
     """Correction candidates for `word`: dictionary terms within
-    `max_edits` Damerau edits (excluding the word itself), ranked
-    (dist ASC, df DESC, term ASC) — DirectSpellChecker.SuggestSimilar.
+    `max_edits` Damerau edits (excluding the word itself) —
+    DirectSpellChecker.SuggestSimilar. Candidate GENERATION is always the
+    edit-bounded scan (the reference's FuzzyTermsEnum stage); `distance`
+    picks the IStringDistance used for RANKING
+    (DirectSpellChecker.Distance):
+
+    - "osa" (default): rank (dist ASC, df DESC, term ASC) — the
+      LuceneLevenshteinDistance ordering.
+    - "jaro_winkler": rank by JaroWinklerDistance score
+      (Spell/JaroWinklerDistance.cs) quantized to 1e-4
+      (sim_q DESC, df DESC, term ASC); output column `sim_q`.
 
     The distance runs driver-free: a pushdown scan of the term dictionary
-    with a length-window prefilter, then the exact OSA distance via a
+    with a length-window prefilter, then the exact distance via a
     vectorized pandas stage over the (small) surviving candidate set.
     """
     import pandas as pd
@@ -99,7 +109,34 @@ def spell_suggest(
             yield pdf[["term", "df", "dist"]]
 
     scored = cand.mapInPandas(add_dist, out_schema).filter(F.col("dist") <= max_edits)
-    return scored.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(n)
+    if distance == "osa":
+        return scored.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(n)
+    if distance != "jaro_winkler":
+        raise ValueError(f"unknown distance {distance!r}")
+
+    sim_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("df", T.LongType(), False),
+            T.StructField("sim_q", T.LongType(), False),
+        ]
+    )
+
+    def add_sim(batches):
+        from lucenenet_spark.search.distances import jaro_winkler
+
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                pdf["sim_q"] = [
+                    int(jaro_winkler(t, word) * 10000 + 0.5) for t in pdf["term"]
+                ]
+            else:
+                pdf = pd.DataFrame({"term": [], "df": [], "sim_q": []})
+            yield pdf[["term", "df", "sim_q"]]
+
+    ranked = scored.drop("dist").mapInPandas(add_sim, sim_schema)
+    return ranked.orderBy(F.desc("sim_q"), F.desc("df"), F.asc("term")).limit(n)
 
 
 class AnalyzingSuggester:

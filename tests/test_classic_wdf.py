@@ -109,3 +109,61 @@ def test_wdf_norm_counts_only_increments():
     # wi/fi/5 advance; original + catenation overlap (posIncr 0) and are
     # discounted from the norm length (discountOverlaps=true)
     assert lens.tolist() == [3]
+
+
+# ----------------------------------------------- stem protection seams
+def test_keyword_marker_and_override():
+    from lucenenet_spark.analysis.analyzers import EnglishAnalyzer
+
+    plain = EnglishAnalyzer()
+    assert plain.terms("merging streams quickly") == ["merg", "stream", "quickli"]
+
+    prot = EnglishAnalyzer(
+        stem_exclusions=frozenset({"merging"}), stem_overrides={"streams": "flow"}
+    )
+    assert prot.terms("merging streams quickly") == ["merging", "flow", "quickli"]
+
+    # override wins over exclusion when both match (keywordAtt semantics)
+    both = EnglishAnalyzer(
+        stem_exclusions=frozenset({"streams"}), stem_overrides={"streams": "flow"}
+    )
+    assert both.terms("streams") == ["flow"]
+
+
+def test_wdf_catenate_runs():
+    a = WordDelimiterAnalyzer(
+        generate_word_parts=False, generate_number_parts=False,
+        catenate_words=True, catenate_numbers=True, stopwords=None,
+    )
+    # catenations stand alone per same-type run; boundary-free tokens pass
+    assert a.tokenize_text("wi-fi 500-42 plain") == [
+        ("wifi", 0), ("50042", 1), ("plain", 2),
+    ]
+    b = WordDelimiterAnalyzer(catenate_words=True, catenate_numbers=True, stopwords=None)
+    # with generation on, run joins overlap their run's FIRST subword
+    assert b.tokenize_text("wi-fi-500-42") == [
+        ("wi", 0), ("wifi", 0), ("fi", 1), ("500", 2), ("50042", 2), ("42", 3),
+    ]
+
+
+def test_wdf_single_subword_fast_path():
+    # generation off must NOT drop boundary-free tokens
+    a = WordDelimiterAnalyzer(
+        generate_word_parts=False, generate_number_parts=False, stopwords=None
+    )
+    assert a.tokenize_text("wi-fi plain") == [("plain", 1)]
+    b = WordDelimiterAnalyzer(catenate_all=True, preserve_original=True, stopwords=None)
+    assert b.tokenize_text("plain") == [("plain", 0)]
+
+
+def test_jaro_winkler_reference_values():
+    from lucenenet_spark.search.distances import jaro_winkler
+
+    assert jaro_winkler("x", "x") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+    # classic published examples of the metric
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611) < 1e-3
+    assert abs(jaro_winkler("dixon", "dicksonx") - 0.8133) < 1e-3
+    # below the 0.7 threshold no Winkler boost applies (pure Jaro)
+    v = jaro_winkler("table", "bolt")
+    assert v < 0.7
