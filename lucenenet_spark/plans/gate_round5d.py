@@ -930,3 +930,32 @@ def gopher_repetition(spark, sf_dir):
 
     _, _, docs = get_engine(spark, sf_dir)
     return repetition_stats(docs)
+
+
+# ==========================================================================
+# LongRangeFacetCounts (Facet/Range/RangeFacetCounts.cs): overlapping ranges
+# ==========================================================================
+@gate(
+    "facet_long_ranges",
+    SQL_PRELUDE + """,
+base AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'merge'),
+j AS (SELECT d.n_chars FROM documents d JOIN base USING (doc_id))
+SELECT 'short' AS bucket, CAST(count(*) FILTER (WHERE n_chars < 200) AS BIGINT) AS cnt FROM j
+UNION ALL
+SELECT 'mid', CAST(count(*) FILTER (WHERE n_chars >= 100 AND n_chars < 400) AS BIGINT) FROM j
+UNION ALL
+SELECT 'long', CAST(count(*) FILTER (WHERE n_chars >= 300) AS BIGINT) FROM j
+""",
+)
+def facet_long_ranges(spark, sf_dir):
+    """Overlapping numeric range facets over the hits of a TermQuery:
+    docs in [100,200) count in BOTH 'short' and 'mid' — the reference's
+    per-range independent counting, one aggregate pass."""
+    from lucenenet_spark.search.collectors import long_range_facet_counts
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s, docs = get_engine(spark, sf_dir)
+    return long_range_facet_counts(
+        s, TermQuery("merge"), docs, "n_chars",
+        [("short", None, 200), ("mid", 100, 400), ("long", 300, None)],
+    )

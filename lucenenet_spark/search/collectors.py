@@ -62,6 +62,33 @@ def range_facet_counts(
     )
 
 
+def long_range_facet_counts(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+) -> DataFrame:
+    """LongRangeFacetCounts (Facet/Range/RangeFacetCounts.cs): a hit
+    counts in EVERY [lo, hi) range containing its value — ranges may
+    overlap, unlike range_facet_counts' first-match bucketing. One
+    aggregate pass computes all R counters as independent predicate sums
+    (map-side partial agg, single reduced row), then unpivots to
+    (bucket, cnt) — no explode, no per-range scans."""
+    m = searcher.docset(query).join(meta.select("doc_id", col), "doc_id")
+    aggs = []
+    for name, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) < hi)
+        aggs.append(F.sum(cond.cast("long")).alias(name))
+    row = m.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n, _, _ in ranges)
+    return row.selectExpr(f"stack({len(ranges)}, {stack}) as (bucket, cnt)")
+
+
 def drill_down(
     searcher: IndexSearcher, query: Query, meta: DataFrame, filters: dict[str, object]
 ) -> DataFrame:
