@@ -959,3 +959,85 @@ def facet_long_ranges(spark, sf_dir):
         s, TermQuery("merge"), docs, "n_chars",
         [("short", None, 200), ("mid", 100, 400), ("long", 300, None)],
     )
+
+
+# ==========================================================================
+# BlendedInfixSuggester (Suggest/Analyzing/BlendedInfixSuggester.cs)
+# ==========================================================================
+from lucenenet_spark.plans.gate import _STOPS  # noqa: E402
+
+
+@gate(
+    "blended_infix_suggest",
+    """
+WITH ent AS (
+  SELECT surface, CAST(count(*) AS BIGINT) AS weight FROM (
+    SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS surface
+    FROM documents
+  ) GROUP BY surface
+),
+an AS (
+  SELECT surface, weight,
+         list_filter(string_split(lower(surface), ' '),
+                     x -> x <> '' AND x NOT IN (""" + _STOPS + """)) AS toks
+  FROM ent
+),
+m AS (
+  SELECT surface, weight, min(i) - 1 AS minpos
+  FROM (SELECT surface, weight, unnest(toks) AS tk,
+               generate_subscripts(toks, 1) AS i FROM an)
+  WHERE tk LIKE 'key%'
+  GROUP BY surface, weight
+)
+SELECT surface, weight,
+       CAST(floor(weight * (1 - 0.10 * minpos)) AS BIGINT) AS score
+FROM m ORDER BY score DESC, weight DESC, surface ASC LIMIT 5
+""",
+)
+def blended_infix_suggest(spark, sf_dir):
+    """BlendedInfixSuggester POSITION_LINEAR: 'key' matching the FIRST
+    token keeps full weight; matching the second is discounted 10% —
+    position-blended ranking over the same infix candidate set."""
+    from lucenenet_spark.search.suggest import BlendedInfixSuggester
+
+    _, _, docs = get_engine(spark, sf_dir)
+    ent = (
+        docs.select(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("surface")
+        )
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return BlendedInfixSuggester(ent, blender="linear").lookup("key", 5)
+
+
+# ==========================================================================
+# MultiPassIndexSplitter (Misc/Index/MultiPassIndexSplitter.cs)
+# ==========================================================================
+_SPLIT_PRELUDE = (
+    "WITH docs2 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),\n"
+    + SQL_PRELUDE.replace("WITH tok AS", "tok AS").replace(
+        "FROM documents", "FROM docs2"
+    )
+)
+
+
+@gate(
+    "index_split_term",
+    _SPLIT_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (""" + _tsc("vector") + """)
+""",
+)
+def index_split_term(spark, sf_dir):
+    """Round-robin shard 0 of 2 is a self-consistent index: df, avgdl,
+    maxDoc and therefore every BM25 score reflect ONLY the shard's own
+    documents — identical to the reference's per-part FakeDelete merge."""
+    from lucenenet_spark.index.splitter import split_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    shard0 = split_index(idx, 2, 0)
+    s = IndexSearcher(shard0, mode="double")
+    return _spark_score_q(s.scored(TermQuery("vector")))

@@ -456,3 +456,61 @@ class FreeTextSuggester:
             .orderBy(F.desc("score_q"), F.asc("token"))
             .limit(n)
         )
+
+
+class BlendedInfixSuggester(AnalyzingInfixSuggester):
+    """BlendedInfixSuggester (Suggest/Analyzing/BlendedInfixSuggester.cs):
+    infix lookup whose weights are blended by the matched token's
+    POSITION — suggestions matching earlier rank higher at equal weight.
+
+    blender="linear": coefficient = 1 - 0.10 * position (the reference's
+    BlenderType.POSITION_LINEAR); "reciprocal": 1 / (position + 1).
+    score = floor(weight * coefficient) (the reference's (long) cast;
+    identical for the non-negative weights used here), ranked
+    score DESC, weight DESC, surface ASC. Position is the matched
+    token's index in the emitted (stop-compacted) token list — a
+    documented deviation from the reference, which counts pre-filter
+    positions including stopword holes.
+    """
+
+    def __init__(self, entries: DataFrame, blender: str = "linear", **kw):
+        if blender not in ("linear", "reciprocal"):
+            raise ValueError(f"unknown blender {blender!r}")
+        super().__init__(entries, **kw)
+        self.blender = blender
+
+    def lookup(self, key: str, n: int = 5) -> DataFrame:
+        toks = self.analyzer.terms(key)
+        if not toks:
+            return self.table.select("surface", "weight").limit(0)
+        arr = F.split(F.col("analyzed"), SEP)
+
+        def first_idx(pred):
+            # transform's 2nd lambda arg is the element INDEX (0-based);
+            # array_min skips the NULLs of non-matching slots
+            return F.array_min(
+                F.transform(
+                    arr,
+                    lambda x, i: F.when(pred(x), i).otherwise(
+                        F.lit(None).cast("int")
+                    ),
+                )
+            )
+
+        idxs = [first_idx(lambda x, t=t: x == t) for t in toks[:-1]]
+        idxs.append(first_idx(lambda x: x.startswith(toks[-1])))
+        cond = idxs[0].isNotNull()
+        for c in idxs[1:]:
+            cond = cond & c.isNotNull()
+        minpos = F.least(*idxs) if len(idxs) > 1 else idxs[0]
+        if self.blender == "linear":
+            coef = F.lit(1.0) - F.lit(0.10) * minpos
+        else:
+            coef = F.lit(1.0) / (minpos + F.lit(1.0))
+        score = F.floor(F.col("weight") * coef).cast("long")
+        return (
+            self.table.filter(cond)
+            .select("surface", "weight", score.alias("score"))
+            .orderBy(F.desc("score"), F.desc("weight"), F.asc("surface"))
+            .limit(n)
+        )
