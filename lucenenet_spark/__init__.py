@@ -17,8 +17,11 @@ reduce) mirroring IndexSearcher's leaf-slice merge
 """
 
 from lucenenet_spark.analysis.analyzers import EnglishAnalyzer, StandardAnalyzer, WhitespaceAnalyzer
+from lucenenet_spark.analysis.classic import ClassicAnalyzer
+from lucenenet_spark.analysis.worddelim import WordDelimiterAnalyzer
 from lucenenet_spark.index.builder import InvertedIndex, build_index
 from lucenenet_spark.index.deletes import apply_deletes, delete_by_term, expunge_deletes
+from lucenenet_spark.index.splitter import split_index
 from lucenenet_spark.search.block_searcher import BlockIndexSearcher
 from lucenenet_spark.search.queries import (
     BooleanClause,
@@ -46,6 +49,9 @@ __all__ = [
     "StandardAnalyzer",
     "EnglishAnalyzer",
     "WhitespaceAnalyzer",
+    "ClassicAnalyzer",
+    "WordDelimiterAnalyzer",
+    "split_index",
     "MultiPhraseQuery",
     "apply_deletes",
     "delete_by_term",
