@@ -52,11 +52,19 @@ def generate_corpus(n_docs: int, seed: int = 42, vocab_size: int = 10_000) -> pd
 
     doc_ids = np.arange(n_docs, dtype=np.int64)
     urls = [f"https://example{d % 97}.com/page/{d:08d}" for d in range(n_docs)]
+    # html:binary per the input_hint — the raw page whose extraction is
+    # byte-identical to `text` (analysis/html.py invariant)
+    html = (
+        ("<html><body>" + pd.Series(texts) + "</body></html>")
+        .str.encode("utf-8")
+        .tolist()
+    )
     return pd.DataFrame(
         {
             "doc_id": doc_ids,
             "url": urls,
             "warc_ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(doc_ids, unit="s"),
+            "html": html,
             "text": texts,
             "lang": "en",
         }
@@ -73,7 +81,8 @@ def corpus_parquet(n_docs: int, cache_dir: str = ".bench_cache", seed: int = 42)
     import pyarrow.parquet as pq
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"corpus_n{n_docs}_s{seed}.parquet")
+    # v2: html column added (input_hint full shape) -> new cache key
+    path = os.path.join(cache_dir, f"corpus_n{n_docs}_s{seed}_v2.parquet")
     if not os.path.exists(path):
         pdf = generate_corpus(n_docs, seed=seed)
         # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros

@@ -43,3 +43,16 @@ def test_corpus_invariant(spark):
     got = {r["url"]: r["text"] for r in ext.collect()}
     exp = {r[0]: r[1] for r in rows}
     assert got == exp
+
+
+def test_generated_corpus_matches_input_hint_shape():
+    """testgen emits EXACTLY the input_hint table shape (url, warc_ts,
+    html:binary, text, lang) and satisfies the per-row extraction
+    invariant byte-identically."""
+    from lucenenet_spark.testgen import generate_corpus
+
+    pdf = generate_corpus(300, seed=7)
+    assert list(pdf.columns) == ["doc_id", "url", "warc_ts", "html", "text", "lang"]
+    assert isinstance(pdf["html"].iloc[0], bytes)
+    ext = extract_text_batch(pdf["html"])
+    assert (ext == pdf["text"]).all()
