@@ -1041,3 +1041,34 @@ def index_split_term(spark, sf_dir):
     shard0 = split_index(idx, 2, 0)
     s = IndexSearcher(shard0, mode="double")
     return _spark_score_q(s.scored(TermQuery("vector")))
+
+
+# ==========================================================================
+# HTMLStripCharFilter analogue: binary html -> text extraction roundtrip
+# (Analysis/CharFilter/HTMLStripCharFilter.cs; input_hint per-row invariant)
+# ==========================================================================
+@gate(
+    "html_extract_roundtrip",
+    "SELECT doc_id, text || ' x & y' AS text FROM documents",
+)
+def html_extract_roundtrip(spark, sf_dir):
+    """Wrap each doc's text in real page chrome (head/script/comment/
+    entities), ENCODE to an html:binary column, then extract back through
+    the Arrow-batched strip stage — output must equal the plain text plus
+    the decoded entity tail, byte-identically per doc."""
+    from lucenenet_spark.analysis.html import with_extracted_text
+
+    _, _, docs = get_engine(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><script>var x=1;</script></head>"
+                      "<body><!-- c -->"),
+                F.col("text"),
+                F.lit(" x &amp; y</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return with_extracted_text(pages, out_col="text").select("doc_id", "text")
