@@ -1072,3 +1072,57 @@ def html_extract_roundtrip(spark, sf_dir):
         ).alias("html"),
     )
     return with_extracted_text(pages, out_col="text").select("doc_id", "text")
+
+
+# ==========================================================================
+# LLM-pipeline: URL canonicalization + canonical-URL dedup
+# ==========================================================================
+from lucenenet_spark.functions.urls import canonical_url_sql_expr  # noqa: E402
+
+_URL_SYNTH_SQL = """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'https://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'  || CAST(doc_id % 20 AS VARCHAR) || '/'
+    WHEN 1 THEN 'HTTPS://SITE'     || CAST(doc_id % 5 AS VARCHAR) || '.COM:443/p/' || CAST(doc_id % 20 AS VARCHAR)
+    WHEN 2 THEN 'https://site'     || CAST(doc_id % 5 AS VARCHAR) || '.com/p//' || CAST(doc_id % 20 AS VARCHAR) || '#f'
+    ELSE        'https://site'     || CAST(doc_id % 5 AS VARCHAR) || '.com/q/'  || CAST(doc_id % 20 AS VARCHAR)
+  END AS url
+FROM documents
+"""
+
+
+@gate(
+    "url_canonical_dedup",
+    f"""
+WITH pages AS ({_URL_SYNTH_SQL}),
+canon AS (SELECT doc_id, {canonical_url_sql_expr("url")} AS canonical_url FROM pages)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url
+FROM canon GROUP BY canonical_url
+""",
+)
+def url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup over deterministic URL aliases: www prefix,
+    uppercase scheme/host, default port, duplicate slashes, fragments and
+    trailing slashes all collapse to one canonical form; the first crawl
+    (min warc_ts, here monotone in doc_id) survives per canonical URL."""
+    from lucenenet_spark.functions.urls import dedup_by_canonical_url
+
+    _, _, docs = get_engine(spark, sf_dir)
+    g = (F.col("doc_id") % 5).cast("string")
+    k = (F.col("doc_id") % 20).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.site"), g, F.lit(".com/p/"), k, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTPS://SITE"), g, F.lit(".COM:443/p/"), k))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://site"), g, F.lit(".com/p//"), k, F.lit("#f")))
+        .otherwise(F.concat(F.lit("https://site"), g, F.lit(".com/q/"), k))
+    )
+    pages = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.to_timestamp(F.lit("2026-01-01")).alias("warc_ts"),
+    ).withColumn("warc_ts", F.col("warc_ts") + F.make_dt_interval(secs=F.col("doc_id")))
+    out = dedup_by_canonical_url(pages)
+    return out.select("doc_id", "canonical_url")

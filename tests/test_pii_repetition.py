@@ -79,3 +79,40 @@ def test_repetition_filter(spark):
     )
     kept = [r.doc_id for r in repetition_filter(df).collect()]
     assert kept == [1]
+
+
+# ------------------------------------------------- URL canonicalization
+def test_canonical_url_forms(spark):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.urls import canonical_url_col
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/Path/To//Page/#frag": "http://example.com/Path/To/Page",
+        "https://example.com:443/a//b///c/": "https://example.com/a/b/c",
+        "https://example.com/": "https://example.com",
+        "https://example.com:8443/keep-port/": "https://example.com:8443/keep-port",
+        "ftp://Host.Net//x//y": "ftp://host.net/x/y",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonical_url_col(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_dedup_by_canonical_url_first_crawl_wins(spark):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.urls import dedup_by_canonical_url
+
+    rows = [
+        (0, "https://www.a.com/x/", "2026-01-01 00:00:02"),
+        (1, "https://a.com/x", "2026-01-01 00:00:01"),
+        (2, "https://a.com/y", "2026-01-01 00:00:03"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts string").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    assert sorted(r.doc_id for r in dedup_by_canonical_url(df).collect()) == [1, 2]
