@@ -1126,3 +1126,43 @@ def url_canonical_dedup(spark, sf_dir):
     ).withColumn("warc_ts", F.col("warc_ts") + F.make_dt_interval(secs=F.col("doc_id")))
     out = dedup_by_canonical_url(pages)
     return out.select("doc_id", "canonical_url")
+
+
+# ==========================================================================
+# LineDocSource roundtrip (ByTask/Feeds/LineDocSource.cs,
+# Tasks/WriteLineDocTask.cs)
+# ==========================================================================
+_LINEDOC_DIR: dict[str, str] = {}
+
+
+@gate(
+    "linedoc_roundtrip",
+    "SELECT doc_id, text FROM documents",
+)
+def linedoc_roundtrip(spark, sf_dir):
+    """Write the corpus in the reference's line-doc benchmark format
+    (TAB-separated title/date/body, one doc per line), read it back
+    through the LineDocSource reader, and recover (doc_id, text)
+    byte-identically — the content-source round trip the reference's
+    WriteLineDocTask + LineDocSource pair performs."""
+    import tempfile
+
+    from lucenenet_spark.sources import read_linedoc, write_linedoc
+
+    _, _, docs = get_engine(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _LINEDOC_DIR:
+        path = os.path.join(tempfile.mkdtemp(prefix="linedoc_gate_"), "corpus.line")
+        write_linedoc(
+            docs.select(
+                F.col("doc_id").cast("string").alias("title"),
+                F.lit("20260101").alias("date"),
+                F.col("text").alias("body"),
+            ),
+            path,
+        )
+        _LINEDOC_DIR[key] = path
+    back = read_linedoc(spark, _LINEDOC_DIR[key])
+    return back.select(
+        F.col("title").cast("long").alias("doc_id"), F.col("body").alias("text")
+    )

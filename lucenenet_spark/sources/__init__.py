@@ -1,0 +1,10 @@
+"""Content sources: benchmark-format readers/writers
+(reference: src/Lucene.Net.Benchmark/ByTask/Feeds/)."""
+
+from lucenenet_spark.sources.linedoc import (
+    read_linedoc,
+    read_trec,
+    write_linedoc,
+)
+
+__all__ = ["read_linedoc", "write_linedoc", "read_trec"]

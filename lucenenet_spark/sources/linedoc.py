@@ -1,0 +1,86 @@
+"""LineDoc + TREC content sources.
+
+LineDocSource (ByTask/Feeds/LineDocSource.cs + Tasks/WriteLineDocTask.cs):
+one document per line, TAB-separated fields, default order
+``title, date, body`` (WriteLineDocTask.DEFAULT_FIELDS). An optional
+first line ``FIELDS_HEADER_INDICATOR###\\ttitle\\tdate\\t...`` declares a
+custom field list. The writer replaces embedded tab/newline/carriage
+returns with spaces, as the reference task does.
+
+TrecContentSource (ByTask/Feeds/TrecContentSource.cs), documented subset:
+``<DOC>`` blocks with ``<DOCNO>...</DOCNO>`` ids and ``<TEXT>...</TEXT>``
+bodies (the common TREC disk format); date/parser plug-ins are out of
+scope. Files are read whole (one file may hold many docs) and blocks are
+extracted with native regexp functions — no per-row Python.
+
+Everything is a plain DataFrame read/write: Spark's text source handles
+splits/compression/partitioning; parsing is whole-stage-codegen column
+expressions, so a terabyte of line docs scans like any other text table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\t"
+FIELDS_HEADER_INDICATOR = "FIELDS_HEADER_INDICATOR###"
+DEFAULT_FIELDS = ("title", "date", "body")
+
+
+def write_linedoc(
+    df: DataFrame, path: str, fields: tuple[str, ...] = DEFAULT_FIELDS
+) -> None:
+    """Write one tab-separated line per row (WriteLineDocTask). A header
+    line is emitted only for non-default field lists, like the task."""
+    spark = df.sparkSession
+    clean = [
+        F.regexp_replace(F.col(f).cast("string"), r"[\t\r\n]", " ").alias(f)
+        for f in fields
+    ]
+    lines = df.select(F.concat_ws(SEP, *clean).alias("value"))
+    if tuple(fields) != DEFAULT_FIELDS:
+        header = spark.createDataFrame(
+            [(FIELDS_HEADER_INDICATOR + SEP + SEP.join(fields),)], "value string"
+        )
+        lines = header.unionAll(lines)
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_linedoc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a linedoc file/dir into a DataFrame with the declared (or
+    default) field columns. Malformed lines (too few separators) yield
+    empty trailing fields rather than erroring, matching the reference's
+    lenient SimpleLineParser behavior for the last field."""
+    raw = spark.read.text(path)
+    first = raw.limit(1).collect()
+    fields = DEFAULT_FIELDS
+    if first and first[0]["value"].startswith(FIELDS_HEADER_INDICATOR + SEP):
+        fields = tuple(first[0]["value"].split(SEP)[1:])
+        raw = raw.filter(~F.col("value").startswith(FIELDS_HEADER_INDICATOR + SEP))
+    parts = F.split(F.col("value"), SEP)
+    cols = [F.element_at(parts, i + 1).alias(f) for i, f in enumerate(fields)]
+    return raw.select(*cols)
+
+
+def read_trec(spark: SparkSession, path: str) -> DataFrame:
+    """Parse TREC-format files into (docno, text). Subset: <DOC> blocks
+    with <DOCNO> and <TEXT> tags; whitespace around values trimmed."""
+    raw = spark.read.text(path, wholetext=True)
+    blocks = raw.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("value"), F.lit(r"(?s)<DOC>(.*?)</DOC>"), F.lit(1)
+            )
+        ).alias("block")
+    )
+    def ws_trim(c):
+        # F.trim strips spaces only; TREC values are newline-padded
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    return blocks.select(
+        ws_trim(F.regexp_extract("block", r"(?s)<DOCNO>(.*?)</DOCNO>", 1)).alias(
+            "docno"
+        ),
+        ws_trim(F.regexp_extract("block", r"(?s)<TEXT>(.*?)</TEXT>", 1)).alias("text"),
+    )
