@@ -2,9 +2,10 @@
 (reference: src/Lucene.Net.Benchmark/ByTask/Feeds/)."""
 
 from lucenenet_spark.sources.linedoc import (
+    read_enwiki,
     read_linedoc,
     read_trec,
     write_linedoc,
 )
 
-__all__ = ["read_linedoc", "write_linedoc", "read_trec"]
+__all__ = ["read_linedoc", "write_linedoc", "read_trec", "read_enwiki"]

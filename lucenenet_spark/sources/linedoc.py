@@ -84,3 +84,32 @@ def read_trec(spark: SparkSession, path: str) -> DataFrame:
         ),
         ws_trim(F.regexp_extract("block", r"(?s)<TEXT>(.*?)</TEXT>", 1)).alias("text"),
     )
+
+
+def read_enwiki(spark: SparkSession, path: str) -> DataFrame:
+    """EnwikiContentSource subset (ByTask/Feeds/EnwikiContentSource.cs):
+    extract (title, text) from Wikipedia-dump-style XML — <page> blocks
+    with <title> and the <revision>'s <text> body. The reference runs a
+    SAX parser over the same four fields (title/id/text/timestamp); this
+    reader covers the title/text pair the benchmark indexes. Whole-file
+    read + native regexp extraction, like read_trec."""
+    raw = spark.read.text(path, wholetext=True)
+    pages = raw.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("value"), F.lit(r"(?s)<page>(.*?)</page>"), F.lit(1)
+            )
+        ).alias("page")
+    )
+
+    def ws_trim(c):
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    return pages.select(
+        ws_trim(F.regexp_extract("page", r"(?s)<title>(.*?)</title>", 1)).alias(
+            "title"
+        ),
+        ws_trim(
+            F.regexp_extract("page", r"(?s)<text[^>]*>(.*?)</text>", 1)
+        ).alias("text"),
+    )

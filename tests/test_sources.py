@@ -86,3 +86,20 @@ def test_linedoc_feeds_index(spark, tmpd):
     s = IndexSearcher(build_index(docs))
     assert s.count(TermQuery("common")) == 20
     assert s.count(TermQuery("word7")) == 1
+
+
+def test_enwiki_pages(spark, tmpd):
+    from lucenenet_spark.sources import read_enwiki
+
+    xml = (
+        "<mediawiki><page>\n<title>Alpha Page</title>\n<id>1</id>\n"
+        "<revision><text xml:space=\"preserve\">body of alpha</text></revision>\n</page>\n"
+        "<page><title>Beta</title><revision><text>beta body</text></revision></page>\n"
+        "</mediawiki>"
+    )
+    p = os.path.join(tmpd, "wiki")
+    os.makedirs(p)
+    with open(os.path.join(p, "dump.xml"), "w") as f:
+        f.write(xml)
+    got = {r.title: r.text for r in read_enwiki(spark, p).collect()}
+    assert got == {"Alpha Page": "body of alpha", "Beta": "beta body"}
