@@ -3,9 +3,10 @@
 
 from lucenenet_spark.sources.linedoc import (
     read_enwiki,
+    read_reuters,
     read_linedoc,
     read_trec,
     write_linedoc,
 )
 
-__all__ = ["read_linedoc", "write_linedoc", "read_trec", "read_enwiki"]
+__all__ = ["read_linedoc", "write_linedoc", "read_trec", "read_enwiki", "read_reuters"]

@@ -113,3 +113,23 @@ def read_enwiki(spark: SparkSession, path: str) -> DataFrame:
             F.regexp_extract("page", r"(?s)<text[^>]*>(.*?)</text>", 1)
         ).alias("text"),
     )
+
+
+def read_reuters(spark: SparkSession, path: str) -> DataFrame:
+    """ReutersContentSource (ByTask/Feeds/ReutersContentSource.cs): one
+    document per file — line 1 the date string, line 3 the title, line 5+
+    the body with line breaks joined by single spaces (the reference
+    appends ' ' per line). Returns (path, date, title, text). Date-string
+    parsing into timestamps is left to the caller (the reference's
+    culture-specific DateTime formats are out of scope)."""
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "path", F.input_file_name()
+    )
+    lines = F.split(F.col("value"), "\n")
+    body = F.array_join(F.slice(lines, 5, F.greatest(F.size(lines) - 4, F.lit(0))), " ")
+    return raw.select(
+        "path",
+        F.trim(F.element_at(lines, 1)).alias("date"),
+        F.trim(F.element_at(lines, 3)).alias("title"),
+        F.regexp_replace(body, r"\s+$", "").alias("text"),
+    )

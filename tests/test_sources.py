@@ -103,3 +103,19 @@ def test_enwiki_pages(spark, tmpd):
         f.write(xml)
     got = {r.title: r.text for r in read_enwiki(spark, p).collect()}
     assert got == {"Alpha Page": "body of alpha", "Beta": "beta body"}
+
+
+def test_reuters_one_doc_per_file(spark, tmpd):
+    from lucenenet_spark.sources import read_reuters
+
+    p = os.path.join(tmpd, "reuters")
+    os.makedirs(p)
+    with open(os.path.join(p, "art1.txt"), "w") as f:
+        f.write("26-FEB-1987 15:01:01.79\n\nBAHIA COCOA REVIEW\n\nShowers continued\nthroughout the week\n")
+    with open(os.path.join(p, "art2.txt"), "w") as f:
+        f.write("27-FEB-1987 09:00:00.00\n\nSECOND TITLE\n\nsingle line body\n")
+    got = {r.title: (r.date, r.text) for r in read_reuters(spark, p).collect()}
+    assert got["BAHIA COCOA REVIEW"] == (
+        "26-FEB-1987 15:01:01.79", "Showers continued throughout the week"
+    )
+    assert got["SECOND TITLE"] == ("27-FEB-1987 09:00:00.00", "single line body")
