@@ -1166,3 +1166,33 @@ def linedoc_roundtrip(spark, sf_dir):
     return back.select(
         F.col("title").cast("long").alias("doc_id"), F.col("body").alias("text")
     )
+
+
+# ==========================================================================
+# LLM-pipeline: unigram LM quality score (CCNet-style filtering shape)
+# ==========================================================================
+@gate(
+    "lm_unigram_quality",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tokf AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokf GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(floor(avg(ln(f.cnt / tot.total)) * 10000 + 0.5) AS BIGINT) AS avg_logprob_q
+FROM tokf t JOIN freq f USING (w), tot
+GROUP BY t.doc_id
+""",
+)
+def lm_unigram_quality(spark, sf_dir):
+    """Mean unigram log-probability per document under the corpus's own
+    term distribution — the CCNet LM-filtering shape with the engine's
+    frequency table as the model. One corpus pass for the model, one
+    token join for the scores."""
+    from lucenenet_spark.functions.lm_quality import unigram_logprob
+
+    _, _, docs = get_engine(spark, sf_dir)
+    return unigram_logprob(docs)

@@ -116,3 +116,25 @@ def test_dedup_by_canonical_url_first_crawl_wins(spark):
         "warc_ts", F.to_timestamp("warc_ts")
     )
     assert sorted(r.doc_id for r in dedup_by_canonical_url(df).collect()) == [1, 2]
+
+
+# ------------------------------------------------- unigram LM quality
+def test_unigram_logprob_values(spark):
+    from math import log
+
+    from lucenenet_spark.functions.lm_quality import lm_quality_filter, unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "c")], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=1, c=1, total=4
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    exp0 = (2 * log(2 / 4) + log(1 / 4)) / 3
+    exp1 = log(1 / 4)
+    assert rows[0].n_tokens == 3 and rows[1].n_tokens == 1
+    import math
+    assert rows[0].avg_logprob_q == math.floor(exp0 * 10000 + 0.5)
+    assert rows[1].avg_logprob_q == math.floor(exp1 * 10000 + 0.5)
+    # doc 1 (all-rare) scores lower and is filtered at a threshold between
+    kept = [r.doc_id for r in lm_quality_filter(df, min_avg_logprob=exp0 - 1e-6).collect()]
+    assert kept == [0]
