@@ -1196,3 +1196,96 @@ def lm_unigram_quality(spark, sf_dir):
 
     _, _, docs = get_engine(spark, sf_dir)
     return unigram_logprob(docs)
+
+
+# ==========================================================================
+# Misc token filters: LengthFilter, LimitTokenCountFilter
+# (Analysis/Miscellaneous/LengthFilter.cs, LimitTokenCountFilter.cs)
+# ==========================================================================
+_LEN_PRELUDE = SQL_PRELUDE.replace(
+    "WHERE term <> '' AND term NOT IN",
+    "WHERE term <> '' AND length(term) BETWEEN 4 AND 8 AND term NOT IN",
+)
+_LENF_ENGINE: dict[str, tuple] = {}
+
+
+def _lenf_engine(spark, sf_dir):
+    from lucenenet_spark.analysis.miscfilters import FilteredAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key not in _LENF_ENGINE:
+        _, _, docs = get_engine(spark, sf_dir)
+        idx = build_index(
+            docs, analyzer=FilteredAnalyzer(min_length=4, max_length=8)
+        ).cache()
+        _LENF_ENGINE[key] = IndexSearcher(idx, mode="double")
+    return _LENF_ENGINE[key]
+
+
+@gate(
+    "length_filter_term",
+    _LEN_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (""" + _tsc("merge") + """)
+""",
+)
+def length_filter_term(spark, sf_dir):
+    """LengthFilter [4,8]: short tokens vanish from the index (holes in
+    positions, shorter dl, different df landscape) — BM25 for 'merge'
+    must match the length-filtered oracle exactly."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    s = _lenf_engine(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merge")))
+
+
+_LIMIT_PRELUDE = SQL_PRELUDE.replace(
+    "post AS (",
+    """tokl AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, term, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM tokf
+  ) WHERE rn <= 30
+),
+post AS (""",
+).replace("FROM tokf GROUP BY doc_id, term", "FROM tokl GROUP BY doc_id, term").replace(
+    "(SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id)",
+    "(SELECT doc_id, count(*) AS dl FROM tokl GROUP BY doc_id)",
+).replace(
+    "CAST((SELECT count(*) FROM tokf) AS DOUBLE)",
+    "CAST((SELECT count(*) FROM tokl) AS DOUBLE)",
+)
+_LIMIT_ENGINE: dict[str, tuple] = {}
+
+
+def _limit_engine(spark, sf_dir):
+    from lucenenet_spark.analysis.miscfilters import FilteredAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key not in _LIMIT_ENGINE:
+        _, _, docs = get_engine(spark, sf_dir)
+        idx = build_index(docs, analyzer=FilteredAnalyzer(limit_tokens=30)).cache()
+        _LIMIT_ENGINE[key] = IndexSearcher(idx, mode="double")
+    return _LIMIT_ENGINE[key]
+
+
+@gate(
+    "limit_tokens_term",
+    _LIMIT_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (""" + _tsc("merge") + """)
+""",
+)
+def limit_tokens_term(spark, sf_dir):
+    """LimitTokenCountFilter(30): every document indexes only its first
+    30 emitted tokens (truncated dl/df/tf everywhere) — the title-only /
+    head-indexing configuration the reference class exists for."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    s = _limit_engine(spark, sf_dir)
+    return _spark_score_q(s.scored(TermQuery("merge")))

@@ -167,3 +167,25 @@ def test_jaro_winkler_reference_values():
     # below the 0.7 threshold no Winkler boost applies (pure Jaro)
     v = jaro_winkler("table", "bolt")
     assert v < 0.7
+
+
+# ----------------------------------------------- misc token filters
+def test_filtered_analyzer_stages():
+    import pandas as pd
+
+    from lucenenet_spark.analysis.miscfilters import FilteredAnalyzer
+
+    a = FilteredAnalyzer(min_length=4, max_length=6)
+    assert a.tokenize_text("key merge windowing the batch row") == [
+        ("merge", 1), ("batch", 4),
+    ]
+    k = FilteredAnalyzer(keep_words=frozenset({"merge"}))
+    assert k.tokenize_text("key merge batch") == [("merge", 1)]
+    c = FilteredAnalyzer(limit_tokens=3)
+    rows, terms, pos, lens = c.tokenize_batch(
+        pd.Series(["one two three four five", "a b"])
+    )
+    assert terms.tolist() == ["one", "two", "three", "b"]
+    assert lens.tolist() == [3, 1]
+    # stopword hole upstream preserved: 'b' sits at pre-filter position 1
+    assert pos.tolist() == [0, 1, 2, 1]
