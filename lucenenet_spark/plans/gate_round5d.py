@@ -1289,3 +1289,41 @@ def limit_tokens_term(spark, sf_dir):
 
     s = _limit_engine(spark, sf_dir)
     return _spark_score_q(s.scored(TermQuery("merge")))
+
+
+# ==========================================================================
+# NGramDistance spell ranking (Suggest/Spell/NGramDistance.cs, Kondrak 2005)
+# ==========================================================================
+def _ngram_sim_case() -> str:
+    """Oracle CASE table: quantized NGramDistance(2) similarity of every
+    corpus-vocabulary term to the query word. The distance function is
+    pinned by the reference's own published test vectors (all three n
+    sizes, tests/test_classic_wdf.py) — same oracle pattern as the Porter
+    stem CASE in gate_modules."""
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+    from lucenenet_spark.search.distances import ngram_distance
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN {int(ngram_distance(t, 'par') * 10000 + 0.5)}"
+        for t in _CORPUS_VOCAB
+    )
+    return f"CASE term {whens} ELSE 0 END"
+
+
+@gate(
+    "spell_ngram_distance",
+    SQL_PRELUDE + f"""
+SELECT term, df, CAST({_ngram_sim_case()} AS BIGINT) AS sim_q
+FROM ts
+WHERE term <> 'par' AND damerau_levenshtein(term, 'par') <= 2
+ORDER BY sim_q DESC, df DESC, term ASC LIMIT 5
+""",
+)
+def spell_ngram_distance(spark, sf_dir):
+    """DirectSpellChecker with the NGramDistance IStringDistance: same
+    edit-bounded candidate generation, re-ranked by Kondrak bigram
+    similarity."""
+    from lucenenet_spark.search.suggest import spell_suggest
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return spell_suggest(idx, "par", n=5, max_edits=2, distance="ngram")

@@ -47,3 +47,35 @@ def jaro_winkler(s1: str, s2: str, threshold: float = 0.7) -> float:
     if j < threshold:
         return j
     return j + min(0.1, 1.0 / l) * p * (1.0 - j)
+
+
+def ngram_distance(source: str, target: str, n: int = 2) -> float:
+    """N-gram similarity (Kondrak 2005, "N-gram similarity and distance",
+    SPIRE/LNCS 3772) as the reference's NGramDistance
+    (Suggest/Spell/NGramDistance.cs) computes it: an edit-distance DP
+    over n-gram windows with a null-character prefix of size n-1 so edge
+    characters participate in n windows, prefix-null matches discounted.
+    Returns 1 (identical) .. 0 (nothing in common). Strings shorter than
+    n fall back to positional character overlap."""
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        cost = sum(1 for a, b in zip(source, target) if a == b)
+        return cost / max(sl, tl)
+    sa = "\0" * (n - 1) + source
+    prev = [float(i) for i in range(sl + 1)]
+    for j in range(1, tl + 1):
+        t_j = ("\0" * (n - j) + target[:j]) if j < n else target[j - n : j]
+        cur = [float(j)] + [0.0] * sl
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for k in range(n):
+                if sa[i - 1 + k] != t_j[k]:
+                    cost += 1
+                elif sa[i - 1 + k] == "\0":
+                    tn -= 1  # discount prefix-null matches
+            cur[i] = min(cur[i - 1] + 1.0, prev[i] + 1.0, prev[i - 1] + cost / tn)
+        prev = cur
+    return 1.0 - prev[sl] / max(sl, tl)

@@ -71,6 +71,8 @@ def spell_suggest(
     - "jaro_winkler": rank by JaroWinklerDistance score
       (Spell/JaroWinklerDistance.cs) quantized to 1e-4
       (sim_q DESC, df DESC, term ASC); output column `sim_q`.
+    - "ngram": rank by NGramDistance(2) similarity
+      (Spell/NGramDistance.cs, Kondrak 2005), same output shape.
 
     The distance runs driver-free: a pushdown scan of the term dictionary
     with a length-window prefilter, then the exact distance via a
@@ -111,7 +113,7 @@ def spell_suggest(
     scored = cand.mapInPandas(add_dist, out_schema).filter(F.col("dist") <= max_edits)
     if distance == "osa":
         return scored.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(n)
-    if distance != "jaro_winkler":
+    if distance not in ("jaro_winkler", "ngram"):
         raise ValueError(f"unknown distance {distance!r}")
 
     sim_schema = T.StructType(
@@ -123,13 +125,14 @@ def spell_suggest(
     )
 
     def add_sim(batches):
-        from lucenenet_spark.search.distances import jaro_winkler
+        from lucenenet_spark.search.distances import jaro_winkler, ngram_distance
 
+        fn = jaro_winkler if distance == "jaro_winkler" else ngram_distance
         for pdf in batches:
             if len(pdf):
                 pdf = pdf.copy()
                 pdf["sim_q"] = [
-                    int(jaro_winkler(t, word) * 10000 + 0.5) for t in pdf["term"]
+                    int(fn(t, word) * 10000 + 0.5) for t in pdf["term"]
                 ]
             else:
                 pdf = pd.DataFrame({"term": [], "df": [], "sim_q": []})

@@ -189,3 +189,22 @@ def test_filtered_analyzer_stages():
     assert lens.tolist() == [3, 1]
     # stopword hole upstream preserved: 'b' sits at pre-filter position 1
     assert pos.tolist() == [0, 1, 2, 1]
+
+
+def test_ngram_distance_reference_goldens():
+    """Reference TestNGramDistance.cs golden vectors, all three n sizes."""
+    from lucenenet_spark.search.distances import ngram_distance as d
+
+    for n, cases in (
+        (1, [("abcvwxyz", "cabvwxyz", 0.75), ("dwayne", "duane", 0.666),
+             ("dixon", "dicksonx", 0.5), ("natural", "contrary", 0.25)]),
+        (2, [("a", "aa", 0.5), ("abcvwxyz", "cabvwxyz", 0.625),
+             ("dwayne", "duane", 0.5833), ("martha", "marhta", 0.6666),
+             ("jones", "johnson", 0.4285), ("six", "ten", 0.0)]),
+        (3, [("martha", "marhta", 0.7222), ("dixon", "dicksonx", 0.4583),
+             ("natural", "contrary", 0.2083), ("dwayne", "duane", 0.5277)]),
+    ):
+        for a, b, e in cases:
+            assert abs(d(a, b, n=n) - e) < 0.001, (n, a, b)
+    assert d("", "al", n=1) == 0.0 and d("", "", n=2) == 1.0
+    assert d("zac ephron", "zac efron") > d("zac ephron", "kai ephron")
