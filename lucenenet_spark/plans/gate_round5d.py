@@ -1327,3 +1327,66 @@ def spell_ngram_distance(spark, sf_dir):
 
     idx, _, _ = get_engine(spark, sf_dir)
     return spell_suggest(idx, "par", n=5, max_edits=2, distance="ngram")
+
+
+# ==========================================================================
+# Geonames source + spatial bbox composition
+# (ByTask/Feeds/GeonamesLineParser.cs + Lucene.Net.Spatial bbox semantics)
+# ==========================================================================
+_GEONAMES_DIR: dict[str, str] = {}
+
+
+@gate(
+    "geonames_bbox",
+    """
+WITH geo AS (
+  SELECT doc_id AS geonameid,
+         'place' || CAST(doc_id AS VARCHAR) AS name,
+         (doc_id % 121) - 60 + 0.25 AS lat,
+         (doc_id % 360) - 180 + 0.25 AS lon
+  FROM documents
+)
+SELECT geonameid, name,
+       CAST(floor(lat * 10000 + 0.5) AS BIGINT) AS lat_q,
+       CAST(floor(lon * 10000 + 0.5) AS BIGINT) AS lon_q
+FROM geo
+WHERE lat BETWEEN -10 AND 30 AND lon BETWEEN 20 AND 80
+""",
+)
+def geonames_bbox(spark, sf_dir):
+    """Geonames dump lines (synthesized deterministically, written, read
+    back through the reference line format) filtered by the spatial bbox
+    predicate — the source + spatial composition a gazetteer lookup is."""
+    import tempfile
+
+    from lucenenet_spark.search.spatial import bbox_predicate
+    from lucenenet_spark.sources import read_geonames
+
+    _, _, docs = get_engine(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _GEONAMES_DIR:
+        path = os.path.join(tempfile.mkdtemp(prefix="geonames_gate_"), "allCountries")
+        lat = (F.col("doc_id") % 121) - 60 + F.lit(0.25)
+        lon = (F.col("doc_id") % 360) - 180 + F.lit(0.25)
+        lines = docs.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.concat(F.lit("place"), F.col("doc_id").cast("string")),
+                F.lit("ascii"),
+                F.lit(""),
+                lat.cast("string"),
+                lon.cast("string"),
+                F.lit("P"),
+            ).alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(path)
+        _GEONAMES_DIR[key] = path
+    geo = read_geonames(spark, _GEONAMES_DIR[key])
+    hits = geo.filter(
+        bbox_predicate("lat", "lon", min_lat=-10, max_lat=30, min_lon=20, max_lon=80)
+    )
+    q = lambda c: F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long")
+    return hits.select(
+        "geonameid", "name", q("lat").alias("lat_q"), q("lon").alias("lon_q")
+    )

@@ -3,10 +3,11 @@
 
 from lucenenet_spark.sources.linedoc import (
     read_enwiki,
+    read_geonames,
     read_reuters,
     read_linedoc,
     read_trec,
     write_linedoc,
 )
 
-__all__ = ["read_linedoc", "write_linedoc", "read_trec", "read_enwiki", "read_reuters"]
+__all__ = ["read_linedoc", "write_linedoc", "read_trec", "read_enwiki", "read_reuters", "read_geonames"]

@@ -133,3 +133,25 @@ def read_reuters(spark: SparkSession, path: str) -> DataFrame:
         F.trim(F.element_at(lines, 3)).alias("title"),
         F.regexp_replace(body, r"\s+$", "").alias("text"),
     )
+
+
+def read_geonames(spark: SparkSession, path: str) -> DataFrame:
+    """GeonamesLineParser (ByTask/Feeds/GeonamesLineParser.cs): the
+    geonames.org dump line format — TAB-separated, field 0 the numeric
+    id, 1 the name, 4/5 latitude/longitude (the parser's ID/Name/Body
+    mapping; body is the WKT point, x-y i.e. lon-lat order). Returns
+    (geonameid, name, lat, lon, body)."""
+    raw = spark.read.text(path)
+    p = F.split(F.col("value"), SEP)
+    lat = F.element_at(p, 5).cast("double")
+    lon = F.element_at(p, 6).cast("double")
+    return raw.select(
+        F.element_at(p, 1).cast("long").alias("geonameid"),
+        F.element_at(p, 2).alias("name"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.concat(
+            F.lit("POINT("), lon.cast("string"), F.lit(" "), lat.cast("string"),
+            F.lit(")"),
+        ).alias("body"),
+    )

@@ -119,3 +119,19 @@ def test_reuters_one_doc_per_file(spark, tmpd):
         "26-FEB-1987 15:01:01.79", "Showers continued throughout the week"
     )
     assert got["SECOND TITLE"] == ("27-FEB-1987 09:00:00.00", "single line body")
+
+
+def test_geonames_parser(spark, tmpd):
+    from lucenenet_spark.sources import read_geonames
+
+    p = os.path.join(tmpd, "geo")
+    os.makedirs(p)
+    with open(os.path.join(p, "allCountries.txt"), "w") as f:
+        f.write("3578267\tMorne du Vitet\tMorne du Vitet\t\t17.88333\t-62.8\tT\n")
+        f.write("42\tTest Place\tTest\talt\t-1.5\t103.25\tP\n")
+    rows = {r.geonameid: r for r in read_geonames(spark, p).collect()}
+    assert rows[3578267].name == "Morne du Vitet"
+    assert abs(rows[3578267].lat - 17.88333) < 1e-9
+    assert abs(rows[3578267].lon - (-62.8)) < 1e-9
+    # WKT body is lon-lat (x y) order, as GeonamesLineParser writes it
+    assert rows[42].body == "POINT(103.25 -1.5)"
