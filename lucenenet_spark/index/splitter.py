@@ -48,3 +48,34 @@ def split_index(
         analyzers=index.analyzers,
     )
     return expunge_deletes(filtered)
+
+
+def pk_split_index(index: InvertedIndex, pred) -> tuple[InvertedIndex, InvertedIndex]:
+    """PKIndexSplitter (Misc/Index/PKIndexSplitter.cs:34-95): split into
+    (docsPassing, docsFailing) by an arbitrary filter — the reference
+    builds index1 from the docs the filter accepts and index2 from the
+    rest, each a fully self-consistent index (DocumentFilteredAtomicIndexReader
+    rebuilds liveDocs, then the writer's AddIndexes merge localizes all
+    statistics).
+
+    `pred` is a Column predicate over doc_id (the primary key); it is a
+    pushdown-able filter on both postings and doclens, so each side's
+    stats rebuild reads only its own partition-pruned rows — no data
+    movement beyond the stats re-aggregation either side already needs."""
+
+    def _part(p) -> InvertedIndex:
+        return expunge_deletes(
+            InvertedIndex(
+                postings=index.postings.filter(p),
+                doclens=index.doclens.filter(p),
+                term_stats=index.term_stats,  # rebuilt by expunge
+                max_doc=index.max_doc,
+                sum_ttf=index.sum_ttf,
+                analyzer=index.analyzer,
+                fields=index.fields,
+                sum_ttf_by_field=index.sum_ttf_by_field,
+                analyzers=index.analyzers,
+            )
+        )
+
+    return _part(pred), _part(~pred)

@@ -1,0 +1,178 @@
+"""Gate registry part 5e: Queries-module filters (BoostingQuery,
+ChainedFilter, BooleanFilter), Flexible/MultiField parser front-ends,
+and PKIndexSplitter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import (
+    SQL_PRELUDE,
+    _SQL_SCORED,
+    _Q,
+    _spark_score_q,
+    _tsc,
+    gate,
+    get_engine,
+)
+from lucenenet_spark.plans.gate_fields import _SQL_SRC, get_engine2
+from lucenenet_spark.search.queries import Occur, PrefixQuery, TermQuery
+
+
+# ==========================================================================
+# BoostingQuery (Lucene.Net.Queries/BoostingQuery.cs:41-106)
+# ==========================================================================
+@gate(
+    "boosting_query",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+, ctx AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge')
+SELECT a.doc_id,
+       CAST(floor(a.score * (CASE WHEN ctx.doc_id IS NOT NULL THEN 0.2 ELSE 1.0 END)
+                  * 10000 + 0.5) AS BIGINT) AS score_q
+FROM ({_tsc('vector')}) a LEFT JOIN ctx ON a.doc_id = ctx.doc_id
+""",
+)
+def boosting_query(spark, sf_dir):
+    """match=vector demoted 5x on docs that also contain 'merge' —
+    BoostingQuery's Coord override (overlap 2 → boost, 1 → 1.0,
+    context-only → no hit)."""
+    from lucenenet_spark.search.boosting import boosting_scored
+
+    _, s, _ = get_engine(spark, sf_dir)
+    return _spark_score_q(
+        boosting_scored(s, TermQuery("vector"), TermQuery("merge"), boost=0.2)
+    )
+
+
+# ==========================================================================
+# ChainedFilter (Lucene.Net.Queries/ChainedFilter.cs:43-262)
+# ==========================================================================
+@gate(
+    "chained_filter",
+    SQL_PRELUDE + """
+, a AS (SELECT DISTINCT doc_id FROM post WHERE term = 'vector'),
+b AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge'),
+c AS (SELECT DISTINCT doc_id FROM post WHERE term = 'key'),
+ab AS (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+SELECT doc_id FROM (
+  (SELECT doc_id FROM ab EXCEPT SELECT doc_id FROM c)
+  UNION
+  (SELECT doc_id FROM c EXCEPT SELECT doc_id FROM ab)
+)
+""",
+)
+def chained_filter_gate(spark, sf_dir):
+    """chain=[vector, merge, key] logic=[AND, ANDNOT, XOR]: InitialResult
+    seeds with the first set (logic AND), subtracts 'merge', then
+    symmetric-difference with 'key' — ChainedFilter.GetDocIdSet fold
+    order exactly."""
+    from lucenenet_spark.search.filters import AND, ANDNOT, XOR, chained_filter
+
+    _, s, _ = get_engine(spark, sf_dir)
+    return chained_filter(
+        s,
+        [TermQuery("vector"), TermQuery("merge"), TermQuery("key")],
+        logic=[AND, ANDNOT, XOR],
+    )
+
+
+# ==========================================================================
+# BooleanFilter (Lucene.Net.Queries/BooleanFilter.cs:36-110)
+# ==========================================================================
+@gate(
+    "boolean_filter_docset",
+    SQL_PRELUDE + """
+, sh AS (
+  SELECT DISTINCT doc_id FROM post WHERE term LIKE 'ma%' OR term = 'vector'
+),
+nt AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge')
+SELECT doc_id FROM sh EXCEPT SELECT doc_id FROM nt
+""",
+)
+def boolean_filter_docset(spark, sf_dir):
+    """SHOULD(prefix ma*) ∪ SHOULD(vector) minus MUST_NOT(merge) —
+    BooleanFilter's union-then-subtract algebra over non-scoring doc
+    sets."""
+    from lucenenet_spark.search.filters import boolean_filter
+
+    _, s, _ = get_engine(spark, sf_dir)
+    return boolean_filter(
+        s,
+        [
+            (PrefixQuery("ma"), Occur.SHOULD),
+            (TermQuery("vector"), Occur.SHOULD),
+            (TermQuery("merge"), Occur.MUST_NOT),
+        ],
+    )
+
+
+# ==========================================================================
+# StandardQueryParser multi-field expansion
+# (Flexible/Standard/StandardQueryParser.cs:66-139 +
+#  Processors/MultiFieldQueryNodeProcessor.cs:40-103)
+# ==========================================================================
+_SRC_TSC_BOOSTED = (
+    "SELECT p.doc_id, "
+    "(ln(1 + (cs.n - st.df + 0.5) / (st.df + 0.5)) * 1.5) * 2.2 * p.tf "
+    "/ (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (src_cs.sttf / cs.n))) AS score "
+    "FROM src_post p JOIN src_ts st USING (term), cs, src_cs WHERE p.term = 'src3'"
+)
+
+
+@gate(
+    "multifield_parser_query",
+    SQL_PRELUDE + "," + _SQL_SCORED + "," + _SQL_SRC + f"""
+, u AS (
+  SELECT * FROM ({_tsc('vector')})
+  UNION ALL
+  SELECT * FROM ({_SRC_TSC_BOOSTED})
+)
+SELECT doc_id, CAST(floor(sum(score) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM u GROUP BY doc_id
+""",
+)
+def multifield_parser_query(spark, sf_dir):
+    """'vector src3' with multi_fields=[text, source] and a 1.5x source
+    boost: each field-less leaf fans out across both fields (the term
+    absent from a field contributes nothing, as a 0-docFreq TermQuery);
+    OR semantics sum the per-field BM25 partials."""
+    from lucenenet_spark.queryparser.flexible import StandardQueryParser
+
+    _, s = get_engine2(spark, sf_dir)
+    p = StandardQueryParser(analyzer=s.index.analyzer)
+    p.set_multi_fields(["text", "source"])
+    p.set_fields_boost({"source": 1.5})
+    q = p.parse("vector src3")
+    return _spark_score_q(s.scored(q))
+
+
+# ==========================================================================
+# PKIndexSplitter (Misc/Index/PKIndexSplitter.cs:34-95)
+# ==========================================================================
+_PK_PRELUDE = (
+    "WITH docs2 AS (SELECT * FROM documents WHERE doc_id % 10 < 3),\n"
+    + SQL_PRELUDE.replace("WITH tok AS", "tok AS").replace(
+        "FROM documents", "FROM docs2"
+    )
+)
+
+
+@gate(
+    "pk_split_term",
+    _PK_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q
+FROM ({_tsc('vector')})
+""",
+)
+def pk_split_term(spark, sf_dir):
+    """The doc_id%10<3 side of a PK split is a self-consistent index:
+    df/avgdl/maxDoc (hence every BM25 score) reflect only the passing
+    docs, exactly the reference's DocumentFilteredAtomicIndexReader +
+    AddIndexes merge."""
+    from lucenenet_spark.index.splitter import pk_split_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    passing, _failing = pk_split_index(idx, (F.col("doc_id") % 10) < 3)
+    s = IndexSearcher(passing, mode="double")
+    return _spark_score_q(s.scored(TermQuery("vector")))
