@@ -176,3 +176,62 @@ def pk_split_term(spark, sf_dir):
     passing, _failing = pk_split_index(idx, (F.col("doc_id") % 10) < 3)
     s = IndexSearcher(passing, mode="double")
     return _spark_score_q(s.scored(TermQuery("vector")))
+
+
+# ==========================================================================
+# Line-level boilerplate dedup (RefinedWeb §3.2 / CCNet paragraph hashes —
+# web-pipeline op, beyond the reference)
+# ==========================================================================
+@gate(
+    "line_dedup_strip",
+    """
+WITH docs2 AS (
+  SELECT doc_id,
+         'cookie notice applies' || chr(10) || text || chr(10) ||
+         'visit example dot com' AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+  FROM docs2
+),
+boiler AS (
+  SELECT line AS bline
+  FROM (SELECT DISTINCT doc_id, line FROM ln)
+  GROUP BY line HAVING count(*) >= 2
+),
+kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT bline FROM boiler)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+         CAST(count(*) AS BIGINT) AS lines_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS lines_total FROM ln GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.text, '') AS text,
+       coalesce(r.lines_kept, 0) AS lines_kept,
+       t.lines_total - coalesce(r.lines_kept, 0) AS lines_dropped
+FROM tot t LEFT JOIN reb r USING (doc_id)
+""",
+)
+def line_dedup_strip(spark, sf_dir):
+    """Wrap every doc in two boilerplate lines (page chrome repeated across
+    the whole corpus), then strip every line whose exact hash occurs in
+    >= 2 documents: the chrome vanishes everywhere, each doc's own line
+    survives unless the corpus carries an exact-duplicate text (those
+    collapse to empty, mirroring RefinedWeb's strip-then-length-filter
+    staging)."""
+    from lucenenet_spark.functions.linededup import strip_duplicate_lines
+
+    _, _, docs = get_engine(spark, sf_dir)
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie notice applies\n"),
+            F.col("text"),
+            F.lit("\nvisit example dot com"),
+        ).alias("text"),
+    )
+    return strip_duplicate_lines(docs2, min_df=2)

@@ -248,3 +248,57 @@ def test_pk_split_stats_are_local(engine):
     )
     df_val = int(df_row[0]["df"]) if df_row else 0
     assert df_val == hits
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup
+# ---------------------------------------------------------------------------
+def test_strip_duplicate_lines_removes_boilerplate(spark):
+    from lucenenet_spark.functions.linededup import (
+        duplicated_lines,
+        strip_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cookie banner\nunique zero\nfooter text"),
+            (1, "cookie banner\nunique one\nfooter text"),
+            (2, "cookie banner\nunique two"),
+            (3, "only unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    boiler = {r["line_df"] for r in duplicated_lines(docs).collect()}
+    assert boiler == {3, 2}  # cookie banner in 3 docs, footer in 2
+
+    out = {r["doc_id"]: r for r in strip_duplicate_lines(docs).collect()}
+    assert out[0]["text"] == "unique zero"
+    assert out[1]["text"] == "unique one"
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "only unique content here"
+    assert out[0]["lines_dropped"] == 2 and out[2]["lines_dropped"] == 1
+
+
+def test_strip_duplicate_lines_all_boilerplate_doc_survives_empty(spark):
+    from lucenenet_spark.functions.linededup import strip_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(0, "same line"), (1, "same line"), (2, "same line\nextra")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_lines(docs).collect()}
+    assert out[0]["text"] == "" and out[0]["lines_kept"] == 0
+    assert out[2]["text"] == "extra"
+
+
+def test_strip_duplicate_lines_in_doc_repeat_not_cross_doc(spark):
+    from lucenenet_spark.functions.linededup import strip_duplicate_lines
+
+    # a line repeated INSIDE one doc only is not boilerplate (distinct
+    # per doc before the df count)
+    docs = spark.createDataFrame(
+        [(0, "echo\necho\necho"), (1, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_lines(docs).collect()}
+    assert out[0]["text"] == "echo\necho\necho"
+    assert out[0]["lines_dropped"] == 0
