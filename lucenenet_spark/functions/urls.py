@@ -77,3 +77,85 @@ def canonical_url_sql_expr(col: str = "url") -> str:
     nsh = f"regexp_replace({nsh}, '^(https?://)www\\.', '\\1')"
     nrest = f"regexp_replace(regexp_replace({rest}, '/{{2,}}', '/', 'g'), '^(.*?)/$', '\\1')"
     return f"({nsh} || {nrest})"
+
+
+def host_col(url: Column) -> Column:
+    """Registrable-host key: lowercase authority without scheme, port,
+    userinfo or a leading www. — the per-domain key C4/RefinedWeb-class
+    pipelines cap on."""
+    h = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1))
+    h = F.regexp_replace(h, r"^.*@", "")  # userinfo
+    h = F.regexp_replace(h, r":\d+$", "")  # port
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def host_sql_expr(col: str = "url") -> str:
+    """host_col as a DuckDB expression (oracle helper), step for step."""
+    h = f"lower(regexp_extract({col}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1))"
+    h = f"regexp_replace({h}, '^.*@', '')"
+    h = f"regexp_replace({h}, ':[0-9]+$', '')"
+    return f"regexp_replace({h}, '^www\\.', '')"
+
+
+def cap_per_host(
+    df: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_per_host`` pages per host, earliest
+    (ts, id) first — the per-domain cap web pipelines apply so mega-hosts
+    don't dominate the training mix (C4 keeps limited pages per domain;
+    RefinedWeb caps URL share per registrable domain).
+
+    Scale shape: ONE hash shuffle on the host key and a streaming
+    row_number inside each partition — no sort of the full corpus, no
+    collect. A host with 10^9 pages makes one hot reducer; for corpora
+    with such hosts, pre-aggregate per-host counts (map-side combined)
+    and route only over-cap hosts through the window — the under-cap
+    long tail (virtually all hosts) bypasses the shuffle entirely, which
+    is the plan `cap_per_host_skewed` builds."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(host_col(F.col(url_col)))
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )
+
+
+def cap_per_host_skewed(
+    df: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """cap_per_host with the skew guard: hosts whose total page count is
+    already <= cap skip the window shuffle (left_anti against the
+    over-cap host list, unioned with the windowed survivors of over-cap
+    hosts only). Same result set as cap_per_host; the window input
+    shrinks from the whole corpus to the over-cap hosts' rows."""
+    keyed = df.withColumn("_host", host_col(F.col(url_col)))
+    over = (
+        keyed.groupBy("_host")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_per_host)
+        .select("_host")
+    )
+    under_rows = keyed.join(over, "_host", "left_anti").drop("_host")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_host").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    capped_rows = (
+        keyed.join(over, "_host", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn", "_host")
+    )
+    return under_rows.unionByName(capped_rows)

@@ -235,3 +235,105 @@ def line_dedup_strip(spark, sf_dir):
         ).alias("text"),
     )
     return strip_duplicate_lines(docs2, min_df=2)
+
+
+# ==========================================================================
+# Per-host page cap (C4/RefinedWeb per-domain cap — web-pipeline op)
+# ==========================================================================
+from lucenenet_spark.functions.urls import host_sql_expr  # noqa: E402
+
+_HOSTCAP_URL_SQL = (
+    "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '.com:443' ELSE '.com' END) || "
+    "'/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@gate(
+    "host_cap_sample",
+    f"""
+WITH pages AS (
+  SELECT doc_id, {_HOSTCAP_URL_SQL} AS url FROM documents
+),
+keyed AS (
+  SELECT doc_id, url, {host_sql_expr('url')} AS host FROM pages
+),
+rn AS (
+  SELECT doc_id, url,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id ASC) AS _rn
+  FROM keyed
+)
+SELECT doc_id, url FROM rn WHERE _rn <= 10
+""",
+)
+def host_cap_sample(spark, sf_dir):
+    """Cap every host at 10 pages, earliest crawl first: www prefixes and
+    default ports fold into one host key, so site0.com / www.site0.com /
+    site0.com:443 compete for the same 10 slots — the per-domain cap a
+    Common-Crawl-scale mix pipeline applies before training."""
+    from lucenenet_spark.functions.urls import cap_per_host_skewed
+
+    _, _, docs = get_engine(spark, sf_dir)
+    www = F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    port = F.when(F.col("doc_id") % 5 == 0, F.lit(".com:443")).otherwise(F.lit(".com"))
+    url = F.concat(
+        F.lit("https://"), www,
+        F.lit("site"), (F.col("doc_id") % 7).cast("string"), port,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        "doc_id", url.alias("url"),
+        F.to_timestamp(F.lit("2026-01-01")).alias("warc_ts"),
+    ).withColumn("warc_ts", F.col("warc_ts") + F.make_dt_interval(secs=F.col("doc_id")))
+    return cap_per_host_skewed(pages, 10).select("doc_id", "url")
+
+
+# ==========================================================================
+# DocumentDictionary -> AnalyzingSuggester (Suggest/DocumentDictionary.cs)
+# ==========================================================================
+from lucenenet_spark.plans.gate import _STOPS  # noqa: E402
+
+
+@gate(
+    "document_dictionary_suggest",
+    """
+WITH ent AS (
+  SELECT surface, CAST(max(w) AS BIGINT) AS weight FROM (
+    SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS surface,
+           n_chars AS w
+    FROM documents
+  ) GROUP BY surface
+),
+an AS (
+  SELECT surface, weight,
+         array_to_string(
+           list_filter(string_split(surface, ' '),
+                       x -> x <> '' AND x NOT IN (""" + _STOPS + """)),
+           chr(31)) AS analyzed
+  FROM ent
+)
+SELECT surface, weight FROM an
+WHERE analyzed LIKE 'vector%'
+ORDER BY (analyzed = 'vector') DESC, weight DESC, surface ASC
+LIMIT 5
+""",
+)
+def document_dictionary_suggest(spark, sf_dir):
+    """DocumentDictionary entries (surface = title field, weight = the
+    stored numeric n_chars docvalue, max-aggregated per surface) feeding
+    AnalyzingSuggester — the reference's dictionary-from-index build
+    path, weights from doc values instead of popularity counts."""
+    from lucenenet_spark.search.suggest import AnalyzingSuggester, document_dictionary
+
+    _, _, docs = get_engine(spark, sf_dir)
+    titled = docs.select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("title"),
+        "n_chars",
+    )
+    ent = (
+        document_dictionary(titled, field="title", weight_field="n_chars")
+        .groupBy("surface")
+        .agg(F.max("weight").alias("weight"))
+    )
+    return AnalyzingSuggester(ent).lookup("vector", 5)

@@ -517,3 +517,49 @@ class BlendedInfixSuggester(AnalyzingInfixSuggester):
             .orderBy(F.desc("score"), F.desc("weight"), F.asc("surface"))
             .limit(n)
         )
+
+
+def document_dictionary(
+    docs: DataFrame,
+    field: str,
+    weight_field: str | None = None,
+    payload_field: str | None = None,
+) -> DataFrame:
+    """DocumentDictionary (Suggest/DocumentDictionary.cs:40-120): one
+    suggestion entry per stored document — surface from ``field``,
+    weight from the numeric ``weight_field`` (1 when absent, like the
+    reference's missing-docvalue branch), optional payload column.
+    Null/empty surfaces are skipped (the reference's InputIterator skips
+    docs without the field)."""
+    w = (
+        F.col(weight_field).cast("long")
+        if weight_field is not None
+        else F.lit(1).cast("long")
+    )
+    cols = [F.col(field).alias("surface"), F.coalesce(w, F.lit(0)).alias("weight")]
+    if payload_field is not None:
+        cols.append(F.col(payload_field).alias("payload"))
+    return docs.select(*cols).filter(
+        F.col("surface").isNotNull() & (F.col("surface") != "")
+    )
+
+
+def file_dictionary(
+    spark, path: str, delimiter: str = "\t"
+) -> DataFrame:
+    """FileDictionary (Suggest/FileDictionary.cs:32-130): each line is
+    ``surface[<delim>weight[<delim>payload]]``; a missing or unparsable
+    weight defaults to 1 (the reference's format tolerates weightless
+    lines). Read as a native text source — parsing happens in codegen."""
+    import re as _re
+
+    d = _re.escape(delimiter)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), d)
+    return lines.select(
+        parts.getItem(0).alias("surface"),
+        F.coalesce(
+            F.try_element_at(parts, F.lit(2)).try_cast("long"), F.lit(1).cast("long")
+        ).alias("weight"),
+        F.try_element_at(parts, F.lit(3)).alias("payload"),
+    ).filter(F.col("surface") != "")

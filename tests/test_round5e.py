@@ -302,3 +302,83 @@ def test_strip_duplicate_lines_in_doc_repeat_not_cross_doc(spark):
     out = {r["doc_id"]: r for r in strip_duplicate_lines(docs).collect()}
     assert out[0]["text"] == "echo\necho\necho"
     assert out[0]["lines_dropped"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Per-host cap
+# ---------------------------------------------------------------------------
+def _host_pages(spark):
+    rows = []
+    for i in range(30):
+        host = ["a.com", "www.a.com", "b.org"][i % 3]
+        rows.append((i, f"https://{host}/p/{i}", float(i)))
+    return spark.createDataFrame(rows, "doc_id long, url string, warc_ts double")
+
+
+def test_cap_per_host_folds_www_and_keeps_earliest(spark):
+    from lucenenet_spark.functions.urls import cap_per_host
+
+    out = cap_per_host(_host_pages(spark), 3).collect()
+    by_host = {}
+    for r in out:
+        key = "a" if "a.com" in r["url"] else "b"
+        by_host.setdefault(key, []).append(r["doc_id"])
+    # a.com and www.a.com fold together: 20 pages -> 3 earliest
+    assert sorted(by_host["a"]) == [0, 1, 3]
+    assert sorted(by_host["b"]) == [2, 5, 8]
+
+
+def test_cap_per_host_skewed_matches_plain(spark):
+    from lucenenet_spark.functions.urls import cap_per_host, cap_per_host_skewed
+
+    pages = _host_pages(spark)
+    a = {r["doc_id"] for r in cap_per_host(pages, 3).collect()}
+    b = {r["doc_id"] for r in cap_per_host_skewed(pages, 3).collect()}
+    assert a == b
+    # under-cap host bypasses: cap 15 keeps all of b.org (10 pages)
+    c = {r["doc_id"] for r in cap_per_host_skewed(pages, 15).collect()}
+    assert {r["doc_id"] for r in pages.collect() if "b.org" in r["url"]} <= c
+
+
+def test_host_col_strips_userinfo_port_www(spark):
+    from lucenenet_spark.functions.urls import host_col
+
+    df = spark.createDataFrame(
+        [
+            ("https://user:pw@www.Ex.COM:8443/x",),
+            ("http://plain.net/y",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(host_col(F.col("url"))).collect()]
+    assert got == ["ex.com", "plain.net"]
+
+
+# ---------------------------------------------------------------------------
+# DocumentDictionary / FileDictionary
+# ---------------------------------------------------------------------------
+def test_document_dictionary_weights_and_skips(spark):
+    from lucenenet_spark.search.suggest import document_dictionary
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", 7), (1, None, 3), (2, "", 9), (3, "gamma", None)],
+        "doc_id long, title string, clicks long",
+    )
+    out = {
+        r["surface"]: r["weight"]
+        for r in document_dictionary(docs, "title", "clicks").collect()
+    }
+    assert out == {"alpha beta": 7, "gamma": 0}  # null weight -> 0, null/empty surface skipped
+    flat = document_dictionary(docs, "title").collect()
+    assert all(r["weight"] == 1 for r in flat)
+
+
+def test_file_dictionary_parses_weights_and_payloads(spark, tmp_path):
+    from lucenenet_spark.search.suggest import file_dictionary
+
+    p = tmp_path / "dict.tsv"
+    p.write_text("hello\t42\tPAY\nworld\nbroken\tnotanumber\n")
+    rows = {r["surface"]: r for r in file_dictionary(spark, str(p)).collect()}
+    assert rows["hello"]["weight"] == 42 and rows["hello"]["payload"] == "PAY"
+    assert rows["world"]["weight"] == 1 and rows["world"]["payload"] is None
+    assert rows["broken"]["weight"] == 1  # unparsable weight -> default
