@@ -120,3 +120,36 @@ def dataset_split_gate(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return dataset_split(docs, 0.2, 0.1).select("doc_id", "split")
+
+
+# ==========================================================================
+# EarlyTerminatingSortingCollector over a sorted index layout
+# (src/Lucene.Net.Misc/Index/Sorter/EarlyTerminatingSortingCollector.cs +
+#  SortingMergePolicy.cs: segments pre-sorted by the sort key let the
+#  collector throw CollectionTerminatedException after numDocsToCollect
+#  per segment; here the layout is globally range-sorted so limit(k)'s
+#  incremental CollectLimit reads only the leading partitions).
+# ==========================================================================
+_EARLY_TERM_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars ASC, doc_id ASC LIMIT 12
+"""
+
+
+@gate("early_terminating_sorted", _EARLY_TERM_SQL)
+def early_terminating_sorted(spark, sf_dir):
+    """Top-12 by n_chars via the sorted-layout early-termination path:
+    range-repartition + in-partition sort = SortingMergePolicy's sorted
+    segments; early_terminating_topk is a bare limit(k), never a global
+    sort at query time."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.search.collectors import early_terminating_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sorted_layout = docs.repartitionByRange(
+        8, F.col("n_chars"), F.col("doc_id")
+    ).sortWithinPartitions("n_chars", "doc_id")
+    return early_terminating_topk(sorted_layout, 12).select("doc_id", "n_chars")
