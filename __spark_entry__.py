@@ -65,7 +65,12 @@ _FRESH_PRIORITY = (
     "common_grams_phrase", "ngram_phrase_query", "nrt_topk",
     "multi_passage_highlight", "compound_word_query",
     "snowball3_term_query", "cjk_bigram_query",
-    "ja_analysis", "payload_term", "payload_near",
+    "ja_analysis", "payload_term",
+    # bonus-session swap: trec_quality (IR-quality benchmark — a distinct
+    # SURVEY §5 row) takes the window slot payload_near held; payload_near
+    # backs the same §2.4 payloads row payload_term already covers, so it
+    # moves to first-overflow (still registered + green locally).
+    "trec_quality",
     "geo_bbox", "geo_distance_topk", "astral_term_query",
     "add_indexes_term", "docvalues_update_sort",
     "leading_wildcard_query", "xml_parser_query",
@@ -78,6 +83,7 @@ _FRESH_PRIORITY = (
     "dedup_embedding_cosine", "pii_scrub", "gopher_repetition",
     "url_canonical_dedup", "line_dedup_strip", "html_extract_roundtrip",
     "lm_unigram_quality", "decontam_overlap", "stratified_sample",
+    "payload_near",
 )
 
 # Re-driver-verified every round regardless of prior green rows.
