@@ -1,0 +1,127 @@
+"""Gate registry part 5g (bonus session): the three remaining portable
+query-layer seams — TOP_TERMS bounded MultiTermQuery rewrite
+(Search/TopTermsRewrite.cs), SpanMultiTermQueryWrapper inside a span-near
+(Search/Spans/SpanMultiTermQueryWrapper.cs), and the payload-checked
+span-near (Search/Spans/SpanNearPayloadCheckQuery.cs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import (
+    SQL_PRELUDE,
+    _SQL_SCORED,
+    _spark_score_q,
+    gate,
+    get_engine,
+)
+
+# ==========================================================================
+# TopTermsRewrite: bounded expansion of a MultiTermQuery into a SHOULD
+# BooleanQuery, at most `size` terms kept. At constant boost (every
+# non-fuzzy MultiTermQuery) ScoreTerm.CompareTo's reversed bytes
+# comparison (TopTermsRewrite.cs:272-283) keeps the `size`
+# lexicographically smallest matching terms; the kept set is then scored
+# exactly like a hand-written OR (TopTermsScoringBooleanQueryRewrite).
+# Prefix 's' matches {scan, slow, small, sort, spark, stream} on this
+# vocabulary; size=4 keeps scan/slow/small/sort.
+# ==========================================================================
+_TOP_TERMS_SQL = SQL_PRELUDE + "," + _SQL_SCORED + """
+, kept AS (
+  SELECT term FROM ts WHERE term LIKE 's%' ORDER BY term ASC LIMIT 4
+)
+SELECT doc_id, CAST(floor(sum(score) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (
+  SELECT doc_id, idf * 2.2 * tf / (tf + nrm) AS score
+  FROM sc JOIN kept USING (term)
+)
+GROUP BY doc_id
+"""
+
+
+@gate("top_terms_prefix", _TOP_TERMS_SQL)
+def top_terms_prefix(spark, sf_dir):
+    """PrefixQuery('s') under TOP_TERMS(4) rewrite: the pattern predicate
+    is pushed to the term-stats scan, the driver materializes only the
+    4-term kept set (the reference's priority-queue bound), and the
+    rewritten BooleanQuery scores as a single-scan disjunction."""
+    from lucenenet_spark.search.queries import PrefixQuery
+
+    _, s, _ = get_engine(spark, sf_dir)
+    bq = s.rewrite_top_terms(PrefixQuery("s"), size=4)
+    return _spark_score_q(s.scored(bq))
+
+
+# ==========================================================================
+# SpanMultiTermQueryWrapper: a span-near whose second clause is a
+# PrefixQuery — the slot's positions are the union of every dictionary
+# term matching the pattern, compiled to a predicate on the postings scan
+# (Search/Spans/SpanMultiTermQueryWrapper.cs; execution shape shared with
+# the ComplexPhrase parser via span_near_pattern_docs).
+# ==========================================================================
+_SPAN_WRAPPER_SQL = SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id
+FROM tokf a JOIN tokf b
+  ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+WHERE a.term = 'key' AND b.term LIKE 's%'
+"""
+
+
+@gate("span_wrapper_near", _SPAN_WRAPPER_SQL)
+def span_wrapper_near(spark, sf_dir):
+    """SpanNearQuery(ordered, slop=3) of ('key', wrapper(PrefixQuery('s')))."""
+    from lucenenet_spark.search.queries import PrefixQuery
+    from lucenenet_spark.search.spans import span_near_pattern_docs
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return span_near_pattern_docs(idx, ["key", PrefixQuery("s")], slop=3, in_order=True)
+
+
+# ==========================================================================
+# SpanNearPayloadCheckQuery over the pos%3+1-payloaded corpus (the same
+# DelimitedPayloadAnalyzer build as payload_term/payload_near): ordered
+# near('key','agg', slop=2) accepted only when both collected payloads are
+# in the required set {2,1} — AcceptPosition's order-insensitive
+# compare-all loop (SpanNearPayloadCheckQuery.cs:58-88).
+# ==========================================================================
+_PAYLOAD_CHECK_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos, CAST((pos % 3) + 1 AS DOUBLE) AS payload
+  FROM tok WHERE term <> ''
+)
+SELECT DISTINCT a.doc_id
+FROM tokp a JOIN tokp b
+  ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+WHERE a.term = 'key' AND b.term = 'agg'
+  AND a.payload IN (2.0, 1.0) AND b.payload IN (2.0, 1.0)
+"""
+
+
+@gate("span_payload_check", _PAYLOAD_CHECK_SQL)
+def span_payload_check(spark, sf_dir):
+    """span_near_payload_check_docs(['key','agg'], required=[2,1], slop=2)."""
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.spans import span_near_payload_check_docs
+
+    _, _, docs = get_engine(spark, sf_dir)
+    payload_text = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.concat(
+                x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    fused = docs.select("doc_id", payload_text.alias("text"))
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    return span_near_payload_check_docs(
+        idx, ["key", "agg"], payloads_to_match=[2.0, 1.0], slop=2
+    )

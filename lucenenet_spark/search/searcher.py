@@ -823,6 +823,37 @@ class IndexSearcher:
             return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
         raise TypeError(f"no term predicate for {q!r}")
 
+    def rewrite_top_terms(
+        self, q: MultiTermQuery, size: int, field: str | None = None
+    ) -> BooleanQuery:
+        """TOP_TERMS(size) bounded expansion (Search/TopTermsRewrite.cs:66-160):
+        expand the pattern against the term dictionary and keep at most
+        `size` terms by descending boost, equal boosts broken by term order
+        — ScoreTerm.CompareTo reverses the bytes comparison at equal boost
+        (TopTermsRewrite.cs:272-283), so the queue keeps the `size`
+        lexicographically SMALLEST matching terms. Non-fuzzy MultiTermQuery
+        expansions all carry constant boost 1.0, so the kept set here is
+        exactly `ORDER BY term ASC LIMIT size` over the term-stats table
+        with the compiled pattern predicate pushed to the parquet scan; the
+        driver materializes only the `size`-row result — the same bound as
+        the reference's priority queue. (FuzzyQuery's similarity-boosted
+        top-terms path is _rewrite_fuzzy.) Returns the rewritten
+        BooleanQuery of SHOULD TermQuery clauses, scored like any other
+        disjunction (TopTermsScoringBooleanQueryRewrite)."""
+        fld = field or self.index.default_field
+        pred = self._term_predicate(q)
+        kept = (
+            self.index.term_stats
+            .filter((F.col("field") == fld) & pred)
+            .select("term")
+            .orderBy(F.col("term").asc())
+            .limit(int(size))
+            .collect()
+        )
+        return BooleanQuery.of(
+            *[(TermQuery(r["term"], field=fld), Occur.SHOULD) for r in kept]
+        )
+
     _FUZZY_GRAM_N = 3
 
     def _fuzzy_candidate_terms(self, t: str, fld: str, lev_cap: int) -> DataFrame:

@@ -252,3 +252,39 @@ def payload_near_scores(
     else:
         raise ValueError(f"unknown payload function: {function!r}")
     return spans.groupBy("doc_id").agg(score.alias("score"))
+
+
+def span_near_payload_check_docs(
+    index: InvertedIndex,
+    terms: list[str],
+    payloads_to_match: list[float],
+    slop: int = 0,
+    field: str | None = None,
+) -> DataFrame:
+    """SpanNearPayloadCheckQuery (Search/Spans/SpanNearPayloadCheckQuery.cs):
+    ordered span-near over `terms` that is only accepted when the payloads
+    collected at the span's positions match `payloads_to_match`.
+
+    Faithful to AcceptPosition's ORDER-INSENSITIVE loop
+    (SpanNearPayloadCheckQuery.cs:58-88 — "can't rely on order, so we need
+    to compare all", each candidate payload counts as matched when it
+    equals ANY required payload, acceptance = all n matched): the check
+    compiles to `every pl_i IN payloads_to_match` since the candidate and
+    required counts are both n. Returns the accepted docset as
+    DISTINCT doc_id — the same shape as span_near_docs, the payload test
+    riding the join as an extra pushed predicate (no UDF, no shuffle
+    beyond the position join)."""
+    n = len(terms)
+    assert n >= 2 and len(payloads_to_match) == n
+    required = [float(v) for v in payloads_to_match]
+    parts = [_positions_with_payloads(index, t, i, field) for i, t in enumerate(terms)]
+    joined = parts[0]
+    for i in range(1, n):
+        joined = joined.join(parts[i], "doc_id").filter(
+            F.col(f"p{i}") > F.col(f"p{i-1}")
+        )
+    width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+    cond = width <= slop
+    for i in range(n):
+        cond = cond & F.col(f"pl{i}").isin(required)
+    return joined.filter(cond).select("doc_id").distinct()

@@ -1,0 +1,170 @@
+"""Bonus-session operators: TOP_TERMS rewrite, span-near payload check,
+SpanMultiTermQueryWrapper gate plumbing (gate_round5g)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from lucenenet_spark.index.builder import build_index
+from lucenenet_spark.search.queries import BooleanQuery, Occur, PrefixQuery, TermQuery
+from lucenenet_spark.search.searcher import IndexSearcher
+from lucenenet_spark.search.spans import (
+    span_near_pattern_docs,
+    span_near_payload_check_docs,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(corpus_df):
+    return build_index(corpus_df, text_col="text", id_col="doc_id").cache()
+
+
+def test_top_terms_rewrite_keeps_smallest_terms(idx):
+    """Equal-boost ties keep the lexicographically SMALLEST matching terms
+    (TopTermsRewrite.cs:272-283 reversed bytes comparison)."""
+    s = IndexSearcher(idx, mode="double")
+    bq = s.rewrite_top_terms(PrefixQuery("w00"), size=5)
+    assert isinstance(bq, BooleanQuery)
+    kept = [c.query.term for c in bq.clauses]
+    assert len(kept) == 5
+    assert all(c.occur == Occur.SHOULD for c in bq.clauses)
+    # the kept set must be the 5 smallest 'w00*' terms in the dictionary
+    all_terms = sorted(
+        r["term"]
+        for r in idx.term_stats.filter("term LIKE 'w00%'").select("term").collect()
+    )
+    assert kept == all_terms[:5]
+    assert kept == sorted(kept)
+
+
+def test_top_terms_rewrite_scores_match_manual_or(idx):
+    """The rewritten query scores exactly like the equivalent hand-written
+    SHOULD disjunction (TopTermsScoringBooleanQueryRewrite)."""
+    s = IndexSearcher(idx, mode="double")
+    bq = s.rewrite_top_terms(PrefixQuery("w00"), size=3)
+    manual = BooleanQuery.of(
+        *[(TermQuery(c.query.term), Occur.SHOULD) for c in bq.clauses]
+    )
+    got = {r["doc_id"]: r["score"] for r in s.scored(bq).collect()}
+    want = {r["doc_id"]: r["score"] for r in s.scored(manual).collect()}
+    assert got == want and got
+
+
+def test_top_terms_size_bound_is_respected(idx):
+    s = IndexSearcher(idx, mode="double")
+    bq = s.rewrite_top_terms(PrefixQuery("w"), size=2)
+    assert len(bq.clauses) == 2
+
+
+def test_span_payload_check_matches_bruteforce(spark, corpus):
+    """Payload-checked span-near vs a pure-Python oracle over the raw
+    corpus, payloads = pos % 3 + 1 (the DelimitedPayload gate fixture)."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+
+    rows = [(d, t) for d, t in corpus.items()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    t1, t2, slop, req = "w0001", "w0004", 2, [2.0, 1.0]
+    got = {
+        r["doc_id"]
+        for r in span_near_payload_check_docs(idx, [t1, t2], req, slop=slop).collect()
+    }
+    want = set()
+    for d, text in corpus.items():
+        toks = [w for w in text.split(" ") if w]
+        for i, a in enumerate(toks):
+            if a != t1:
+                continue
+            for j in range(i + 1, min(i + slop + 2, len(toks))):
+                if toks[j] != t2:
+                    continue
+                pla, plb = float(i % 3 + 1), float(j % 3 + 1)
+                if pla in req and plb in req:
+                    want.add(d)
+    assert got == want
+
+
+def test_span_payload_check_rejects_wrong_payloads(spark, corpus):
+    """Required payload {3} only accepts spans whose BOTH positions are
+    ≡2 (mod 3) — impossible for gap<3 spans closer than 3 apart unless
+    both positions hit the residue; verify strictly fewer docs than the
+    unchecked near."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.search.spans import span_near_docs
+
+    rows = [(d, t) for d, t in corpus.items()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    unchecked = {
+        r["doc_id"] for r in span_near_docs(idx, ["w0001", "w0002"], slop=4).collect()
+    }
+    checked = {
+        r["doc_id"]
+        for r in span_near_payload_check_docs(
+            idx, ["w0001", "w0002"], [3.0, 3.0], slop=4
+        ).collect()
+    }
+    assert checked <= unchecked
+    assert len(checked) < len(unchecked)
+
+
+def test_span_wrapper_near_vs_expanded_union(idx, corpus):
+    """span_near_pattern_docs with a PrefixQuery slot equals the union of
+    plain span_near_docs over every expanded term (the wrapper contract:
+    SpanMultiTermQueryWrapper.cs rewrites to a SpanOr of matched terms)."""
+    from lucenenet_spark.search.spans import span_near_docs
+
+    pat = PrefixQuery("w000")
+    got = {
+        r["doc_id"]
+        for r in span_near_pattern_docs(idx, ["w0012", pat], slop=3).collect()
+    }
+    expanded = [
+        r["term"]
+        for r in idx.term_stats.filter("term LIKE 'w000%'").select("term").collect()
+    ]
+    want = set()
+    for t in expanded:
+        if t == "w0012":
+            continue  # span_near_docs self-join on the same term differs
+        want |= {
+            r["doc_id"] for r in span_near_docs(idx, ["w0012", t], slop=3).collect()
+        }
+    # the wrapper ALSO admits (w0012 .. w0012) pairs since w0012 matches
+    # the pattern; reproduce that from the raw corpus
+    for d, text in corpus.items():
+        toks = [w for w in text.split(" ") if w]
+        pos = [i for i, w in enumerate(toks) if w == "w0012"]
+        if any(0 < b - a <= 4 for a in pos for b in pos):
+            want.add(d)
+    assert got == want
