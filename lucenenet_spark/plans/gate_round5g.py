@@ -125,3 +125,50 @@ def span_payload_check(spark, sf_dir):
     return span_near_payload_check_docs(
         idx, ["key", "agg"], payloads_to_match=[2.0, 1.0], slop=2
     )
+
+
+# ==========================================================================
+# ScoringRewrite: SCORING_BOOLEAN_QUERY_REWRITE (Search/ScoringRewrite.cs:
+# 36-75) as a fully-distributed scored pattern disjunction — every 's%'
+# dictionary term scored and summed per doc, the expansion never
+# materialized on the driver (Lucene must cap this rewrite at
+# MaxClauseCount=1024; here it is unbounded).
+# ==========================================================================
+_SCORING_REWRITE_SQL = SQL_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id, CAST(floor(sum(score) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (
+  SELECT doc_id, idf * 2.2 * tf / (tf + nrm) AS score
+  FROM sc WHERE term LIKE 's%'
+)
+GROUP BY doc_id
+"""
+
+
+@gate("scoring_rewrite_prefix", _SCORING_REWRITE_SQL)
+def scoring_rewrite_prefix(spark, sf_dir):
+    """PrefixQuery('s') under SCORING_BOOLEAN_QUERY_REWRITE."""
+    from lucenenet_spark.search.queries import PrefixQuery
+
+    _, s, _ = get_engine(spark, sf_dir)
+    return _spark_score_q(s.scored_scoring_rewrite(PrefixQuery("s")))
+
+
+# ==========================================================================
+# ConstantScoreAutoRewrite: both branches constant-score; at the default
+# cutoffs (350 terms / 0.1% of maxDoc) the 's%' expansion's docVisitCount
+# trips the doc cutoff, so this takes the CONSTANT_SCORE_FILTER branch —
+# the pattern predicate straight on the postings scan.
+# ==========================================================================
+_AUTO_REWRITE_SQL = SQL_PRELUDE + """
+SELECT DISTINCT doc_id, CAST(10000 AS BIGINT) AS score_q
+FROM post WHERE term LIKE 's%'
+"""
+
+
+@gate("auto_rewrite_prefix", _AUTO_REWRITE_SQL)
+def auto_rewrite_prefix(spark, sf_dir):
+    """PrefixQuery('s') under CONSTANT_SCORE_AUTO_REWRITE_DEFAULT."""
+    from lucenenet_spark.search.queries import PrefixQuery
+
+    _, s, _ = get_engine(spark, sf_dir)
+    return _spark_score_q(s.scored_auto_rewrite(PrefixQuery("s")))

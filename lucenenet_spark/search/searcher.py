@@ -823,6 +823,89 @@ class IndexSearcher:
             return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
         raise TypeError(f"no term predicate for {q!r}")
 
+    def scored_scoring_rewrite(
+        self, q: MultiTermQuery, tlb: float = 1.0, field: str | None = None
+    ) -> DataFrame:
+        """SCORING_BOOLEAN_QUERY_REWRITE (Search/ScoringRewrite.cs:36-75)
+        executed without materializing the expansion: the compiled pattern
+        predicate filters BOTH the term-stats scan (per-term df for idf)
+        and the postings scan, the two join on term, and the per-doc
+        disjunction sum is one groupBy — the expanded term set never
+        leaves the executors, so the rewrite Lucene must cap at
+        BooleanQuery.MaxClauseCount (1024, ScoringRewrite.cs:50
+        CheckMaxClauseCount) runs unbounded here. The stats side is NOT
+        force-broadcast (a loose wildcard can match millions of dictionary
+        terms at web scale); AQE picks broadcast when the expansion is
+        small. Returns (doc_id, score), the same contract as _scored."""
+        fld = field or self.index.default_field
+        pred = self._term_predicate(q)
+        n = float(self.index.max_doc)
+        ts = (
+            self.index.term_stats
+            .filter((F.col("field") == fld) & pred)
+            .select("term", "df")
+        )
+        p = self._postings(fld).filter(pred).join(ts, "term")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        if self.mode == "lucene":
+            # weightValue = f32(f32(f32(idf)*f32(boost))*f32(tlb)) * f32(k1+1)
+            w = idf.cast("float") * F.lit(_f32(q.boost)).cast("float")
+            w = (w.cast("float") * F.lit(_f32(tlb)).cast("float")).cast("float")
+            weight = (w * F.lit(_f32(_f32(self.k1) + _f32(1.0))).cast("float")).cast("float")
+        else:
+            weight = idf * F.lit(float(q.boost) * tlb * (self.k1 + 1.0))
+        per_term = p.select(
+            "doc_id",
+            self._score_col_dynamic(weight, F.col("tf"), fld).alias("score"),
+        )
+        return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def scored_auto_rewrite(
+        self, q: MultiTermQuery, tlb: float = 1.0, field: str | None = None,
+        term_count_cutoff: int = 350, doc_count_percent: float = 0.1,
+    ) -> DataFrame:
+        """CONSTANT_SCORE_AUTO_REWRITE_DEFAULT
+        (Search/ConstantScoreAutoRewrite.cs:106-160, default cutoffs 350
+        terms / 0.1% of maxDoc): BOTH branches are constant-score — the
+        reference wraps even the boolean branch in ConstantScoreQuery
+        ("Strip scores", :131-139) — the cutoff only picks the execution
+        shape. Cutoff fires when n_terms >= min(MaxClauseCount=1024,
+        termCountCutoff) OR docVisitCount (= sum of matched terms' df,
+        CutOffTermCollector:156) >= (int)(docCountPercent/100 * maxDoc);
+        both statistics come from ONE aggregate over the pattern-filtered
+        term-stats table (O(matching dictionary rows), no postings scan).
+
+        Spark mapping of the two shapes: the filter branch pushes the
+        compiled pattern predicate straight onto the postings scan; the
+        boolean branch materializes the bounded (<350-row) pendingTerms
+        list — exactly the list the reference accumulates — and pushes it
+        as an IN-list, which parquet dictionary filters prune far better
+        than a regex/startswith predicate. Same result set either way."""
+        fld = field or self.index.default_field
+        pred = self._term_predicate(q)
+        ts = self.index.term_stats.filter((F.col("field") == fld) & pred)
+        row = ts.agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("sum_df"),
+        ).collect()[0]
+        term_limit = min(1024, term_count_cutoff)
+        doc_cutoff = int(doc_count_percent / 100.0 * self.index.max_doc)
+        if row["n_terms"] >= term_limit or row["sum_df"] >= doc_cutoff:
+            # CONSTANT_SCORE_FILTER_REWRITE
+            return self._const_score(self._docset(q), q.boost * tlb)
+        terms = [r["term"] for r in ts.select("term").collect()]
+        docset = (
+            self._postings(fld)
+            .filter(F.col("term").isin(terms))
+            .select("doc_id")
+            .distinct()
+        )
+        return self._const_score(docset, q.boost * tlb)
+
     def rewrite_top_terms(
         self, q: MultiTermQuery, size: int, field: str | None = None
     ) -> BooleanQuery:

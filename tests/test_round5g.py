@@ -3,8 +3,6 @@ SpanMultiTermQueryWrapper gate plumbing (gate_round5g)."""
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from lucenenet_spark.index.builder import build_index
@@ -168,3 +166,43 @@ def test_span_wrapper_near_vs_expanded_union(idx, corpus):
         if any(0 < b - a <= 4 for a in pos for b in pos):
             want.add(d)
     assert got == want
+
+
+def test_scoring_rewrite_matches_manual_or(idx):
+    """SCORING_BOOLEAN_QUERY_REWRITE (distributed, no driver term list)
+    equals the hand-expanded SHOULD disjunction, doc for doc."""
+    s = IndexSearcher(idx, mode="double")
+    terms = [
+        r["term"]
+        for r in idx.term_stats.filter("term LIKE 'w00%'").select("term").collect()
+    ]
+    manual = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    got = {r["doc_id"]: round(r["score"], 9) for r in s.scored_scoring_rewrite(PrefixQuery("w00")).collect()}
+    want = {r["doc_id"]: round(r["score"], 9) for r in s.scored(manual).collect()}
+    assert got == want and got
+
+
+def test_auto_rewrite_filter_branch_constant_score(idx):
+    """Default cutoffs: 0.1% of maxDoc is tiny, so a common prefix takes
+    the filter branch; result = docset at constant score boost."""
+    s = IndexSearcher(idx, mode="double")
+    out = s.scored_auto_rewrite(PrefixQuery("w0"))
+    rows = out.collect()
+    assert rows and all(r["score"] == 1.0 for r in rows)
+    want = {r["doc_id"] for r in s.docset(PrefixQuery("w0")).collect()}
+    assert {r["doc_id"] for r in rows} == want
+
+
+def test_auto_rewrite_boolean_branch_same_docset(idx):
+    """Force the boolean (IN-list) branch with a permissive doc cutoff:
+    both branches must return the identical constant-score docset
+    (ConstantScoreAutoRewrite's two shapes are result-equivalent)."""
+    s = IndexSearcher(idx, mode="double")
+    filt = {r["doc_id"] for r in s.scored_auto_rewrite(PrefixQuery("w00")).collect()}
+    boolean = {
+        r["doc_id"]
+        for r in s.scored_auto_rewrite(
+            PrefixQuery("w00"), doc_count_percent=100.0
+        ).collect()
+    }
+    assert boolean == filt and boolean
