@@ -172,3 +172,36 @@ def auto_rewrite_prefix(spark, sf_dir):
 
     _, s, _ = get_engine(spark, sf_dir)
     return _spark_score_q(s.scored_auto_rewrite(PrefixQuery("s")))
+
+
+# ==========================================================================
+# CachingCollector (Search/CachingCollector.cs): materialize one query's
+# docset, replay it into a downstream collector without re-running the
+# query — here a lang facet count over the cached hits. Drives the
+# combinator through the driver gate (it previously had only local
+# tests, VERDICT r4 §2.6).
+# ==========================================================================
+_CACHING_SQL = SQL_PRELUDE + """
+SELECT d.lang, CAST(count(*) AS BIGINT) AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM post WHERE term = 'vector')
+GROUP BY d.lang
+"""
+
+
+@gate("caching_collector_facet", _CACHING_SQL)
+def caching_collector_facet(spark, sf_dir):
+    """caching_collector(TermQuery('vector')) replayed into a lang facet."""
+    from lucenenet_spark.search.collectors import caching_collector
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s, docs = get_engine(spark, sf_dir)
+    # stays persisted until the driver collects the returned plan (the
+    # contract is caller-unpersists-when-done; the gate's caller is the
+    # driver harness, and the cached docset is a few hundred rows)
+    cached = caching_collector(s, TermQuery("vector"))
+    return (
+        cached.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
