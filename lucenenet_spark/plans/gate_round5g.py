@@ -205,3 +205,35 @@ def caching_collector_facet(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ==========================================================================
+# ToChildBlockJoinQuery (Join/ToChildBlockJoinQuery.cs): children of
+# matching parents — the other direction of the block-join family
+# (block_join_max/avg cover ToParentBlockJoin). Parent query = urgent
+# orders; children = their lineitems.
+# ==========================================================================
+_TO_CHILD_SQL = """
+SELECT l.l_orderkey, l.l_linenumber
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@gate("block_join_to_child", _TO_CHILD_SQL)
+def block_join_to_child(spark, sf_dir):
+    """to_child_block_join(urgent orders -> lineitems)."""
+    import os
+
+    from lucenenet_spark.search.joins import to_child_block_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    parents = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return to_child_block_join(
+        parents, li.select("l_orderkey", "l_linenumber"), "l_orderkey"
+    )

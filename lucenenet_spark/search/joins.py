@@ -48,7 +48,10 @@ def to_parent_block_join(
 def to_child_block_join(
     parents: DataFrame, children: DataFrame, parent_key: str
 ) -> DataFrame:
-    """ToChildBlockJoinQuery: children of matching parents (semi join)."""
-    return children.join(
-        F.broadcast(parents.select(parent_key).distinct()), parent_key, "left_semi"
-    )
+    """ToChildBlockJoinQuery: children of matching parents (semi join).
+
+    The parent docset is NOT force-broadcast — a broad parent query can
+    match most of the corpus, and a forced broadcast of that would OOM
+    executors at scale; AQE promotes the join to broadcast on its own
+    whenever the matched parent set is actually small."""
+    return children.join(parents.select(parent_key).distinct(), parent_key, "left_semi")

@@ -206,3 +206,25 @@ def test_auto_rewrite_boolean_branch_same_docset(idx):
         ).collect()
     }
     assert boolean == filt and boolean
+
+
+def test_to_child_block_join_no_forced_broadcast(spark):
+    """to_child_block_join must work (and stay correct) when Spark cannot
+    broadcast at all — the parent docset can be corpus-sized at scale."""
+    from lucenenet_spark.search.joins import to_child_block_join
+
+    parents = spark.createDataFrame([(1,), (3,)], "pk long")
+    children = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "d")], "pk long, v string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = to_child_block_join(parents, children, "pk")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan
+        assert sorted((r["pk"], r["v"]) for r in out.collect()) == [
+            (1, "a"), (3, "c"), (3, "d"),
+        ]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
