@@ -237,3 +237,57 @@ def block_join_to_child(spark, sf_dir):
     return to_child_block_join(
         parents, li.select("l_orderkey", "l_linenumber"), "l_orderkey"
     )
+
+
+# ==========================================================================
+# AllGroupHeadsCollector + AllGroupsCollector
+# (Grouping/AllGroupHeadsCollector.cs, Grouping/Terms/
+# TermAllGroupsCollector.cs): the two Grouping-module collectors without
+# gates — head doc per group under the score sort, and the distinct
+# matched-group count.
+# ==========================================================================
+from lucenenet_spark.plans.gate import _Q, _tsc  # noqa: E402
+
+_GROUP_HEADS_SQL = SQL_PRELUDE + "," + _SQL_SCORED + f"""
+, scored AS ({_tsc('merge')})
+SELECT source, doc_id, {_Q} AS score_q FROM (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+) WHERE rn = 1
+"""
+
+
+@gate("group_heads_query", _GROUP_HEADS_SQL)
+def group_heads_query(spark, sf_dir):
+    """group_heads(TermQuery('merge'), by source)."""
+    from lucenenet_spark.search.collectors import group_heads
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s, docs = get_engine(spark, sf_dir)
+    out = group_heads(s, TermQuery("merge"), docs, "source")
+    return out.select(
+        "source",
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+
+
+_ALL_GROUPS_SQL = SQL_PRELUDE + """
+SELECT CAST(count(DISTINCT d.source) AS BIGINT) AS n_groups
+FROM post p JOIN documents d USING (doc_id)
+WHERE p.term = 'merge'
+"""
+
+
+@gate("all_groups_count", _ALL_GROUPS_SQL)
+def all_groups_count_gate(spark, sf_dir):
+    """all_groups_count(TermQuery('merge'), by source)."""
+    from lucenenet_spark.search.collectors import all_groups_count
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s, docs = get_engine(spark, sf_dir)
+    return all_groups_count(s, TermQuery("merge"), docs, "source").select(
+        F.col("n_groups").cast("long").alias("n_groups")
+    )

@@ -134,6 +134,38 @@ def group_topk(
     )
 
 
+def group_heads(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """AllGroupHeadsCollector (Grouping/AllGroupHeadsCollector.cs): the
+    single head document per group under the score sort (desc, doc_id
+    tie-break) — group_topk's window with k=1, returned as
+    (group, doc_id, score)."""
+    scored = searcher.scored(query).join(meta.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(group_col, "doc_id", "score")
+    )
+
+
+def all_groups_count(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """AllGroupsCollector (Grouping/Terms/TermAllGroupsCollector.cs):
+    number of distinct groups with >= 1 matching doc — a docset join +
+    countDistinct, no per-group state on the driver."""
+    matched = searcher.docset(query).join(meta.select("doc_id", group_col), "doc_id")
+    return matched.agg(F.countDistinct(group_col).alias("n_groups"))
+
+
 def sort_topk(
     searcher: IndexSearcher,
     query: Query,
