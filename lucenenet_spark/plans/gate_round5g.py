@@ -291,3 +291,48 @@ def all_groups_count_gate(spark, sf_dir):
     return all_groups_count(s, TermQuery("merge"), docs, "source").select(
         F.col("n_groups").cast("long").alias("n_groups")
     )
+
+
+# ==========================================================================
+# SpanPayloadCheckQuery, single clause (Search/Spans/SpanPayloadCheckQuery
+# .cs) — distinct from the near variant above: one payload collected at
+# one matched position, compared to one required payload; composed with
+# the SpanFirstQuery position limit (match within the first 5 positions).
+# pos%3+1 == 1 admits positions {0, 3} only.
+# ==========================================================================
+_PAYLOAD_CHECK_TERM_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos, CAST((pos % 3) + 1 AS DOUBLE) AS payload
+  FROM tok WHERE term <> ''
+)
+SELECT DISTINCT doc_id
+FROM tokp WHERE term = 'table' AND pos < 5 AND payload = 1.0
+"""
+
+
+@gate("payload_check_first", _PAYLOAD_CHECK_TERM_SQL)
+def payload_check_first(spark, sf_dir):
+    """SpanPayloadCheck(SpanFirst('table', 5), payload=1)."""
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.spans import span_payload_check_term_docs
+
+    _, _, docs = get_engine(spark, sf_dir)
+    payload_text = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.concat(
+                x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    fused = docs.select("doc_id", payload_text.alias("text"))
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    return span_payload_check_term_docs(idx, "table", 1.0, end=5)

@@ -288,3 +288,24 @@ def span_near_payload_check_docs(
     for i in range(n):
         cond = cond & F.col(f"pl{i}").isin(required)
     return joined.filter(cond).select("doc_id").distinct()
+
+
+def span_payload_check_term_docs(
+    index: InvertedIndex,
+    term: str,
+    payload_to_match: float,
+    end: int | None = None,
+    field: str | None = None,
+) -> DataFrame:
+    """SpanPayloadCheckQuery (Search/Spans/SpanPayloadCheckQuery.cs) over a
+    single-clause span: a SpanTermQuery match (optionally position-limited
+    like SpanFirstQuery via `end`) is accepted when the one payload
+    collected at the matched position equals the one required payload —
+    candidate and required counts are both 1, so AcceptPosition's
+    compare-all loop reduces to plain equality. One exploded
+    (position, payload) scan with pushed predicates, no join."""
+    z = _positions_with_payloads(index, term, 0, field)
+    cond = F.col("pl0") == F.lit(float(payload_to_match))
+    if end is not None:
+        cond = cond & (F.col("p0") < F.lit(int(end)))
+    return z.filter(cond).select("doc_id").distinct()

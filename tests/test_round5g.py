@@ -228,3 +228,41 @@ def test_to_child_block_join_no_forced_broadcast(spark):
         ]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_span_payload_check_term_bruteforce(spark, corpus):
+    """Single-clause SpanPayloadCheck over SpanFirst vs a raw-corpus
+    oracle: term within first 5 positions AND pos % 3 + 1 == 1."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucenenet_spark.search.spans import span_payload_check_term_docs
+
+    rows = [(d, t) for d, t in corpus.items()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit("|"), ((i % F.lit(3)) + F.lit(1)).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
+    got = {
+        r["doc_id"]
+        for r in span_payload_check_term_docs(idx, "w0003", 1.0, end=5).collect()
+    }
+    want = {
+        d
+        for d, text in corpus.items()
+        if any(
+            w == "w0003" and i < 5 and i % 3 == 0
+            for i, w in enumerate(x for x in text.split(" ") if x)
+        )
+    }
+    assert got == want
