@@ -1,8 +1,12 @@
-"""Gate registry part 5g (bonus session): the three remaining portable
-query-layer seams — TOP_TERMS bounded MultiTermQuery rewrite
-(Search/TopTermsRewrite.cs), SpanMultiTermQueryWrapper inside a span-near
-(Search/Spans/SpanMultiTermQueryWrapper.cs), and the payload-checked
-span-near (Search/Spans/SpanNearPayloadCheckQuery.cs)."""
+"""Gate registry part 5g (bonus session): the remaining portable
+query-layer seams — the full MultiTermQuery rewrite-strategy set
+(Search/TopTermsRewrite.cs, ScoringRewrite.cs,
+ConstantScoreAutoRewrite.cs), SpanMultiTermQueryWrapper inside a
+span-near (Search/Spans/SpanMultiTermQueryWrapper.cs), the
+payload-checked spans (Search/Spans/Span{Near,}PayloadCheckQuery.cs),
+CachingCollector replay (Search/CachingCollector.cs),
+ToChildBlockJoinQuery (Join/ToChildBlockJoinQuery.cs), and the
+AllGroupHeads/AllGroups collectors (Grouping/)."""
 
 from __future__ import annotations
 
