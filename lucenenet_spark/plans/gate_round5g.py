@@ -340,3 +340,38 @@ def payload_check_first(spark, sf_dir):
     fused = docs.select("doc_id", payload_text.alias("text"))
     idx = build_index(fused, analyzer=DelimitedPayloadAnalyzer())
     return span_payload_check_term_docs(idx, "table", 1.0, end=5)
+
+
+# ==========================================================================
+# Explain API (IndexSearcher.Explain -> BM25Similarity.ExplainScore,
+# Similarities/BM25Similarity.cs:338-371): the Explanation tree's numeric
+# leaves — freq, fieldLength, idf, tfNorm, final score — reproduced per
+# matching doc; the oracle recomputes every leaf from the shared prelude.
+# ==========================================================================
+_EXPLAIN_SQL = SQL_PRELUDE + "," + _SQL_SCORED + """
+SELECT doc_id,
+       tf AS freq,
+       dl AS field_length,
+       CAST(floor(idf * 10000 + 0.5) AS BIGINT) AS idf_q,
+       CAST(floor((2.2 * tf / (tf + nrm)) * 10000 + 0.5) AS BIGINT) AS tfnorm_q,
+       CAST(floor((idf * 2.2 * tf / (tf + nrm)) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM sc WHERE term = 'vector'
+"""
+
+
+@gate("explain_term", _EXPLAIN_SQL)
+def explain_term(spark, sf_dir):
+    """explain_term(TermQuery('vector')): per-doc Explanation leaves."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s, _ = get_engine(spark, sf_dir)
+    out = s.explain_term(TermQuery("vector"))
+    q10k = lambda c: F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("freq").cast("long"),
+        F.col("field_length").cast("long"),
+        q10k("idf").alias("idf_q"),
+        q10k("tf_norm").alias("tfnorm_q"),
+        q10k("score").alias("score_q"),
+    )

@@ -823,6 +823,32 @@ class IndexSearcher:
             return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
         raise TypeError(f"no term predicate for {q!r}")
 
+    def explain_term(self, q: TermQuery, tlb: float = 1.0) -> DataFrame:
+        """IndexSearcher.Explain for a TermQuery: the numeric leaves of the
+        reference's Explanation tree as columns, one row per matching doc —
+        score(doc) = boost x idf x tfNorm with
+        tfNorm = freq*(k1+1) / (freq + k1*(1-b+b*fieldLength/avgFieldLength))
+        (BM25Similarity.ExplainScore, Similarities/BM25Similarity.cs:338-371).
+        Columns: doc_id, freq, field_length, idf, tf_norm, score. The whole
+        explanation is the scoring plan re-projected — same scan, no extra
+        jobs — so explaining k docs costs the same as scoring them."""
+        fld = self._fld(q)
+        stats = self._term_stats([(fld, q.term)])
+        df_, _ = stats.get((fld, q.term), (0, 0))
+        idf = self._idf(df_)
+        norm = self._norm_col(fld)
+        p = self._postings(fld).filter(F.col("term") == q.term)
+        freq = F.col("tf").cast("double")
+        tf_norm = freq * F.lit(self.k1 + 1.0) / (freq + norm)
+        return p.select(
+            "doc_id",
+            F.col("tf").alias("freq"),
+            F.col("dl").alias("field_length"),
+            F.lit(float(idf)).alias("idf"),
+            tf_norm.alias("tf_norm"),
+            (F.lit(float(q.boost) * tlb * idf) * tf_norm).alias("score"),
+        )
+
     def scored_scoring_rewrite(
         self, q: MultiTermQuery, tlb: float = 1.0, field: str | None = None
     ) -> DataFrame:

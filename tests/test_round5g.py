@@ -266,3 +266,20 @@ def test_span_payload_check_term_bruteforce(spark, corpus):
         )
     }
     assert got == want
+
+
+def test_explain_components_multiply_to_score(idx):
+    """Explanation invariant (BM25Similarity.ExplainScore): per row,
+    score == boost(1) * idf * tf_norm, and the score column equals the
+    scorer's own score for the same query."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    s = IndexSearcher(idx, mode="double")
+    ex = s.explain_term(TermQuery("w0002")).collect()
+    assert ex
+    for r in ex:
+        assert abs(r["score"] - r["idf"] * r["tf_norm"]) < 1e-9
+    scored = {r["doc_id"]: r["score"] for r in s.scored(TermQuery("w0002")).collect()}
+    for r in ex:
+        assert abs(scored[r["doc_id"]] - r["score"]) < 1e-9
+    assert set(scored) == {r["doc_id"] for r in ex}
