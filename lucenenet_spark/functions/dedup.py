@@ -433,3 +433,69 @@ def embedding_near_duplicates(
         pair.select("id_a", "id_b", cos_q.alias("cos_q"))
         .filter(F.col("cos_q") >= F.lit(int(round(threshold * 10000))))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into dedup GROUPS: connected
+    components over the undirected pair graph, component id = min node id.
+
+    Pair-based removal is order-dependent on chains (A-B, B-C can drop
+    both B and C or neither); the production answer (RefinedWeb/SlimPajama
+    pipelines) is one representative per component. Algorithm: iterative
+    min-label propagation — each round every node takes the min of its own
+    label and its neighbors' labels, converging in O(component diameter)
+    rounds. Near-dup clusters are near-cliques (diameter 2-3 in practice),
+    so a handful of rounds suffices; for adversarial long-chain graphs at
+    scale, swap in large-star/small-star (Kiveris et al., SoCC'14) behind
+    the same signature. Convergence is detected by a label-sum checksum
+    (one scalar agg per round, which also materializes the iterate).
+    Each round's iterate is localCheckpoint-ed: iterative DataFrame
+    algorithms otherwise nest the previous round's plan inside the next
+    (the round-N logical plan embeds round N-1's), and Catalyst analysis
+    of that exponentially growing tree OOMs the DRIVER long before the
+    data is large — lineage truncation every round is the standard fix
+    (swap in reliable `checkpoint()` with a checkpoint dir when executor
+    loss must be survivable).
+
+    Returns (node, component) for every node that appears in `pairs`."""
+    e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels

@@ -375,3 +375,57 @@ def explain_term(spark, sf_dir):
         q10k("tf_norm").alias("tfnorm_q"),
         q10k("score").alias("score_q"),
     )
+
+
+# ==========================================================================
+# Dedup GROUP resolution: connected components over the MinHash-LSH
+# candidate pairs (component id = min doc_id). Pair lists alone are
+# order-dependent on chains; one-representative-per-component is the
+# production near-dup shape (RefinedWeb/SlimPajama). The oracle reuses
+# the exact LSH pair CTEs of dedup_minhash_lsh and resolves components
+# with a recursive reachability CTE.
+# ==========================================================================
+from lucenenet_spark.plans.gate_pipeline import (  # noqa: E402
+    _MAX_BUCKET,
+    _MINHASH_BANDS,
+    _MINHASH_N,
+    _SHINGLE_DF_CAP,
+    _lsh_sql_ctes,
+)
+from lucenenet_spark.plans.gate import _docs_table  # noqa: E402
+
+_COMPONENTS_SQL = (
+    SQL_PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _lsh_sql_ctes()
+    + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node, CAST(least(node, min(r)) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+)
+
+
+@gate("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark, sf_dir):
+    """connected_components(minhash_lsh_pairs(...)): (node, component)."""
+    from lucenenet_spark.functions import dedup as fdedup
+
+    sh = fdedup.capped_shingles(
+        _docs_table(spark, sf_dir), n=3, df_cap=_SHINGLE_DF_CAP
+    )
+    pairs = fdedup.minhash_lsh_pairs(
+        sh.withColumnRenamed("shingle", "term"),
+        n_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        max_bucket_size=_MAX_BUCKET,
+    )
+    return fdedup.connected_components(pairs)

@@ -283,3 +283,20 @@ def test_explain_components_multiply_to_score(idx):
     for r in ex:
         assert abs(scored[r["doc_id"]] - r["score"]) < 1e-9
     assert set(scored) == {r["doc_id"] for r in ex}
+
+
+def test_connected_components_chains_and_convergence(spark):
+    """Chain A-B-C must land in ONE component (the pair-based failure
+    mode), disjoint pairs stay separate, and a long path converges via
+    min-label propagation within the iteration budget."""
+    from lucenenet_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(100, 108)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[i] == 100 for i in range(100, 109))
+    assert set(got) == {1, 2, 3, 10, 11, *range(100, 109)}
