@@ -300,3 +300,41 @@ def test_connected_components_chains_and_convergence(spark):
     assert got[10] == got[11] == 10
     assert all(got[i] == 100 for i in range(100, 109))
     assert set(got) == {1, 2, 3, 10, 11, *range(100, 109)}
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: random edge lists vs a pure-Python union-find
+    oracle (deterministic seeds; components must match exactly)."""
+    import random
+
+    from lucenenet_spark.functions.dedup import connected_components
+
+    for seed in (7, 19):
+        rng = random.Random(seed)
+        n, m = 60, 45
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_edges = {x for e in edges for x in e}
+        want = {x: find(x) for x in nodes_in_edges}
+        # union-find roots are already component minima here because we
+        # always attach the larger root under the smaller one
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == want, f"seed {seed}"
