@@ -79,13 +79,20 @@ _FRESH_PRIORITY = (
     "expression_sort", "expression_rescore",
     "slow_fuzzy_query", "terms_filter",
     "icu_folding_term", "phonetic_term_query",
-    "snowball_ptitnl_term_query", "snowball_nordic_term_query",
+    # final-session swap: get_term_info (Lucene.Net.Misc row) and
+    # function_recip_scale (Queries.Function ValueSource row) each back a
+    # SURVEY row with NO prior driver evidence; they take the slots of
+    # snowball_ptitnl/snowball_nordic, which duplicate the language-packs
+    # row already driver-verified via de+fr (r04) and still covered
+    # in-window by russian/turkish/thai/hunspell. The displaced pair
+    # moves to first-overflow (registered + green locally).
+    "get_term_info", "function_recip_scale",
     "russian_term_query", "turkish_term_query", "thai_term_query",
     "hunspell_term_query", "classic_analysis", "word_delimiter_phrase",
     "dedup_embedding_cosine", "pii_scrub", "gopher_repetition",
     "url_canonical_dedup", "line_dedup_strip", "html_extract_roundtrip",
     "lm_unigram_quality", "decontam_overlap", "stratified_sample",
-    "payload_near",
+    "payload_near", "snowball_ptitnl_term_query", "snowball_nordic_term_query",
 )
 
 # Re-driver-verified every round regardless of prior green rows.
