@@ -29,7 +29,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recip", "linear", "scale_min_max", "boosted_scores"]
+__all__ = [
+    "recip",
+    "linear",
+    "scale_min_max",
+    "boosted_scores",
+    "const",
+    "div_vs",
+    "pow_vs",
+    "sum_vs",
+    "product_vs",
+    "max_vs",
+    "min_vs",
+    "range_map",
+    "if_vs",
+    "term_freq_source",
+    "tf_source",
+    "doc_freq",
+    "total_term_freq",
+    "max_doc",
+    "num_docs",
+    "sum_total_term_freq",
+    "query_value_source",
+    "function_query",
+]
 
 
 def recip(x: Column, m: float = 1.0, a: float = 1.0, b: float = 1.0) -> Column:
@@ -65,6 +88,155 @@ def scale_min_max(
         .withColumn("scaled", (x - F.col("_vs_mn")) * factor + F.lit(float(tmin)))
         .drop("_vs_mn", "_vs_mx")
     )
+
+
+# --------------------------------------------------------------------------
+# composable Column functions — the arithmetic / conditional half of the
+# ValueSource DSL. Each is one whole-stage-codegen expression; composition
+# nests Columns exactly as the reference nests ValueSources.
+# --------------------------------------------------------------------------
+
+
+def const(v: float) -> Column:
+    """ConstValueSource / DoubleConstValueSource: a per-doc constant."""
+    return F.lit(float(v))
+
+
+def div_vs(a: Column, b: Column) -> Column:
+    """DivFloatFunction: a / b (DualFloatFunction with Func=divide)."""
+    return a / b
+
+
+def pow_vs(a: Column, b: Column) -> Column:
+    """PowFloatFunction: a ** b."""
+    return F.pow(a, b)
+
+
+def sum_vs(*xs: Column) -> Column:
+    """SumFloatFunction (MultiFloatFunction with +)."""
+    out = xs[0]
+    for x in xs[1:]:
+        out = out + x
+    return out
+
+
+def product_vs(*xs: Column) -> Column:
+    """ProductFloatFunction (MultiFloatFunction with *)."""
+    out = xs[0]
+    for x in xs[1:]:
+        out = out * x
+    return out
+
+
+def max_vs(*xs: Column) -> Column:
+    """MaxFloatFunction: per-doc max over the sources."""
+    return F.greatest(*xs) if len(xs) > 1 else xs[0]
+
+
+def min_vs(*xs: Column) -> Column:
+    """MinFloatFunction: per-doc min over the sources."""
+    return F.least(*xs) if len(xs) > 1 else xs[0]
+
+
+def range_map(
+    x: Column, mn: float, mx: float, target: float, default: float | None = None
+) -> Column:
+    """RangeMapFloatFunction: ``mn <= x <= mx -> target``, else ``default``
+    (or x itself when default is None, the reference's null-default path)."""
+    inside = (x >= F.lit(float(mn))) & (x <= F.lit(float(mx)))
+    other = F.lit(float(default)) if default is not None else x
+    return F.when(inside, F.lit(float(target))).otherwise(other)
+
+
+def if_vs(cond: Column, then: Column, otherwise: Column) -> Column:
+    """IfFunction: boolean source selects between two value sources."""
+    return F.when(cond, then).otherwise(otherwise)
+
+
+# --------------------------------------------------------------------------
+# index-stat sources — per-doc term frequency plus the per-reader scalar
+# constants. The reference resolves the scalars once per reader
+# (DocFreqValueSource.cs GetValues -> searcher.DocFreq); here they are one
+# bounded driver lookup against the term-stats / index metadata, never a
+# postings scan.
+# --------------------------------------------------------------------------
+
+
+def _stats_for(index, term: str, field: str | None):
+    fld = field or index.default_field
+    stats = index.term_stats
+    if "field" in stats.columns:
+        stats = stats.filter(F.col("field") == fld)
+    rows = stats.filter(F.col("term") == term).select("df", "ttf").collect()
+    return (int(rows[0]["df"]), int(rows[0]["ttf"])) if rows else (0, 0)
+
+
+def term_freq_source(index, term: str, field: str | None = None) -> DataFrame:
+    """TermFreqValueSource: (doc_id, tf) for docs containing the term —
+    raw termFreq(), no similarity shaping."""
+    fld = field or index.default_field
+    post = index.postings
+    if "field" in post.columns:
+        post = post.filter(F.col("field") == fld)
+    return post.filter(F.col("term") == term).select(
+        "doc_id", F.col("tf").cast("double").alias("tf")
+    )
+
+
+def tf_source(index, term: str, field: str | None = None) -> DataFrame:
+    """TFValueSource: Similarity.Tf(termFreq) — the classic ``sqrt(tf)``
+    (TFValueSource.cs delegates to TFIDFSimilarity.Tf)."""
+    return term_freq_source(index, term, field).select(
+        "doc_id", F.sqrt(F.col("tf")).alias("tf")
+    )
+
+
+def doc_freq(index, term: str, field: str | None = None) -> float:
+    """DocFreqValueSource's per-reader constant."""
+    return float(_stats_for(index, term, field)[0])
+
+
+def total_term_freq(index, term: str, field: str | None = None) -> float:
+    """TotalTermFreqValueSource's per-reader constant."""
+    return float(_stats_for(index, term, field)[1])
+
+
+def max_doc(index) -> float:
+    """MaxDocValueSource: reader.MaxDoc."""
+    return float(index.max_doc)
+
+
+def num_docs(index) -> float:
+    """NumDocsValueSource: MaxDoc minus deletions (live-doc count)."""
+    live = getattr(index, "live_docs", None)
+    if live is not None:
+        return float(live.count())
+    return float(index.max_doc)
+
+
+def sum_total_term_freq(index, field: str | None = None) -> float:
+    """SumTotalTermFreqValueSource's per-reader constant."""
+    return float(index._sttf(field or index.default_field))
+
+
+def query_value_source(
+    all_docs: DataFrame, scored: DataFrame, default: float = 0.0
+) -> DataFrame:
+    """QueryValueSource: per-doc score of a subquery, ``defVal`` for docs
+    the query does not match (QueryValueSource.cs QueryDocValues) — a left
+    join of the full docset against the scored docset, coalesced."""
+    return all_docs.select("doc_id").join(
+        scored.select("doc_id", "score"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(float(default))).alias("value"),
+    )
+
+
+def function_query(docs: DataFrame, value: Column) -> DataFrame:
+    """FunctionQuery: matches EVERY document; score IS the value source
+    (FunctionQuery.cs AllScorer — iterates all live docs)."""
+    return docs.select("doc_id", value.cast("double").alias("score"))
 
 
 def boosted_scores(scored: DataFrame, values: DataFrame, value_col: str) -> DataFrame:
