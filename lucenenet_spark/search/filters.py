@@ -131,3 +131,25 @@ def boolean_filter(
     for n in nots:
         result = _subtract(result, n)
     return result.distinct()
+
+
+def duplicate_filter(
+    docs: DataFrame, key_col: str, keep: str = "last", id_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame[doc_id] — DuplicateFilter (Sandbox/Queries/
+    DuplicateFilter.cs): keep exactly one doc per distinct ``key_col``
+    value, the first or last occurrence in docID order (KeepMode
+    KM_USE_FIRST_OCCURRENCE / KM_USE_LAST_OCCURRENCE). The reference
+    walks each segment's postings setting bits; here it is one partial
+    aggregate — min/max(doc_id) per key — so the shuffle carries one row
+    per distinct key, not per doc. Docs with a NULL key have no term in
+    the field's postings and are dropped, as in the reference."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"unknown keep mode {keep!r}")
+    agg = F.min(id_col) if keep == "first" else F.max(id_col)
+    return (
+        docs.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )

@@ -52,6 +52,8 @@ __all__ = [
     "sum_total_term_freq",
     "query_value_source",
     "function_query",
+    "custom_scores",
+    "ord_field_source",
 ]
 
 
@@ -249,3 +251,47 @@ def boosted_scores(scored: DataFrame, values: DataFrame, value_col: str) -> Data
     return scored.join(values.select("doc_id", value_col), "doc_id").select(
         "doc_id", (F.col("score") * F.col(value_col)).alias("score")
     )
+
+
+def custom_scores(
+    scored: DataFrame, values: DataFrame, value_cols: list[str]
+) -> DataFrame:
+    """CustomScoreQuery with the default CustomScoreProvider
+    (CustomScoreProvider.cs:63-87): ``ModifiedScore = subQueryScore *
+    valSrcScores[0] * valSrcScores[1] * ...`` — one join of the scored
+    docset against the per-doc value frame, then a chained multiply in
+    whole-stage codegen. Zero value sources leaves the subquery score
+    unchanged (the reference's empty-array branch)."""
+    if not value_cols:
+        return scored.select("doc_id", "score")
+    out = scored.join(values.select("doc_id", *value_cols), "doc_id")
+    score = F.col("score")
+    for c in value_cols:
+        score = score * F.col(c)
+    return out.select("doc_id", score.alias("score"))
+
+
+def ord_field_source(docs: DataFrame, field: str, id_col: str = "doc_id") -> DataFrame:
+    """OrdFieldSource / ReverseOrdFieldSource (OrdFieldSource.cs,
+    ReverseOrdFieldSource.cs): per-doc ordinal of the field's value among
+    the lexicographically sorted distinct values, numbered from 1, and
+    the reverse ordinal (rord of the greatest value = 1 — the reference
+    doc's rord("pear")=1 example).
+
+    The reference reads SortedDocValues ordinals from the FieldCache;
+    here the distinct-value dictionary is built once (a tiny aggregate —
+    the window runs over distinct values, not docs) and broadcast-joined
+    back, so no global sort of the docset ever happens."""
+    from pyspark.sql import Window
+
+    vals = docs.select(F.col(field).alias("_v")).where(F.col("_v").isNotNull()).distinct()
+    w = Window.orderBy("_v")
+    dic = vals.select(
+        "_v",
+        F.row_number().over(w).cast("long").alias("ord"),
+        (F.count(F.lit(1)).over(Window.partitionBy())
+         - F.row_number().over(w) + 1).cast("long").alias("rord"),
+    )
+    return docs.select(id_col, F.col(field).alias("_v")).join(
+        F.broadcast(dic), "_v"
+    ).select(id_col, "ord", "rord")
