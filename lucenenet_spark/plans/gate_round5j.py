@@ -1,8 +1,9 @@
 """Gate registry part 5j: CustomScoreQuery with multiple value sources
 (Lucene.Net.Queries/CustomScoreQuery.cs + CustomScoreProvider.cs),
-DuplicateFilter keep-last (Lucene.Net.Sandbox/Queries/DuplicateFilter.cs)
-and the ord()/rord() field sources (OrdFieldSource.cs /
-ReverseOrdFieldSource.cs)."""
+DuplicateFilter keep-last (Lucene.Net.Sandbox/Queries/DuplicateFilter.cs),
+the ord()/rord() field sources (OrdFieldSource.cs /
+ReverseOrdFieldSource.cs), and index sorting — a full permuted rebuild
+(Misc/Index/Sorter/SortingMergePolicy.cs, SortingAtomicReader.cs)."""
 
 from __future__ import annotations
 
@@ -115,3 +116,38 @@ def ord_field_source(spark, sf_dir):
 
     docs = _docs_table(spark, sf_dir)
     return ords(docs, "lang")
+
+
+# ==========================================================================
+# Index sorting: rebuild the index with docIDs assigned in (n_chars,
+# old_id) order — SortingMergePolicy's sorted segments as one range
+# shuffle. BM25 stats are permutation-invariant, so each doc keeps its
+# exact score; only the docIDs move (Sorter.cs DocMap).
+# ==========================================================================
+@gate(
+    "index_sorting_term",
+    SQL_PRELUDE + "," + _SQL_SCORED + """
+, perm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS new_id
+  FROM documents
+)
+SELECT perm.new_id AS doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM (SELECT doc_id, idf * 2.2 * tf / (tf + nrm) AS score
+      FROM sc WHERE term = 'vector') q
+JOIN perm USING (doc_id)
+""",
+)
+def index_sorting_term(spark, sf_dir):
+    """Sorted reindex (index/sorter.py sorted_reindex): assign_doc_ids'
+    two-phase dense rank permutes the corpus in one range shuffle, then a
+    normal rebuild re-derives postings/doclens/stats against the new
+    IDs — SortingAtomicReader materialized instead of simulated."""
+    from lucenenet_spark.index.sorter import sorted_reindex
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    docs = _docs_table(spark, sf_dir)
+    idx, _ = sorted_reindex(docs.select("doc_id", "text", "n_chars"), "n_chars")
+    s = IndexSearcher(idx, mode="double")
+    return _spark_score_q(s.scored(TermQuery("vector")))

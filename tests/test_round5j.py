@@ -88,3 +88,36 @@ def test_custom_score_parity_with_manual_multiply(spark):
     for d, sc in got.items():
         want = base[d] * (0.01 * nn[d] + 1.0) * (100.0 / (nn[d] + 10.0))
         assert math.isclose(sc, want, rel_tol=1e-12)
+
+
+def test_sorted_reindex_permutes_ids_and_preserves_scores(spark):
+    from tests.conftest import make_corpus
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.index.sorter import sort_permutation, sorted_reindex
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    docs = make_corpus(70)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    df = df.withColumn("klen", F.length("text").cast("long"))
+    idx, sorted_docs = sorted_reindex(df, "klen")
+    rows = sorted(sorted_docs.select("doc_id", "klen").collect(), key=lambda r: r["doc_id"])
+    # docID order IS (klen, old_id) order: klen non-decreasing, ids dense
+    assert [r["doc_id"] for r in rows] == list(range(70))
+    lens = [r["klen"] for r in rows]
+    assert lens == sorted(lens)
+    # DocMap: bijective old->new
+    perm = sort_permutation(df, "klen")
+    m = {r["old_id"]: r["new_id"] for r in perm.collect()}
+    assert sorted(m) == list(range(70)) and sorted(m.values()) == list(range(70))
+    # BM25 invariance: same multiset of scores as the unsorted index,
+    # doc-for-doc through the permutation
+    term = "term7"
+    base = IndexSearcher(build_index(df), mode="double")
+    srt = IndexSearcher(idx, mode="double")
+    if base.count(TermQuery(term)) == 0:
+        term = df.select(F.explode(F.split("text", " ")).alias("t")).groupBy("t").count(
+        ).orderBy(F.desc("count")).limit(1).collect()[0]["t"]
+    b = {m[r["doc_id"]]: r["score"] for r in base.scored(TermQuery(term)).collect()}
+    s = {r["doc_id"]: r["score"] for r in srt.scored(TermQuery(term)).collect()}
+    assert b and all(math.isclose(s[d], v, rel_tol=1e-12) for d, v in b.items())
