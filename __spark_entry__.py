@@ -37,6 +37,7 @@ from lucenenet_spark.plans import gate_round5g as _gate_round5g  # noqa: E402  (
 from lucenenet_spark.plans import gate_round5h as _gate_round5h  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5i as _gate_round5i  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5j as _gate_round5j  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5k as _gate_round5k  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

@@ -119,3 +119,101 @@ def naive_bayes_class_scores(
             .alias("nb_q"),
         )
     )
+
+
+def boolean_perceptron_weights(
+    post: DataFrame,
+    labels: DataFrame,
+    threshold2: "F.Column | int",
+    epochs: int = 2,
+) -> DataFrame:
+    """Train BooleanPerceptronClassifier weights, batch-synchronously.
+
+    Reference: src/Lucene.Net.Classification/BooleanPerceptronClassifier.cs
+    — a perceptron over the term->tf vectors of the training docs with a
+    boolean class label; weights start at zero, misclassified docs add
+    (+tf) for positive / (-tf) for negative to every term they contain,
+    and a doc is predicted positive when sum(w[t]*tf) >= threshold.
+
+    DELIBERATE DEVIATION: the reference updates ONLINE, doc by doc in index
+    order — inherently sequential. Here each epoch scores ALL docs against
+    the frozen epoch-start weights, then applies the summed updates of every
+    misclassified doc at once (the classic batch/parallel perceptron). Same
+    hypothesis class and update rule; the update SCHEDULE is epoch-
+    synchronous so the whole pass is two shuffles (score groupBy doc_id,
+    update groupBy term) regardless of corpus size.
+
+    All arithmetic is integer (tf and weights are longs; `threshold2` is
+    TWICE the threshold so `2*score >= threshold2` avoids fractions),
+    making results bit-stable across engines.
+
+    post:    (doc_id, term, tf) training postings.
+    labels:  (doc_id, y boolean) training labels.
+    Returns: (term, w long) — only terms with nonzero training touches.
+    """
+    spark = post.sparkSession
+    w: DataFrame | None = None
+    for _ in range(epochs):
+        if w is None:
+            scores = labels.select("doc_id", F.lit(0).cast("long").alias("score"))
+        else:
+            scores = (
+                post.join(w, "term")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+            )
+        pred = labels.join(scores, "doc_id", "left").select(
+            "doc_id",
+            "y",
+            (F.coalesce(F.col("score"), F.lit(0)) * 2 >= threshold2).alias("p"),
+        )
+        mis = pred.filter(F.col("p") != F.col("y")).select("doc_id", "y")
+        delta = (
+            post.join(mis, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.sum(
+                    F.when(F.col("y"), F.col("tf")).otherwise(-F.col("tf"))
+                ).alias("d")
+            )
+        )
+        if w is None:
+            w = delta.select("term", F.col("d").cast("long").alias("w"))
+        else:
+            w = (
+                w.join(delta, "term", "outer")
+                .select(
+                    "term",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).cast("long").alias("w"),
+                )
+            )
+        # weights table is vocabulary-sized; keep it materialized so the
+        # next epoch's two joins don't replay the whole training lineage
+        w = w.localCheckpoint(eager=True)
+    assert w is not None
+    return w
+
+
+def boolean_perceptron_classify(
+    post: DataFrame,
+    docs: DataFrame,
+    weights: DataFrame,
+    threshold2: "F.Column | int",
+) -> DataFrame:
+    """Apply trained perceptron weights: (doc_id, pred boolean) for every
+    doc in `docs` (docs absent from `post` or matching no weighted term
+    score 0). One postings x weights join + per-doc sum — the weights side
+    shuffles by term exactly like a scored term query."""
+    scores = (
+        post.join(docs.select("doc_id"), "doc_id")
+        .join(weights, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    return docs.select("doc_id").join(scores, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce(F.col("score"), F.lit(0)) * 2 >= threshold2).alias("pred"),
+    )

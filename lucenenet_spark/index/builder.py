@@ -265,24 +265,56 @@ class InvertedIndex:
         return self
 
     # ------------------------------------------------------------------
-    def save(self, path: str, num_term_partitions: int = 8) -> None:
+    def save(
+        self,
+        path: str,
+        num_term_partitions: int = 8,
+        bloom_filter_terms: bool = False,
+        term_ndv: int = 1 << 20,
+    ) -> None:
         """Persist as parquet laid out for query-time pruning.
 
         postings sorted by (term, doc_id) inside term-range partitions →
         parquet row-group min/max stats give term seek (BlockTree analogue);
-        doc_id sort keeps posting lists sequential for merge-join scans."""
-        (
+        doc_id sort keeps posting lists sequential for merge-join scans.
+
+        bloom_filter_terms=True additionally writes parquet bloom filters
+        on the `term` column of postings and term_stats — the columnar
+        analogue of the reference's BloomFilteringPostingsFormat
+        (src/Lucene.Net.Codecs/Bloom/BloomFilteringPostingsFormat.cs):
+        a point term seek skips whole row groups whose bloom filter
+        rejects the term, before the min/max range check even runs. Size
+        the filters with `term_ndv` ≈ distinct terms per file (at 100 TB,
+        pass the real vocabulary estimate; over-sizing only costs bytes,
+        under-sizing only costs false positives — never correctness).
+        Note parquet-mr only materializes the bloom filter when the
+        column chunk falls back from dictionary encoding (vocabulary >
+        parquet.dictionary.page.size, 1 MB default) — exactly the
+        web-scale regime where the seek aid matters; tiny-vocabulary
+        files keep their dictionary, which already IS an exact filter."""
+
+        def _bloom(writer):
+            if bloom_filter_terms:
+                writer = writer.option(
+                    "parquet.bloom.filter.enabled#term", "true"
+                ).option(
+                    "parquet.bloom.filter.expected.ndv#term", str(term_ndv)
+                )
+            return writer
+
+        _bloom(
             self.postings.repartitionByRange(num_term_partitions, "term")
             .sortWithinPartitions("term", "field", "doc_id")
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "postings"))
-        )
+        ).parquet(os.path.join(path, "postings"))
         self.doclens.repartitionByRange(max(1, num_term_partitions // 2), "doc_id").write.mode(
             "overwrite"
         ).parquet(os.path.join(path, "doclens"))
-        self.term_stats.repartitionByRange(num_term_partitions, "term").sortWithinPartitions(
-            "term", "field"
-        ).write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        _bloom(
+            self.term_stats.repartitionByRange(num_term_partitions, "term").sortWithinPartitions(
+                "term", "field"
+            ).write.mode("overwrite")
+        ).parquet(os.path.join(path, "term_stats"))
         with open(os.path.join(path, "stats.json"), "w") as f:
             json.dump(
                 {
