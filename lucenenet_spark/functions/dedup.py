@@ -499,3 +499,66 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels
+
+
+def crossdoc_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span detection (ExactSubstr-style, after
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): for every document, how many of its n-token spans also
+    occur verbatim in at least one OTHER document.
+
+    Returns one row per doc: (doc_id, total_ngrams, dup_ngrams) — integer
+    counts, where dup_ngrams counts n-gram POSITIONS whose gram appears
+    in >= 2 distinct docs (repeated occurrences each count). Downstream
+    policy (drop doc when dup_ngrams/total_ngrams > tau, or strip the
+    covered spans) composes on top.
+
+    Scale shape: n-gram construction is ZERO-shuffle — a per-row
+    higher-order-function pass (split -> transform -> md5 over each
+    n-token slice) in whole-stage codegen, no window function and no
+    self-join. The only shuffles are the groupBy(gram) distinct-doc
+    count (map-side partial agg first) and the left-semi join of
+    positions against the duplicated-gram set. Grams are keyed by md5
+    (shared with the DuckDB oracle); at 100 TB swap the key to
+    xxhash64 to cut shuffle width 4x, and rely on AQE skew-join for
+    boilerplate grams (the df-cap idea from capped_shingles applies:
+    a gram in >max_df docs is "duplicated" by definition and can be
+    short-circuited into the semi-join set without carrying its
+    full posting).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_pos = _track(docs.select(F.col(id_col), F.explode(grams).alias("h")))
+    dup_h = (
+        per_pos.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    tot = per_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    dup = (
+        per_pos.join(dup_h, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(tot, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_ngrams", F.lit(0)).cast("long").alias("total_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+        )
+    )

@@ -26,9 +26,13 @@ Covers the remaining ``Lucene.Net.Sandbox/Queries`` surface
   tf-sensitive path instead multiplies each boost into the engine's
   BM25 term score — a documented scoring-model substitution).
 - :func:`sorted_set_sort_field` ≙ ``SortedSetSortField`` +
-  ``SortedSetSelector`` MIN/MAX — order docs by the min/max value of a
-  multivalued string field, a single groupBy aggregation feeding
-  TakeOrdered.
+  ``SortedSetSelector`` MIN/MAX/MIDDLE_MIN/MIDDLE_MAX — order docs by
+  the selected value of a multivalued string field, a single groupBy
+  aggregation feeding TakeOrdered. The middle selectors pick the
+  middle ord of the doc's sorted distinct value set; with an even
+  count MIDDLE_MIN takes the lower of the two middles (0-based index
+  ``(count-1)/2``) and MIDDLE_MAX the upper (``count/2``) —
+  ``SortedSetSelector.cs`` MIDDLE_MIN/MIDDLE_MAX.
 - :func:`terms_filter` ≙ ``Queries/TermsFilter.cs`` — match-any-of-N
   set filter as an IN-list pushdown over the postings (no per-term
   scan fan-out; one predicate, one distinct).
@@ -246,21 +250,44 @@ def sorted_set_sort_field(
     ascending: bool = True,
     k: int = 20,
 ) -> DataFrame:
-    """SortedSetSortField: order docs by the MIN/MAX value of a
-    multivalued field. Accepts either one row per (doc, value) or an
-    array column; emits (doc_id, sort_key) top-k. One partial-aggregated
-    groupBy then TakeOrdered — no global sort."""
-    if selector not in ("min", "max"):
-        raise ValueError("selector must be 'min' or 'max' (SortedSetSelector.Type)")
+    """SortedSetSortField: order docs by the selected value of a
+    multivalued field (selector in min/max/middle_min/middle_max).
+    Accepts either one row per (doc, value) or an array column; emits
+    (doc_id, sort_key) top-k. One partial-aggregated groupBy then
+    TakeOrdered — no global sort. The middle selectors need the doc's
+    full sorted distinct value set, so their aggregate is a collect_set
+    (bounded by the field's per-doc value count, tiny for real
+    SortedSet fields); min/max stay a plain partial-aggregated min/max."""
+    if selector not in ("min", "max", "middle_min", "middle_max"):
+        raise ValueError(
+            "selector must be min/max/middle_min/middle_max (SortedSetSelector.Type)"
+        )
     from pyspark.sql.types import ArrayType
+
+    def _middle(arr):
+        n = F.size(arr)
+        # 0-based middle ord: (n-1)/2 for MIDDLE_MIN, n/2 for MIDDLE_MAX
+        # (SortedSetSelector.cs) -> 1-based element_at.
+        idx = (n - F.lit(1)) if selector == "middle_min" else n
+        return F.element_at(arr, (F.floor(idx / F.lit(2)) + F.lit(1)).cast("int"))
 
     schema = dict((f.name, f.dataType) for f in doc_values.schema.fields)
     if isinstance(schema.get(value_col), ArrayType):
-        key = (F.array_min if selector == "min" else F.array_max)(F.col(value_col))
+        arr = F.array_sort(F.array_distinct(F.col(value_col)))
+        if selector == "min":
+            key = F.array_min(F.col(value_col))
+        elif selector == "max":
+            key = F.array_max(F.col(value_col))
+        else:
+            key = _middle(arr)
         per_doc = doc_values.select(F.col(id_col), key.alias("sort_key"))
-    else:
+    elif selector in ("min", "max"):
         agg = (F.min if selector == "min" else F.max)(F.col(value_col))
         per_doc = doc_values.groupBy(id_col).agg(agg.alias("sort_key"))
+    else:
+        per_doc = doc_values.groupBy(id_col).agg(
+            _middle(F.array_sort(F.collect_set(F.col(value_col)))).alias("sort_key")
+        )
     order = F.col("sort_key").asc() if ascending else F.col("sort_key").desc()
     return per_doc.orderBy(order, F.col(id_col).asc()).limit(k)
 

@@ -54,6 +54,7 @@ __all__ = [
     "function_query",
     "custom_scores",
     "ord_field_source",
+    "join_doc_freq",
 ]
 
 
@@ -269,6 +270,35 @@ def custom_scores(
     for c in value_cols:
         score = score * F.col(c)
     return out.select("doc_id", score.alias("score"))
+
+
+def join_doc_freq(
+    docs: DataFrame,
+    index,
+    value: Column,
+    qfield: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """JoinDocFreqValueSource (JoinDocFreqValueSource.cs): per doc, read
+    a term-valued expression off the document's stored fields and return
+    that term's docFreq in ``qfield``'s dictionary; 0 when the term is
+    absent (the reference's SeekExact-miss branch returns 0).
+
+    The reference walks a per-reader FieldCache of the stored terms and
+    seeks each into the target field's TermsEnum; here it is ONE left
+    join of the docset against the term-stats frame — both sides are
+    shuffle-partitioned on the term key (term_stats is vocabulary-sized,
+    NOT forced broadcast; AQE promotes it when it is actually small)."""
+    fld = qfield or index.default_field
+    stats = index.term_stats
+    if "field" in stats.columns:
+        stats = stats.filter(F.col("field") == fld)
+    stats = stats.select(F.col("term").alias("_jv"), F.col("df").cast("long").alias("_jdf"))
+    return (
+        docs.select(id_col, value.alias("_jv"))
+        .join(stats, "_jv", "left")
+        .select(id_col, F.coalesce(F.col("_jdf"), F.lit(0)).alias("value"))
+    )
 
 
 def ord_field_source(docs: DataFrame, field: str, id_col: str = "doc_id") -> DataFrame:

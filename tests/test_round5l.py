@@ -1,0 +1,148 @@
+"""Round-5l tests: SortedSetSelector middle selectors, JoinDocFreq
+value source, cross-document duplicated-span detection."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucenenet_spark.functions.dedup import crossdoc_span_stats
+from lucenenet_spark.index.builder import build_index
+from lucenenet_spark.search.sandbox import sorted_set_sort_field
+from lucenenet_spark.search.valuesources import join_doc_freq
+
+
+ROWS = [  # (doc, value) multivalued field: sets of size 1..4
+    (0, "b"), (0, "d"), (0, "a"), (0, "c"),   # sorted {a,b,c,d}
+    (1, "z"), (1, "m"), (1, "q"),             # sorted {m,q,z}
+    (2, "k"),                                  # {k}
+    (3, "y"), (3, "a"), (3, "a"),             # {a,y} (dup value collapses)
+]
+# SortedSetSelector 0-based picks over the sorted distinct sets
+MIDDLE_MIN = {0: "b", 1: "q", 2: "k", 3: "a"}   # ord (n-1)//2
+MIDDLE_MAX = {0: "c", 1: "q", 2: "k", 3: "y"}   # ord n//2
+MINV = {0: "a", 1: "m", 2: "k", 3: "a"}
+MAXV = {0: "d", 1: "z", 2: "k", 3: "y"}
+
+
+@pytest.fixture(scope="module")
+def dv(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, v string")
+
+
+@pytest.mark.parametrize(
+    "selector,expect",
+    [("min", MINV), ("max", MAXV), ("middle_min", MIDDLE_MIN), ("middle_max", MIDDLE_MAX)],
+)
+def test_sorted_set_selectors_rowform(dv, selector, expect):
+    got = {
+        r["doc_id"]: r["sort_key"]
+        for r in sorted_set_sort_field(dv, value_col="v", selector=selector, k=10).collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.parametrize(
+    "selector,expect",
+    [("min", MINV), ("max", MAXV), ("middle_min", MIDDLE_MIN), ("middle_max", MIDDLE_MAX)],
+)
+def test_sorted_set_selectors_arrayform(dv, spark, selector, expect):
+    arr = dv.groupBy("doc_id").agg(F.collect_list("v").alias("v"))
+    got = {
+        r["doc_id"]: r["sort_key"]
+        for r in sorted_set_sort_field(arr, value_col="v", selector=selector, k=10).collect()
+    }
+    assert got == expect
+
+
+def test_sorted_set_order_and_k(dv):
+    out = sorted_set_sort_field(dv, value_col="v", selector="middle_min", k=2).collect()
+    assert [(r["doc_id"], r["sort_key"]) for r in out] == [(3, "a"), (0, "b")]
+
+
+def test_sorted_set_bad_selector(dv):
+    with pytest.raises(ValueError):
+        sorted_set_sort_field(dv, value_col="v", selector="median")
+
+
+DOCS = [
+    (0, "apple pie apple tart"),
+    (1, "apple banana"),
+    (2, "banana banana split"),
+    (3, "zzz unseen"),
+]
+
+
+def test_join_doc_freq_matches_brute(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(docs, text_col="text", id_col="doc_id").cache()
+    first = F.element_at(F.split(F.col("text"), " "), 1)
+    got = {r["doc_id"]: r["value"] for r in join_doc_freq(docs, idx, first).collect()}
+    # df(apple)=2 docs, df(banana)=2, df(zzz)=1
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+def test_join_doc_freq_absent_term_is_zero(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(docs, text_col="text", id_col="doc_id").cache()
+    got = {
+        r["doc_id"]: r["value"]
+        for r in join_doc_freq(docs, idx, F.lit("nosuchterm")).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+SPAN_DOCS = [
+    # docs 0 and 1 share the 8-token run "a b c d e f g h" (doc 1 shifted)
+    (0, "a b c d e f g h x y z"),
+    (1, "p q a b c d e f g h"),
+    (2, "one two three four five six seven"),          # 7 tokens -> no 8-grams
+    (3, "u v w aa bb cc dd ee ff"),                    # unique grams only
+]
+
+
+def _py_span_stats(docs, n=8):
+    grams = {}
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        gs = [
+            hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+            for i in range(len(toks) - n + 1)
+        ]
+        per_doc[doc_id] = gs
+        for g in set(gs):
+            grams.setdefault(g, set()).add(doc_id)
+    out = {}
+    for doc_id, gs in per_doc.items():
+        dup = sum(1 for g in gs if len(grams[g]) > 1)
+        out[doc_id] = (len(gs), dup)
+    return out
+
+
+def test_crossdoc_span_stats_matches_brute(spark):
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["total_ngrams"], r["dup_ngrams"])
+        for r in crossdoc_span_stats(docs, n=8).collect()
+    }
+    assert got == _py_span_stats(SPAN_DOCS, n=8)
+    # the planted shared run is detected on both sides of the pair
+    assert got[0][1] >= 1 and got[1][1] >= 1
+    # the short doc yields zero grams, the unique doc zero dups
+    assert got[2] == (0, 0)
+    assert got[3][1] == 0
+
+
+def test_crossdoc_span_stats_within_doc_repeat_not_dup(spark):
+    # an n-gram repeated inside ONE doc is not a cross-doc duplicate
+    rows = [(0, " ".join(["r"] * 20)), (1, "alpha beta gamma delta eps zeta eta theta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["total_ngrams"], r["dup_ngrams"])
+        for r in crossdoc_span_stats(docs, n=8).collect()
+    }
+    assert got[0] == (13, 0)
+    assert got[1] == (1, 0)
