@@ -112,3 +112,44 @@ def crossdoc_span_dedup(spark, sf_dir):
 
     _idx, _s, docs = get_engine(spark, sf_dir)
     return crossdoc_span_stats(docs, n=8)
+
+
+# ==========================================================================
+# The classic TFIDF partial as a ValueSource composition: TFValueSource
+# (sqrt tf) x IDFValueSource (per-reader ln(N/(df+1))+1 scalar) x
+# NormValueSource (1/sqrt(dl), double mode) for every doc containing the
+# term — IDFValueSource.cs + NormValueSource.cs driven through the DSL.
+# Multiplication order matches the SQL's left-assoc a*b*c; quantized 1e4.
+# ==========================================================================
+@gate(
+    "function_norm_idf",
+    SQL_PRELUDE + """
+SELECT p.doc_id,
+       CAST(floor(sqrt(p.tf) * (ln(cs.n / (ts.df + 1)) + 1)
+                  * (1.0 / sqrt(dl.dl)) * 1e4 + 0.5) AS BIGINT) AS vq
+FROM post p JOIN ts USING (term) JOIN dl USING (doc_id), cs
+WHERE p.term = 'vector' AND dl.dl > 0
+""",
+)
+def function_norm_idf(spark, sf_dir):
+    from lucenenet_spark.search.valuesources import (
+        classic_idf,
+        doc_freq,
+        norm_source,
+        tf_source,
+    )
+
+    idx, _s, _docs = get_engine(spark, sf_dir)
+    idf = classic_idf(doc_freq(idx, "vector"), idx.max_doc)
+    tf = tf_source(idx, "vector")  # (doc_id, tf) with tf = sqrt(termFreq)
+    nrm = norm_source(idx)  # (doc_id, value) = 1/sqrt(dl), dl=0 -> 0
+    return (
+        tf.join(nrm, "doc_id")
+        .filter(F.col("value") > 0)
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("tf") * F.lit(idf) * F.col("value") * F.lit(1e4) + F.lit(0.5)
+            ).cast("long").alias("vq"),
+        )
+    )

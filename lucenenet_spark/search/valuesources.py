@@ -55,6 +55,8 @@ __all__ = [
     "custom_scores",
     "ord_field_source",
     "join_doc_freq",
+    "norm_source",
+    "classic_idf",
 ]
 
 
@@ -270,6 +272,54 @@ def custom_scores(
     for c in value_cols:
         score = score * F.col(c)
     return out.select("doc_id", score.alias("score"))
+
+
+def norm_source(index, field: str | None = None, mode: str = "double") -> DataFrame:
+    """NormValueSource (NormValueSource.cs): per-doc decoded field norm,
+    ``Similarity.DecodeNormValue(norms.Get(doc))`` — for the classic
+    TFIDF similarity the length norm ``1/sqrt(dl)``.
+
+    mode='double' returns the exact ``1/sqrt(dl)`` the engine's double
+    scoring mode uses (dl is stored per (doc, field) in ``doclens`` — a
+    pure column expression, no join); mode='parity' decodes the stored
+    SmallFloat315 ``norm_byte`` instead, reproducing the reference's
+    byte-quantized value exactly. Docs with dl=0 get value 0 (the
+    reference encodes +inf for an empty field; a 0 default is the
+    useful neutral for function queries and is documented here as the
+    deviation)."""
+    if mode not in ("double", "parity"):
+        raise ValueError("mode must be 'double' or 'parity'")
+    fld = field or index.default_field
+    dls = index.doclens.filter(F.col("field") == fld)
+    if mode == "parity":
+        # 256-entry SmallFloat315 decode table (SByte315ToSingle — the
+        # reference's TFIDFSimilarity.DecodeNormValue) as an array
+        # literal, element_at lookup like the searcher's norm cache.
+        import numpy as np
+
+        from lucenenet_spark.index.smallfloat import byte315_to_float
+
+        tbl = F.array(
+            *[F.lit(float(v)) for v in byte315_to_float(np.arange(256, dtype=np.uint8))]
+        )
+        return dls.select(
+            "doc_id",
+            F.element_at(tbl, F.col("norm_byte") + F.lit(1)).cast("double").alias("value"),
+        )
+    return dls.select(
+        "doc_id",
+        F.when(
+            F.col("dl") > 0, F.lit(1.0) / F.sqrt(F.col("dl").cast("double"))
+        ).otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def classic_idf(df: float, max_doc: float) -> float:
+    """IDFValueSource's per-reader scalar (IDFValueSource.cs delegates to
+    TFIDFSimilarity.Idf): ``ln(maxDoc / (df + 1)) + 1``."""
+    import math
+
+    return math.log(max_doc / (df + 1.0)) + 1.0
 
 
 def join_doc_freq(

@@ -146,3 +146,43 @@ def test_crossdoc_span_stats_within_doc_repeat_not_dup(spark):
     }
     assert got[0] == (13, 0)
     assert got[1] == (1, 0)
+
+
+def test_norm_source_double_and_parity(spark):
+    import math
+
+    from lucenenet_spark.index.smallfloat import byte315_to_float, encode_norm
+    from lucenenet_spark.search.valuesources import norm_source
+
+    docs = spark.createDataFrame(
+        # "a" is a stopword: doc 0 has dl=3, doc 1 dl=0 (empty after stops)
+        [(0, "a b c d"), (1, "a"), (2, "x y z w v u t s q")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, text_col="text", id_col="doc_id").cache()
+    dbl = {r["doc_id"]: r["value"] for r in norm_source(idx).collect()}
+    assert dbl[0] == pytest.approx(1 / math.sqrt(3))
+    assert dbl[1] == 0.0  # dl=0 -> documented neutral
+    assert dbl[2] == pytest.approx(1 / math.sqrt(9))
+    # parity mode reproduces the stored SmallFloat315 decode exactly
+    import numpy as np
+
+    par = {r["doc_id"]: r["value"] for r in norm_source(idx, mode="parity").collect()}
+    for doc_id, dl in ((0, 3), (2, 9)):
+        byte = int(encode_norm(np.array([dl]))[0])
+        expect = float(byte315_to_float(np.array([byte], dtype=np.uint8))[0])
+        assert par[doc_id] == pytest.approx(expect, rel=0)
+        # the decode is the quantized 1/sqrt(dl), i.e. within SmallFloat's
+        # one-significant-digit band of the exact value
+        assert expect == pytest.approx(1 / math.sqrt(dl), rel=0.3)
+    with pytest.raises(ValueError):
+        norm_source(idx, mode="exact")
+
+
+def test_classic_idf_formula():
+    import math
+
+    from lucenenet_spark.search.valuesources import classic_idf
+
+    assert classic_idf(3, 100) == pytest.approx(math.log(100 / 4) + 1)
+    assert classic_idf(0, 10) == pytest.approx(math.log(10) + 1)
