@@ -562,3 +562,54 @@ def crossdoc_span_stats(
             F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
         )
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ExactSubstr REMOVAL transform (Lee et al. 2022): rewrite each
+    document with every n-token span that also occurs verbatim in
+    another document stripped out. Returns (doc_id, clean_text) — docs
+    that are entirely boilerplate (e.g. exact duplicates) come back as
+    the empty string; docs shorter than n tokens pass through unchanged.
+
+    Plan: the same zero-shuffle per-row gram pass as
+    :func:`crossdoc_span_stats`, posexploded WITH the span start
+    position; duplicated grams found by one groupBy; the surviving
+    start-position list per doc is collected (bounded by the doc's own
+    token count) and the rewrite is a per-row filter with an index
+    lambda — token j is dropped iff some duplicated span start s covers
+    it (s <= j < s+n) — entirely in whole-stage codegen, no UDF.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _track(docs.select(F.col(id_col), toks.alias("_toks"), grams.alias("_g")))
+    per_pos = base.select(id_col, F.posexplode("_g").alias("pos", "h"))
+    dup_h = (
+        per_pos.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    starts = (
+        per_pos.join(dup_h, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    s_arr = F.coalesce(F.col("_starts"), F.array().cast("array<integer>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, j: ~F.exists(s_arr, lambda s: (j >= s) & (j < s + F.lit(n))),
+    )
+    return base.join(starts, id_col, "left").select(
+        id_col, F.concat_ws(" ", kept).alias("clean_text")
+    )

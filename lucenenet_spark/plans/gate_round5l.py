@@ -153,3 +153,51 @@ def function_norm_idf(spark, sf_dir):
             ).cast("long").alias("vq"),
         )
     )
+
+
+# ==========================================================================
+# ExactSubstr removal: rewrite each doc with its cross-doc duplicated
+# 8-token spans stripped (the transform composing on crossdoc_span_dedup's
+# detection). clean_text is compared byte-for-byte; fully-duplicated docs
+# come back as the empty string on both sides.
+# ==========================================================================
+@gate(
+    "strip_dup_spans",
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+    FROM t WHERE len(toks) >= 8
+  )
+),
+d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS p
+    FROM g JOIN d USING (h)
+  )
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) AS p FROM t
+),
+kept AS (
+  SELECT tok.doc_id, tok.tk, tok.p
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+  WHERE cov.p IS NULL
+)
+SELECT d0.doc_id, coalesce(k.txt, '') AS clean_text
+FROM documents d0 LEFT JOIN (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS txt FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+)
+def strip_dup_spans(spark, sf_dir):
+    from lucenenet_spark.functions.dedup import strip_duplicated_spans
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    return strip_duplicated_spans(docs, n=8)

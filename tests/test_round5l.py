@@ -186,3 +186,50 @@ def test_classic_idf_formula():
 
     assert classic_idf(3, 100) == pytest.approx(math.log(100 / 4) + 1)
     assert classic_idf(0, 10) == pytest.approx(math.log(10) + 1)
+
+
+def test_strip_duplicated_spans_matches_brute(spark):
+    from lucenenet_spark.functions.dedup import strip_duplicated_spans
+
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicated_spans(docs, n=8).collect()
+    }
+    # shared run "a b c d e f g h" stripped from both docs
+    assert got[0] == "x y z"
+    assert got[1] == "p q"
+    # short doc and unique doc pass through unchanged
+    assert got[2] == SPAN_DOCS[2][1]
+    assert got[3] == SPAN_DOCS[3][1]
+
+
+def test_strip_duplicated_spans_exact_dup_goes_empty(spark):
+    from lucenenet_spark.functions.dedup import strip_duplicated_spans
+
+    t = "alpha beta gamma delta eps zeta eta theta iota"
+    docs = spark.createDataFrame([(0, t), (1, t)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicated_spans(docs, n=8).collect()
+    }
+    assert got == {0: "", 1: ""}
+
+
+def test_strip_duplicated_spans_overlapping_coverage(spark):
+    from lucenenet_spark.functions.dedup import strip_duplicated_spans
+
+    # doc 1 contains TWO overlapping copies of doc 0's full 8-token run's
+    # 9-token superset; coverage union must strip the whole overlap region
+    run = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(0, run + " tailzero"), (1, "head " + run)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicated_spans(docs, n=8).collect()
+    }
+    # both 8-gram starts inside the 9-token run are duplicated -> all 9
+    # tokens covered on each side; the unique flank tokens survive
+    assert got[0] == "tailzero"
+    assert got[1] == "head"
