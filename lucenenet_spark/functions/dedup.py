@@ -583,6 +583,13 @@ def strip_duplicated_spans(
     token count) and the rewrite is a per-row filter with an index
     lambda — token j is dropped iff some duplicated span start s covers
     it (s <= j < s+n) — entirely in whole-stage codegen, no UDF.
+
+    The rewrite is O(tokens x duplicated_starts) per row, which is only
+    pathological for long documents that are themselves near-complete
+    duplicates (starts ~ tokens). The practical pipeline removes those
+    first — exact_duplicates / minhash drop whole-doc copies, and
+    crossdoc_span_stats(dup==total) identifies all-boilerplate docs —
+    leaving this transform the sparse-overlap tail it is linear on.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     grams = F.when(
