@@ -233,3 +233,23 @@ def test_strip_duplicated_spans_overlapping_coverage(spark):
     # tokens covered on each side; the unique flank tokens survive
     assert got[0] == "tailzero"
     assert got[1] == "head"
+
+
+def _physical_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_crossdoc_ops_stay_jvm_side(spark):
+    """The span ops must compile to pure whole-stage-codegen plans:
+    no Python eval nodes (the gram pass is HOF Columns, not UDFs) and
+    no cartesian product (the dup-gram match is a semi join)."""
+    from lucenenet_spark.functions.dedup import (
+        crossdoc_span_stats,
+        strip_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    for op in (crossdoc_span_stats, strip_duplicated_spans):
+        plan = _physical_plan(op(docs, n=8))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
