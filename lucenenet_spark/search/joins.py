@@ -55,3 +55,44 @@ def to_child_block_join(
     executors at scale; AQE promotes the join to broadcast on its own
     whenever the matched parent set is actually small."""
     return children.join(parents.select(parent_key).distinct(), parent_key, "left_semi")
+
+
+def join_util_scored(
+    from_scored: DataFrame,
+    from_attrs: DataFrame,
+    to_docs: DataFrame,
+    *,
+    join_col: str,
+    score_mode: str = "max",
+    score_col: str = "score",
+    from_id_col: str = "doc_id",
+    to_id_col: str = "doc_id",
+) -> DataFrame:
+    """JoinUtil.CreateJoinQuery with a scoring ScoreMode (Total | Max | Avg):
+    (to_doc_id, score) where score is the chosen aggregate of the from-side
+    query scores sharing each join value.
+
+    Reference: Lucene.Net.Join/JoinUtil.cs:77-82 builds a
+    TermsWithScoreCollector (one aggregated float per distinct from-value,
+    TermsWithScoreCollector.cs Total/Max/Avg branches) and wraps it in
+    TermsIncludingScoreQuery (TermsIncludingScoreQuery.cs:27), whose scorer
+    assigns every to-doc carrying a collected term that term's aggregate.
+
+    Spark shape: the per-value aggregation is a groupBy over the matched
+    from-docs only (query-selective, small), then ONE equi-join against the
+    to side. The aggregated value table is not force-broadcast — a broad
+    from-query can cover most distinct values and AQE promotes the join
+    when the set is genuinely small. ScoreMode.None is the unscored
+    TermsQuery path already covered by `join_by_source`."""
+    mode = score_mode.lower()
+    if mode not in ("total", "max", "avg"):
+        raise ValueError(f"score_mode must be total|max|avg, got {score_mode!r}")
+    agg = {"total": F.sum, "max": F.max, "avg": F.avg}[mode]
+    per_value = (
+        from_scored.join(from_attrs, from_id_col)
+        .groupBy(join_col)
+        .agg(agg(F.col(score_col)).alias("join_score"))
+    )
+    return to_docs.join(per_value, join_col).select(
+        F.col(to_id_col), F.col("join_score").alias(score_col)
+    )

@@ -250,3 +250,32 @@ class LiveFieldValues:
 
     def __len__(self) -> int:
         return len(self._pending)
+
+
+def live_overlay(
+    committed: DataFrame,
+    pending: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    deleted_col: str = "deleted",
+) -> DataFrame:
+    """The whole-table view LiveFieldValues serves point-wise: pending
+    writes win over the committed searcher state, pending deletes hide the
+    row entirely (Search/LiveFieldValues.cs:109-128 — overlay hit returns
+    the written value, a stored `null` marks a delete, miss falls through
+    to the current searcher).
+
+    ``pending`` carries the same value columns as ``committed`` plus a
+    boolean ``deleted_col``. Shape: one left-anti join (committed rows not
+    overwritten) + union of surviving pending rows. The overlay is the
+    writes-since-last-refresh set — small by the same contract that bounds
+    the reference's in-memory map — so AQE broadcasts the anti-join side;
+    after `refreshed()` the overlay is empty and the view IS the committed
+    table."""
+    value_cols = [c for c in committed.columns]
+    surviving = pending.filter(~F.col(deleted_col)).select(*value_cols)
+    deleted_or_written = pending.select(id_col)
+    return (
+        committed.join(deleted_or_written, id_col, "left_anti")
+        .unionByName(surviving)
+    )
