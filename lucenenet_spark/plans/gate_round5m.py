@@ -235,3 +235,73 @@ def collection_stats(spark, sf_dir):
 
     idx, _s, _docs = get_engine(spark, sf_dir)
     return collection_statistics(idx)
+
+
+# ==========================================================================
+# SmartChineseAnalyzer (Analysis.SmartCn/SmartChineseAnalyzer.cs:49,156-166):
+# 'key value' fused to the compound 智能分词, segmented back by the user
+# dictionary {智能, 分词}; the Porter leg of the chain (PorterStemFilter
+# over embedded Latin) is exercised by querying the STEM 'merg' — the
+# conjunction returns docs with the original adjacent pair AND any
+# 'merge' token.
+# ==========================================================================
+@gate(
+    "smartcn_analysis",
+    SQL_PRELUDE + """
+SELECT DISTINCT a.doc_id
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN tok c ON c.doc_id = a.doc_id
+WHERE a.term = 'key' AND b.term = 'value' AND c.term = 'merge'
+""",
+)
+def smartcn_analysis(spark, sf_dir):
+    from lucenenet_spark.analysis.analyzers import SmartChineseAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    fused = docs.select(
+        "doc_id", F.regexp_replace("text", "key value", "智能分词").alias("text")
+    )
+    ix = build_index(fused, analyzer=SmartChineseAnalyzer(user_dict=["智能", "分词"]))
+    s = IndexSearcher(ix, mode="double")
+    q = BooleanQuery.of(
+        (TermQuery("分词"), Occur.MUST), (TermQuery("merg"), Occur.MUST)
+    )
+    return s.docset(q)
+
+
+# ==========================================================================
+# TokenSources highlighting (Highlighter/TokenSources.cs): fragments are
+# rebuilt from the INDEX term vector (positions on the postings row), not
+# by re-analysis — first occurrence of 'vector' ± 3 tokens, hits wrapped,
+# n_hits = doc tf. Pure Column plan: one postings->stored-fields join.
+# ==========================================================================
+@gate(
+    "token_sources_highlight",
+    SQL_PRELUDE + """
+, hit AS (
+  SELECT doc_id, CAST(min(pos) AS INTEGER) AS p,
+         CAST(count(*) AS INTEGER) AS n_hits
+  FROM tokf WHERE term = 'vector' GROUP BY doc_id
+),
+base AS (
+  SELECT h.doc_id, h.p, h.n_hits, string_split(d.text, ' ') AS toks
+  FROM hit h JOIN documents d USING (doc_id)
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           toks[greatest(0, p - 3) + 1 : p + 3 + 1],
+           x -> CASE WHEN x = 'vector' THEN '<b>' || x || '</b>' ELSE x END
+         ), ' ') AS fragment,
+       n_hits
+FROM base
+""",
+)
+def token_sources_highlight_gate(spark, sf_dir):
+    from lucenenet_spark.search.highlight import token_sources_highlight
+
+    idx, _s, docs = get_engine(spark, sf_dir)
+    return token_sources_highlight(idx, docs, "vector", context=3)

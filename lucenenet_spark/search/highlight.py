@@ -92,3 +92,49 @@ def highlight(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, HIGHLIGHT_SCHEMA)
+
+
+def token_sources_highlight(
+    index,
+    docs: DataFrame,
+    term: str,
+    *,
+    field: str = "text",
+    text_col: str = "text",
+    context: int = 3,
+) -> DataFrame:
+    """Highlight from the TERM VECTOR, without re-analysis.
+
+    Reference: Highlighter/TokenSources.cs — when a field stores term
+    vectors with positions, GetTokenStream reconstructs the token stream
+    from the vector instead of re-running the analyzer, and the
+    Highlighter consumes that. Here the postings row IS the term vector
+    (positions ride on it), so the fragment is built by pure Column
+    expressions: first-occurrence position -> token-window slice of the
+    stored text -> hit wrapping — whole-stage codegen, no Python, and the
+    only join is postings->stored-fields on doc_id.
+
+    Returns (doc_id, fragment, n_hits) for every doc containing `term`,
+    n_hits being the doc-level term frequency."""
+    from pyspark.sql import functions as F
+
+    post = index.postings
+    if "field" in post.columns:
+        post = post.filter(F.col("field") == field)
+    hits = post.filter(F.col("term") == term).select(
+        "doc_id",
+        F.element_at("positions", 1).cast("int").alias("p"),
+        F.col("tf").cast("int").alias("n_hits"),
+    )
+    j = docs.select("doc_id", text_col).join(hits, "doc_id")
+    toks = F.split(F.col(text_col), " ")
+    lo0 = F.greatest(F.lit(0), F.col("p") - context)  # 0-based window start
+    length = F.col("p") + context - lo0 + F.lit(1)
+    window = F.slice(toks, lo0 + 1, length)
+    wrapped = F.transform(
+        window,
+        lambda x: F.when(x == term, F.concat(F.lit("<b>"), x, F.lit("</b>"))).otherwise(x),
+    )
+    return j.select(
+        "doc_id", F.array_join(wrapped, " ").alias("fragment"), "n_hits"
+    )

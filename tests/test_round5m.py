@@ -180,3 +180,64 @@ def test_collection_statistics_brute_force(index):
     assert row.doc_count == 5
     assert row.sum_ttf == sum(len(v) for v in toks.values())
     assert row.sum_df == sum(len(set(v)) for v in toks.values())
+
+
+# ------------------------------------------------------------------ smartcn
+def test_smartcn_segments_and_stems(spark):
+    from lucenenet_spark.analysis.analyzers import SmartChineseAnalyzer
+
+    an = SmartChineseAnalyzer(user_dict=["智能", "分词"])
+    df = spark.createDataFrame(
+        [(0, "merged queries 智能分词的系统"), (1, "running 未知词")],
+        ["doc_id", "text"],
+    )
+    ix = build_index(df, analyzer=an)
+    terms = {
+        r.term
+        for r in ix.postings.filter(F.col("doc_id") == 0).select("term").collect()
+    }
+    # Latin stemmed (merged->merg, queries->queri), dictionary words
+    # segmented, 的 stop-dropped, unknown run 系统 bigrammed
+    assert {"merg", "queri", "智能", "分词", "系统"} <= terms
+    assert "的" not in terms
+    terms1 = {
+        r.term
+        for r in ix.postings.filter(F.col("doc_id") == 1).select("term").collect()
+    }
+    # running -> run (Porter), 未知词 (no dict hit) -> overlapping bigrams
+    assert terms1 == {"run", "未知", "知词"}
+
+
+def test_smartcn_stop_leaves_position_hole(spark):
+    from lucenenet_spark.analysis.analyzers import SmartChineseAnalyzer
+
+    an = SmartChineseAnalyzer(user_dict=["智能", "分词"])
+    df = spark.createDataFrame([(0, "智能的分词")], ["doc_id", "text"])
+    ix = build_index(df, analyzer=an)
+    rows = {r.term: r.positions for r in ix.postings.collect()}
+    # 智能(0) 的(hole at 1) 分词(2)
+    assert rows["智能"] == [0] and rows["分词"] == [2]
+
+
+# ------------------------------------------------------------------ sources
+def test_token_sources_highlight_fragment(index, corpus):
+    from lucenenet_spark.search.highlight import token_sources_highlight
+
+    out = {
+        r.doc_id: (r.fragment, r.n_hits)
+        for r in token_sources_highlight(index, corpus, "merge", context=1).collect()
+    }
+    # doc 0: 'spark query merge spark spark' -> window around pos 2
+    assert out[0] == ("query <b>merge</b> spark", 1)
+    # doc 4: 'scan scan merge' -> merge is last token, window clamps
+    assert out[4] == ("scan <b>merge</b>", 1)
+    # doc 1: merge at pos 0, window clamps left
+    assert out[1] == ("<b>merge</b> query", 1)
+    assert 2 not in out and 3 not in out
+
+
+def test_token_sources_highlight_is_jvm_side(index, corpus):
+    from lucenenet_spark.search.highlight import token_sources_highlight
+
+    plan = token_sources_highlight(index, corpus, "merge")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
