@@ -100,3 +100,43 @@ def split_train_holdout(
     bucket = sample_hash(F.col(id_col), salt) % F.lit(_DENOM)
     t = F.lit(_threshold(holdout_fraction))
     return docs.filter(bucket >= t), docs.filter(bucket < t)
+
+
+def temperature_weights(
+    docs: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature (alpha) mixture re-weighting over a grouping column —
+    the multilingual-pretraining sampler (p_i ∝ c_i^alpha; exponentiated
+    upsampling of tails, introduced for mBERT/XLM-R-style corpora and
+    standard in 100-TB mixture construction).
+
+    Returns one row per group: (group, n_docs, p [the alpha-tempered
+    sampling probability], repeat_factor [p * N / c_i — the expected
+    per-doc duplication under the tempered mixture; > 1 means the tail
+    group is upsampled]).
+
+    alpha=1 recovers proportional sampling (repeat_factor == 1
+    everywhere); alpha=0 is uniform-over-groups. The aggregate is
+    group-cardinality-sized (languages, sources) — metadata scale, so the
+    cross-join of the normalizer is a broadcast of one row."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(alpha)))
+    norm = powed.agg(
+        F.sum("w").alias("z"), F.sum("n_docs").cast("double").alias("n_total")
+    )
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            group_col,
+            "n_docs",
+            (F.col("w") / F.col("z")).alias("p"),
+            (F.col("w") / F.col("z") * F.col("n_total") / F.col("n_docs")).alias(
+                "repeat_factor"
+            ),
+        )
+    )

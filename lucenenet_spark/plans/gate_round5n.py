@@ -1,0 +1,80 @@
+"""Gate registry part 5n: LLM-pipeline mixture + packing ops —
+temperature (alpha) source re-weighting and concat-then-chunk sequence
+packing, both beyond-reference training-data operators over the
+documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import gate, get_engine
+
+
+# ==========================================================================
+# Temperature mixture re-weighting (p_i ∝ c_i^alpha, the multilingual
+# pretraining sampler): per-lang tempered probability and expected
+# per-doc repeat factor at alpha = 0.5. Metadata-sized aggregate; the
+# oracle reproduces the arithmetic term-for-term (left-assoc w/z *
+# n_total / n_docs) so the 1e6 quantization hashes equal.
+# ==========================================================================
+@gate(
+    "temperature_mixture",
+    """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+p AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS w FROM c),
+z AS (SELECT sum(w) AS z, CAST(sum(n_docs) AS DOUBLE) AS n_total FROM p)
+SELECT p.lang, p.n_docs,
+       CAST(floor(p.w / z.z * 1000000 + 0.5) AS BIGINT) AS p_q,
+       CAST(floor(p.w / z.z * z.n_total / p.n_docs * 1000000 + 0.5) AS BIGINT) AS repeat_q
+FROM p, z
+""",
+)
+def temperature_mixture(spark, sf_dir):
+    from lucenenet_spark.functions.sampling import temperature_weights
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    w = temperature_weights(docs, "lang", alpha=0.5)
+    q = lambda c: F.floor(F.col(c) * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return w.select(
+        "lang", "n_docs", q("p").alias("p_q"), q("repeat_factor").alias("repeat_q")
+    )
+
+
+# ==========================================================================
+# Concat-then-chunk sequence packing (GPT/LLaMA pretraining layout):
+# per-doc packing coordinates — shard (doc_id % 8), token offset in the
+# shard's packed stream, first/last 512-token chunk touched. The offsets
+# are a per-shard window cumsum in doc-id order, deterministic under any
+# partitioning.
+# ==========================================================================
+@gate(
+    "pack_sequences",
+    """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM b
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       tok_offset // 512 AS chunk_first,
+       (tok_offset + n_tokens - 1) // 512 AS chunk_last,
+       (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1 AS chunks_spanned
+FROM o
+""",
+)
+def pack_sequences_gate(spark, sf_dir):
+    from lucenenet_spark.functions.packing import pack_sequences
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    return pack_sequences(docs, capacity=512, n_shards=8).withColumnRenamed(
+        "offset", "tok_offset"
+    )
