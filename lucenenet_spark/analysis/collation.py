@@ -55,3 +55,33 @@ def collation_sort(
         F.asc(key_out), F.asc(id_col)
     )
     return out.limit(k) if k is not None else out
+
+
+def collated_term_range(
+    df: DataFrame,
+    value_col: str,
+    lo: str | None,
+    hi: str | None,
+    *,
+    include_lo: bool = True,
+    include_hi: bool = False,
+    key_fn=german_phonebook_key,
+) -> DataFrame:
+    """TermRangeQuery under locale order — the documented use-case of
+    CollationKeyAnalyzer (reference CollationKeyAnalyzer.cs class doc:
+    index CollationKeys "for use with TermRangeQuery"; TermRangeQuery.cs
+    includeLower/includeUpper semantics, None = open end).
+
+    The bounds are collated with the SAME key function as the values, and
+    the comparison is a plain pushdown predicate on the derived key
+    column — binary order over keys IS locale order, which is the whole
+    point of the key transform."""
+    key = key_fn(value_col)
+    cond = F.lit(True)
+    if lo is not None:
+        lo_key = key_fn(F.lit(lo))
+        cond = cond & (key >= lo_key if include_lo else key > lo_key)
+    if hi is not None:
+        hi_key = key_fn(F.lit(hi))
+        cond = cond & (key <= hi_key if include_hi else key < hi_key)
+    return df.filter(cond)

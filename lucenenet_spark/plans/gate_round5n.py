@@ -78,3 +78,101 @@ def pack_sequences_gate(spark, sf_dir):
     return pack_sequences(docs, capacity=512, n_shards=8).withColumnRenamed(
         "offset", "tok_offset"
     )
+
+
+# ==========================================================================
+# C4 web-page cleaning (Raffel et al. 2020 §2.2): line structure is
+# synthesized deterministically (' window' -> '.' + newline), with
+# 'lorem ipsum' planted on doc_id % 97 == 0 and a curly brace on
+# % 89 == 0. Per-doc counters + the page keep/drop decision.
+# ==========================================================================
+@gate(
+    "c4_clean_filter",
+    """
+WITH t AS (
+  SELECT doc_id,
+         replace(text, ' window', '.' || chr(10))
+           || CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END
+           || CASE WHEN doc_id % 89 = 0 THEN '{' ELSE '' END AS text
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(
+           string_split(text, chr(10)),
+           ln -> substr(ln, -1, 1) IN ('.', '!', '?', '"')
+                 AND len(string_split(ln, ' ')) >= 5
+         ) AS kept
+  FROM t
+),
+s AS (
+  SELECT doc_id, text, lines, kept,
+         -- array_to_string([]) is NULL in DuckDB; Spark array_join gives ''
+         coalesce(array_to_string(kept, chr(10)), '') AS kt
+  FROM k
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(length(kt) - length(replace(replace(replace(replace(kt,
+            '.', ''), '!', ''), '?', ''), '"', '')) AS BIGINT) AS n_sentences,
+       (length(kt) - length(replace(replace(replace(replace(kt,
+            '.', ''), '!', ''), '?', ''), '"', '')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS kept
+FROM s
+""",
+)
+def c4_clean_filter_gate(spark, sf_dir):
+    from lucenenet_spark.functions.c4 import c4_clean_stats
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" window"), F.lit(".\n")),
+            F.when(F.col("doc_id") % 97 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 89 == 0, F.lit("{")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean_stats(synth)
+
+
+# ==========================================================================
+# Locale range query over collation keys — CollationKeyAnalyzer's
+# documented use-case (CollationKeyAnalyzer.cs "for use with
+# TermRangeQuery"; TermRangeQuery.cs include bounds): titles in
+# [Äpfel, Österreich) under DIN 5007-2 — aepfel/apfelbaum/mueller/oel
+# in, oesterreich/strasse/ueber/zebra out.
+# ==========================================================================
+@gate(
+    "collated_range_query",
+    """
+WITH t AS (
+  SELECT doc_id,
+         (['Müller', 'mueller', 'Äpfel', 'apfelbaum', 'Österreich',
+           'oel', 'über', 'zebra', 'Straße', 'strasse'])
+           [CAST(doc_id % 10 AS INTEGER) + 1] AS title
+  FROM documents
+),
+k AS (
+  SELECT doc_id, title,
+         replace(replace(replace(replace(lower(title),
+             'ä', 'ae'), 'ö', 'oe'), 'ü', 'ue'), 'ß', 'ss') AS ckey
+  FROM t
+)
+SELECT doc_id, title FROM k
+WHERE ckey >= 'aepfel' AND ckey < 'oesterreich'
+""",
+)
+def collated_range_query(spark, sf_dir):
+    from lucenenet_spark.analysis.collation import collated_term_range
+    from lucenenet_spark.plans.gate_round5m import _COLLATION_WORDS
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    words = F.array(*[F.lit(w) for w in _COLLATION_WORDS])
+    titled = docs.select(
+        "doc_id", F.element_at(words, (F.col("doc_id") % 10 + 1).cast("int")).alias("title")
+    )
+    return collated_term_range(titled, "title", "Äpfel", "Österreich")

@@ -102,3 +102,54 @@ def test_pack_sequences_rejects_bad_params(docs):
         pack_sequences(docs, capacity=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, capacity=4, n_shards=0)
+
+
+# ------------------------------------------------------------ c4
+def test_c4_clean_stats_rules(spark):
+    from lucenenet_spark.functions.c4 import c4_clean_filter, c4_clean_stats
+
+    rows = [
+        # 3 kept lines (>=5 words, terminal punct) -> kept
+        (0, "one two three four five.\nsix seven eight nine ten!\na b c d e f?"),
+        # lines too short or unterminated -> dropped
+        (1, "short line.\nno punctuation here at all\nalso short!"),
+        # enough sentences but lorem ipsum -> dropped
+        (2, "one two three four five.\nsix seven eight nine ten.\na b c d lorem ipsum."),
+        # curly brace -> dropped
+        (3, "one two three four five.\nsix seven eight nine ten.\na b c d e.{"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in c4_clean_stats(docs).collect()}
+    assert got[0].kept and got[0].n_kept_lines == 3 and got[0].n_sentences == 3
+    assert not got[1].kept and got[1].n_kept_lines == 0
+    assert not got[2].kept and got[2].n_sentences >= 3  # page-level kill
+    assert not got[3].kept
+    kept_ids = {r.doc_id for r in c4_clean_filter(docs).collect()}
+    assert kept_ids == {0}
+
+
+def test_c4_line_rule_boundaries(spark):
+    from lucenenet_spark.functions.c4 import c4_clean_stats
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five.\none two three four.")], ["doc_id", "text"]
+    )
+    r = c4_clean_stats(docs).collect()[0]
+    # exactly-5-words line kept, 4-word line dropped
+    assert r.n_lines == 2 and r.n_kept_lines == 1
+
+
+# ------------------------------------------------------------ collation range
+def test_collated_term_range_bounds(spark):
+    from lucenenet_spark.analysis.collation import collated_term_range
+
+    rows = [(i, w) for i, w in enumerate(["Äpfel", "Bach", "Österreich", "oel", "zebra", "aepfel"])]
+    df = spark.createDataFrame(rows, ["doc_id", "title"])
+    got = {r.title for r in collated_term_range(df, "title", "Äpfel", "Österreich").collect()}
+    # lo inclusive (both spellings of aepfel), hi exclusive, oel < oesterreich
+    assert got == {"Äpfel", "aepfel", "Bach", "oel"}
+    open_hi = {r.title for r in collated_term_range(df, "title", "Bach", None).collect()}
+    assert open_hi == {"Bach", "Österreich", "oel", "zebra"}
+    incl = {r.title for r in collated_term_range(
+        df, "title", "Äpfel", "Österreich", include_hi=True).collect()}
+    assert incl == {"Äpfel", "aepfel", "Bach", "oel", "Österreich"}
