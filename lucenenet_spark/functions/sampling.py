@@ -140,3 +140,21 @@ def temperature_weights(
             ),
         )
     )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    key_out: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global shuffle for training-order randomization:
+    ORDER BY hash(salt, id). The permutation is a pure function of
+    (salt, id) — stable across reruns, cluster sizes and partitioning —
+    so an interrupted pipeline resumes with the identical order, and a
+    different epoch is just a different salt. The sort is the one
+    unavoidable shuffle; downstream writers keep the order via
+    sortWithinPartitions semantics of the range-partitioned sort."""
+    key = sample_hash(F.col(id_col), salt)
+    return docs.withColumn(key_out, key).orderBy(key_out, F.col(id_col))

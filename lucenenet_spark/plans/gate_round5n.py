@@ -176,3 +176,50 @@ def collated_range_query(spark, sf_dir):
         "doc_id", F.element_at(words, (F.col("doc_id") % 10 + 1).cast("int")).alias("title")
     )
     return collated_term_range(titled, "title", "Äpfel", "Österreich")
+
+
+# ==========================================================================
+# FieldValueFilter (Search/FieldValueFilter.cs:33): docs that HAVE a
+# value for a docvalues field (docsWithField bits ≙ column NULL-ness).
+# Nulls are planted deterministically (source 'src3' -> NULL); the gate
+# returns the positive-filter survivors.
+# ==========================================================================
+@gate(
+    "field_value_filter",
+    """
+SELECT doc_id, source AS value FROM documents WHERE source <> 'src3'
+""",
+)
+def field_value_filter_gate(spark, sf_dir):
+    from lucenenet_spark.search.filters import field_value_filter
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    with_nulls = docs.select(
+        "doc_id", F.nullif(F.col("source"), F.lit("src3")).alias("value")
+    )
+    return field_value_filter(with_nulls, "value")
+
+
+# ==========================================================================
+# Deterministic corpus shuffle (training-order randomization): global
+# ORDER BY md5('shuffle#'||id) — rerun- and partitioning-stable. First
+# 50 docs of the permutation with their shuffle keys.
+# ==========================================================================
+from lucenenet_spark.plans.gate_round5d import _hex8_of  # noqa: E402
+
+
+@gate(
+    "deterministic_shuffle",
+    f"""
+SELECT doc_id,
+       CAST({_hex8_of("concat('shuffle#', CAST(doc_id AS VARCHAR))")} AS BIGINT)
+         AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id LIMIT 50
+""",
+)
+def deterministic_shuffle_gate(spark, sf_dir):
+    from lucenenet_spark.functions.sampling import deterministic_shuffle
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    return deterministic_shuffle(docs.select("doc_id")).limit(50)

@@ -153,3 +153,16 @@ def duplicate_filter(
         .agg(agg.alias(id_col))
         .select(id_col)
     )
+
+
+def field_value_filter(docs, field_col: str, *, negate: bool = False):
+    """FieldValueFilter (Search/FieldValueFilter.cs:33): docs that HAVE a
+    value for the field (docsWithField bits), or the complement when
+    negate=True. The docvalues "has a value" bit maps to column
+    NULL-ness, so this is one pushdown predicate on the scan — at 100 TB
+    the parquet null-count statistics prune whole row groups before any
+    row is read."""
+    from pyspark.sql import functions as F
+
+    cond = F.col(field_col).isNotNull()
+    return docs.filter(~cond if negate else cond)

@@ -153,3 +153,28 @@ def test_collated_term_range_bounds(spark):
     incl = {r.title for r in collated_term_range(
         df, "title", "Äpfel", "Österreich", include_hi=True).collect()}
     assert incl == {"Äpfel", "aepfel", "Bach", "oel", "Österreich"}
+
+
+# ------------------------------------------------------------ field value
+def test_field_value_filter_positive_and_negate(spark):
+    from lucenenet_spark.search.filters import field_value_filter
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b"), (3, None)], "doc_id long, v string"
+    )
+    assert {r.doc_id for r in field_value_filter(df, "v").collect()} == {0, 2}
+    assert {r.doc_id for r in field_value_filter(df, "v", negate=True).collect()} == {1, 3}
+
+
+# ------------------------------------------------------------ det shuffle
+def test_deterministic_shuffle_stable_and_permutes(spark):
+    from lucenenet_spark.functions.sampling import deterministic_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(df).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(df.repartition(7)).collect()]
+    assert a == b  # partitioning-invariant
+    assert sorted(a) == list(range(100))  # a permutation
+    assert a != list(range(100))  # actually shuffled
+    c = [r.doc_id for r in deterministic_shuffle(df, salt="epoch2").collect()]
+    assert c != a  # new salt, new order
