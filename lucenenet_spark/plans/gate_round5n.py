@@ -223,3 +223,69 @@ def deterministic_shuffle_gate(spark, sf_dir):
 
     _idx, _s, docs = get_engine(spark, sf_dir)
     return deterministic_shuffle(docs.select("doc_id")).limit(50)
+
+
+# ==========================================================================
+# Distributed radius join (RecursivePrefixTreeStrategy's grid+verify as
+# a cell equi-join; search/spatial.py geo_cell_join): left probes are
+# the doc_id % 5 == 0 points, right is the full point set, radius
+# 300 km. The ORACLE is the brute-force all-pairs join — so the gate
+# proves the cell cover misses nothing. Output: per-probe neighbor
+# count (every probe >= 1: itself).
+# ==========================================================================
+from lucenenet_spark.plans.gate_round5 import _GEO_POINTS, _geo_df  # noqa: E402
+
+
+@gate(
+    "geo_cell_join",
+    "WITH " + _GEO_POINTS + """
+, l AS (SELECT * FROM geo WHERE doc_id % 5 = 0)
+SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_within
+FROM l JOIN geo r
+  ON 2.0 * 6371.0088 * asin(sqrt(
+       sin(radians(r.lat - l.lat) / 2) * sin(radians(r.lat - l.lat) / 2)
+       + cos(radians(l.lat)) * cos(radians(r.lat))
+         * sin(radians(r.lon - l.lon) / 2) * sin(radians(r.lon - l.lon) / 2)
+     )) <= 300.0
+GROUP BY l.doc_id
+""",
+)
+def geo_cell_join_gate(spark, sf_dir):
+    from lucenenet_spark.search.spatial import geo_cell_join
+
+    geo = _geo_df(spark, sf_dir)
+    left = geo.filter(F.col("doc_id") % 5 == 0)
+    pairs = geo_cell_join(left, geo, 300.0)
+    return pairs.groupBy(F.col("left_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_within")
+    )
+
+
+# ==========================================================================
+# TermDistinctValuesCollector (Grouping/Term/TermDistinctValuesCollector.cs):
+# docs matching TermQuery('merge'), grouped by source, with the distinct
+# langs per group (count + sorted comma-joined values).
+# ==========================================================================
+from lucenenet_spark.plans.gate import SQL_PRELUDE  # noqa: E402
+from lucenenet_spark.search.queries import TermQuery  # noqa: E402
+
+
+@gate(
+    "group_distinct_values",
+    SQL_PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge')
+SELECT d.source,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_distinct,
+       array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS values
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def group_distinct_values_gate(spark, sf_dir):
+    from lucenenet_spark.search.collectors import group_distinct_values
+
+    _idx, s, docs = get_engine(spark, sf_dir)
+    matches = s.docset(TermQuery("merge")).join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    )
+    return group_distinct_values(matches, "source", "lang")

@@ -318,3 +318,16 @@ def early_terminating_topk(sorted_docs: DataFrame, k: int) -> DataFrame:
     early exactly as the reference collector throws
     CollectionTerminatedException per segment."""
     return sorted_docs.limit(k)
+
+
+def group_distinct_values(matches: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """TermDistinctValuesCollector (Grouping/Term/TermDistinctValuesCollector.cs):
+    per group, the distinct values of a second field among the matching
+    docs — (group, n_distinct, values) with values sorted and
+    comma-joined so the result stays hash-comparable. One partial
+    aggregate (collect_set), bounded by the value-field cardinality."""
+    vals = F.sort_array(F.collect_set(value_col))
+    return matches.groupBy(group_col).agg(
+        F.size(vals).cast("long").alias("n_distinct"),
+        F.array_join(vals, ",").alias("values"),
+    )

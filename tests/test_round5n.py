@@ -178,3 +178,63 @@ def test_deterministic_shuffle_stable_and_permutes(spark):
     assert a != list(range(100))  # actually shuffled
     c = [r.doc_id for r in deterministic_shuffle(df, salt="epoch2").collect()]
     assert c != a  # new salt, new order
+
+
+# ------------------------------------------------------------ geo cell join
+def _brute_geo_pairs(left, right, radius_km):
+    import math
+
+    R = 6371.0088
+    out = set()
+    for lid, llat, llon in left:
+        for rid, rlat, rlon in right:
+            dlat = math.radians(rlat - llat) / 2
+            dlon = math.radians(rlon - llon) / 2
+            a = math.sin(dlat) ** 2 + math.cos(math.radians(llat)) * math.cos(
+                math.radians(rlat)
+            ) * math.sin(dlon) ** 2
+            if 2 * R * math.asin(math.sqrt(a)) <= radius_km:
+                out.add((lid, rid))
+    return out
+
+
+def test_geo_cell_join_adversarial_latitudes(spark):
+    from lucenenet_spark.search.spatial import geo_cell_join
+
+    # clusters at high latitude, near the dateline, and near a pole —
+    # the cases a fixed 3x3 neighborhood silently misses
+    pts = [
+        (0, 75.0, 10.0), (1, 75.1, 21.0),          # high-lat: wide lon gap, ~280 km
+        (2, 0.0, 179.9), (3, 0.1, -179.9),         # dateline wrap, ~25 km
+        (4, 89.5, 0.0), (5, 89.5, 180.0),          # both near pole, ~111 km
+        (6, -40.0, 5.0), (7, -40.0, 8.0),          # mid-lat ~256 km
+        (8, 10.0, 100.0),                          # isolated
+    ]
+    df = spark.createDataFrame(pts, ["doc_id", "lat", "lon"])
+    got = {
+        (r.left_id, r.right_id)
+        for r in geo_cell_join(df, df, 300.0).collect()
+    }
+    assert got == _brute_geo_pairs(pts, pts, 300.0)
+
+
+def test_geo_cell_join_no_cartesian_in_plan(spark):
+    from lucenenet_spark.search.spatial import geo_cell_join
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3.7 % 180 - 90).alias("lat"),
+        (F.col("id") * 11.3 % 360 - 180).alias("lon"),
+    )
+    plan = geo_cell_join(df, df, 200.0)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------ distinct values
+def test_group_distinct_values_brute(spark):
+    from lucenenet_spark.search.collectors import group_distinct_values
+
+    rows = [(0, "g1", "en"), (1, "g1", "de"), (2, "g1", "en"), (3, "g2", "th")]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "lang"])
+    got = {r.grp: (r.n_distinct, r.values) for r in group_distinct_values(df, "grp", "lang").collect()}
+    assert got == {"g1": (2, "de,en"), "g2": (1, "th")}
