@@ -289,3 +289,38 @@ def group_distinct_values_gate(spark, sf_dir):
         docs.select("doc_id", "source", "lang"), "doc_id"
     )
     return group_distinct_values(matches, "source", "lang")
+
+
+# ==========================================================================
+# SearcherLifetimeManager (Search/SearcherLifetimeManager.cs Record/
+# Acquire): batch 0 (even doc_ids) commits, the generation is recorded,
+# batch 1 (odd doc_ids) commits — and the ACQUIRED searcher still
+# answers as-of the record point: TermQuery('merge') docs restricted to
+# even ids, while the refreshed searcher sees everything.
+# ==========================================================================
+_LIFETIME_CACHE: dict[str, object] = {}
+
+
+@gate(
+    "searcher_lifetime",
+    SQL_PRELUDE + """
+SELECT DISTINCT doc_id FROM post WHERE term = 'merge' AND doc_id % 2 = 0
+""",
+)
+def searcher_lifetime(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from lucenenet_spark.streaming.incremental import IncrementalIndexer
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _LIFETIME_CACHE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        ix = IncrementalIndexer(tempfile.mkdtemp(prefix="lifetime_gate_"))
+        ix.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        token = ix.record()
+        ix.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        _LIFETIME_CACHE[key] = (ix, token)
+    ix, token = _LIFETIME_CACHE[key]
+    pinned = ix.acquire(spark, token)
+    return pinned.docset(TermQuery("merge")).select("doc_id")

@@ -171,13 +171,37 @@ class IncrementalIndexer:
         return True
 
     # ------------------------------------------------------------------
-    def refresh(self, spark: SparkSession) -> IndexSearcher | None:
-        """SearcherManager.MaybeRefresh: a searcher over all committed
-        segments (None if nothing committed yet). Stats are recomputed
-        globally across segments, so scores stay exact as the index grows —
-        the property TermContext.Build gives the reference."""
+    def record(self) -> tuple[str, ...]:
+        """SearcherLifetimeManager.Record: a token naming the committed
+        segment set as of NOW (the reference records the searcher's
+        IndexReader version; here the version IS the sorted committed-key
+        tuple). Pass it to acquire() to search that point in time after
+        later batches commit."""
         manifest = self._load_manifest()
-        keys = sorted(k for k, v in manifest.items() if v["status"] == "committed")
+        return tuple(sorted(k for k, v in manifest.items() if v["status"] == "committed"))
+
+    def acquire(self, spark: SparkSession, token: tuple[str, ...]) -> IndexSearcher | None:
+        """SearcherLifetimeManager.Acquire: a searcher pinned to the
+        recorded segment set — query results are as-of the record() call
+        even though newer segments have committed since. Raises KeyError
+        when a recorded segment no longer exists (pruned by a merge) —
+        the reference returns null from Acquire after the searcher ages
+        out; the explicit error keeps silent staleness impossible."""
+        manifest = self._load_manifest()
+        missing = [k for k in token if manifest.get(k, {}).get("status") != "committed"]
+        if missing:
+            raise KeyError(f"recorded segments pruned or uncommitted: {missing}")
+        return self.refresh(spark, keys=list(token))
+
+    def refresh(self, spark: SparkSession, keys: list[str] | None = None) -> IndexSearcher | None:
+        """SearcherManager.MaybeRefresh: a searcher over all committed
+        segments (None if nothing committed yet; `keys` restricts to a
+        pinned subset for acquire()). Stats are recomputed globally
+        across the visible segments, so scores stay exact as the index
+        grows — the property TermContext.Build gives the reference."""
+        manifest = self._load_manifest()
+        if keys is None:
+            keys = sorted(k for k, v in manifest.items() if v["status"] == "committed")
         if not keys:
             return None
         seg_root = os.path.join(self.out_dir, "segments")

@@ -238,3 +238,37 @@ def test_group_distinct_values_brute(spark):
     df = spark.createDataFrame(rows, ["doc_id", "grp", "lang"])
     got = {r.grp: (r.n_distinct, r.values) for r in group_distinct_values(df, "grp", "lang").collect()}
     assert got == {"g1": (2, "de,en"), "g2": (1, "th")}
+
+
+# ------------------------------------------------------------ lifetime
+def test_searcher_lifetime_record_acquire(spark, tmp_path):
+    from lucenenet_spark.index.builder import build_index  # noqa: F401 (warm imports)
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.streaming.incremental import IncrementalIndexer
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 == 0 else "alpha gamma") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    ix = IncrementalIndexer(str(tmp_path / "idx"))
+    ix.process_batch(docs.filter(F.col("doc_id") < 10), 0)
+    token = ix.record()
+    ix.process_batch(docs.filter(F.col("doc_id") >= 10), 1)
+
+    pinned = ix.acquire(spark, token)
+    live = ix.refresh(spark)
+    assert {r.doc_id for r in pinned.docset(TermQuery("alpha")).collect()} == set(range(10))
+    assert {r.doc_id for r in live.docset(TermQuery("alpha")).collect()} == set(range(20))
+    # pinned stats are as-of the record point: df(alpha) = 10 not 20
+    n_pinned = pinned.index.max_doc
+    assert n_pinned == 10 and live.index.max_doc == 20
+
+
+def test_searcher_lifetime_pruned_token_raises(spark, tmp_path):
+    from lucenenet_spark.streaming.incremental import IncrementalIndexer
+
+    docs = spark.createDataFrame([(0, "a b"), (1, "c d")], ["doc_id", "text"])
+    ix = IncrementalIndexer(str(tmp_path / "idx2"))
+    ix.process_batch(docs, 0)
+    with pytest.raises(KeyError):
+        ix.acquire(spark, ("seg_does_not_exist",))
