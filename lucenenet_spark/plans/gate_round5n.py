@@ -324,3 +324,51 @@ def searcher_lifetime(spark, sf_dir):
     ix, token = _LIFETIME_CACHE[key]
     pinned = ix.acquire(spark, token)
     return pinned.docset(TermQuery("merge")).select("doc_id")
+
+
+# ==========================================================================
+# AnalyzingInfixSuggester with CONTEXTS (AnalyzingInfixSuggester.cs
+# Lookup(key, contexts, ...)): the 'key' infix lookup of the
+# infix_suggest gate, restricted to suggestions whose first-2-token
+# surface occurs in at least one GERMAN document — one left-semi join
+# against the (surface, context) table.
+# ==========================================================================
+from lucenenet_spark.plans.gate import _STOPS  # noqa: E402
+
+
+@gate(
+    "context_infix_suggest",
+    """
+WITH ent AS (
+  SELECT surface, lang, CAST(count(*) AS BIGINT) AS weight FROM (
+    SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS surface, lang
+    FROM documents
+  ) GROUP BY surface, lang
+),
+agg AS (SELECT surface, CAST(sum(weight) AS BIGINT) AS weight FROM ent GROUP BY surface),
+an AS (
+  SELECT surface, weight,
+         list_filter(string_split(lower(surface), ' '),
+                     x -> x <> '' AND x NOT IN (""" + _STOPS + """)) AS toks
+  FROM agg
+),
+de AS (SELECT DISTINCT surface FROM ent WHERE lang = 'de')
+SELECT surface, weight FROM an JOIN de USING (surface)
+WHERE len(list_filter(toks, x -> x LIKE 'key%')) > 0
+ORDER BY weight DESC, surface ASC
+LIMIT 5
+""",
+)
+def context_infix_suggest(spark, sf_dir):
+    from lucenenet_spark.search.suggest import AnalyzingInfixSuggester
+
+    _idx, _s, docs = get_engine(spark, sf_dir)
+    first2 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("surface")
+    ent = (
+        docs.select(first2)
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    ctx = docs.select(first2, F.col("lang").alias("context")).distinct()
+    sug = AnalyzingInfixSuggester(ent, contexts_df=ctx)
+    return sug.lookup("key", 5, contexts={"de"})

@@ -290,9 +290,19 @@ class AnalyzingInfixSuggester(AnalyzingSuggester):
     match (the reference indexes suggestion tokens + edge-grams of the
     last-token prefix; here the analyzed-token array + an exists()
     predicate is the same search). Ranked weight DESC like the reference's
-    LongField sort."""
+    LongField sort.
 
-    def lookup(self, key: str, n: int = 5) -> DataFrame:
+    Contexts (AnalyzingInfixSuggester.cs Lookup(key, contexts, ...)):
+    pass ``contexts_df`` — long-format (surface, context) rows — at
+    construction, then ``lookup(..., contexts={...})`` keeps only
+    suggestions carrying at least one of the given contexts (the
+    reference's CONTEXTS_FIELD disjunction), via one left-semi join."""
+
+    def __init__(self, entries: DataFrame, *, contexts_df: DataFrame | None = None, **kw):
+        super().__init__(entries, **kw)
+        self.contexts_df = contexts_df
+
+    def lookup(self, key: str, n: int = 5, contexts=None) -> DataFrame:
         toks = self.analyzer.terms(key)
         if not toks:
             return self.table.select("surface", "weight").limit(0)
@@ -300,9 +310,18 @@ class AnalyzingInfixSuggester(AnalyzingSuggester):
         cond = F.exists(arr, lambda x: x.startswith(toks[-1]))
         for t in toks[:-1]:
             cond = cond & F.array_contains(arr, t)
+        out = self.table.filter(cond)
+        if contexts is not None:
+            if self.contexts_df is None:
+                raise ValueError("contexts given but no contexts_df was provided")
+            ok = (
+                self.contexts_df.filter(F.col("context").isin(sorted(contexts)))
+                .select("surface")
+                .distinct()
+            )
+            out = out.join(ok, "surface", "left_semi")
         return (
-            self.table.filter(cond)
-            .select("surface", "weight")
+            out.select("surface", "weight")
             .orderBy(F.desc("weight"), F.asc("surface"))
             .limit(n)
         )

@@ -272,3 +272,31 @@ def test_searcher_lifetime_pruned_token_raises(spark, tmp_path):
     ix.process_batch(docs, 0)
     with pytest.raises(KeyError):
         ix.acquire(spark, ("seg_does_not_exist",))
+
+
+# ------------------------------------------------------------ contexts
+def test_infix_suggester_contexts(spark):
+    from lucenenet_spark.search.suggest import AnalyzingInfixSuggester
+
+    ent = spark.createDataFrame(
+        [("key value", 10), ("scan key", 7), ("key order", 3)], ["surface", "weight"]
+    )
+    ctx = spark.createDataFrame(
+        [("key value", "en"), ("scan key", "de"), ("key order", "de")],
+        ["surface", "context"],
+    )
+    sug = AnalyzingInfixSuggester(ent, contexts_df=ctx)
+    no_ctx = [r.surface for r in sug.lookup("key", 5).collect()]
+    assert no_ctx == ["key value", "scan key", "key order"]
+    de = [r.surface for r in sug.lookup("key", 5, contexts={"de"}).collect()]
+    assert de == ["scan key", "key order"]
+    both = [r.surface for r in sug.lookup("key", 5, contexts={"de", "en"}).collect()]
+    assert both == no_ctx  # disjunction over contexts
+
+
+def test_infix_suggester_contexts_requires_table(spark):
+    from lucenenet_spark.search.suggest import AnalyzingInfixSuggester
+
+    ent = spark.createDataFrame([("key value", 1)], ["surface", "weight"])
+    with pytest.raises(ValueError):
+        AnalyzingInfixSuggester(ent).lookup("key", 5, contexts={"en"})
