@@ -341,6 +341,83 @@ def simhash64(terms: DataFrame, tf_col: str | None = "tf", n_bits: int = 60) -> 
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_near_duplicates(
+    terms: DataFrame,
+    *,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    tf_col: str | None = "tf",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) within Hamming distance max_hamming of
+    each other's SimHash fingerprint — the Manku/Jain/Das Sarma WWW'07
+    near-duplicate detector ("Detecting Near-Duplicates for Web
+    Crawling" §3: permuted-table lookup ≙ band equi-join).
+
+    Pigeonhole: split the n_bits fingerprint into n_bands contiguous
+    bands; two fingerprints differing in <= max_hamming bits agree
+    EXACTLY on at least one band whenever n_bands >= max_hamming + 1,
+    so a per-band equi-join loses no true pair. The join shuffles on
+    (band, band_value) keys only — never all-pairs — and, like
+    minhash_lsh_pairs, buckets larger than max_bucket_size are dropped
+    before the self-join (a degenerate band value shared by k docs costs
+    k^2 candidate rows and at web scale is boilerplate, not content).
+    At the 60-bit default each band is 15 bits (32k values), so bucket
+    sizes concentrate at n_docs/32768 per band.
+
+    Returns (doc_a, doc_b, hamming) with hamming <= max_hamming.
+    """
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole requires n_bands >= max_hamming + 1; "
+            f"got n_bands={n_bands}, max_hamming={max_hamming}"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} must divide evenly into n_bands={n_bands}")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    fp = _track(simhash64(terms, tf_col=tf_col, n_bits=n_bits))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bval"),
+        )
+        for b in range(n_bands)
+    ]
+    bands_df = _track(
+        fp.select("doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
+            "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+        )
+    )
+    if max_bucket_size is not None:
+        big = (
+            bands_df.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bval")
+        )
+        bands_df = bands_df.join(big, ["band", "bval"], "left_anti")
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -175,14 +175,11 @@ class QueryParser:
             body = _unescape(fm.group("body"))
             edits = fm.group("edits")
             max_edits = 2 if edits in ("", None) else int(float(edits))
-            terms = self.analyzer.terms(body)
-            if not terms:
-                return None
-            return FuzzyQuery(terms[0], max_edits=max_edits, field=field, boost=boost)
+            return self._get_fuzzy_query(body, max_edits, field=field, boost=boost)
         if w.endswith("*") and not _unescaped_has(w[:-1], "*") and not _unescaped_has(w, "?") and _unescaped_has(w, "*"):
-            return PrefixQuery(_unescape(w[:-1]).lower(), field=field, boost=boost)
+            return self._get_prefix_query(_unescape(w[:-1]), field=field, boost=boost)
         if has_wild:
-            return WildcardQuery(w.lower(), field=field, boost=boost)
+            return self._get_wildcard_query(w, field=field, boost=boost)
         toks = self.analyzer.terms(_unescape(w))
         if not toks:
             return None
@@ -194,6 +191,26 @@ class QueryParser:
             ),
             boost=boost,
         )
+
+    # ------------------------------------------------------------------
+    # Expanded-term construction hooks (QueryParserBase.GetPrefixQuery /
+    # GetWildcardQuery / GetFuzzyQuery): the classic parser lower-cases
+    # the raw text (LowercaseExpandedTerms=true default) WITHOUT running
+    # the analyzer; AnalyzingQueryParser overrides these to analyze each
+    # chunk instead.
+    def _get_prefix_query(self, body: str, field: str | None, boost: float) -> Query:
+        return PrefixQuery(body.lower(), field=field, boost=boost)
+
+    def _get_wildcard_query(self, w: str, field: str | None, boost: float) -> Query:
+        return WildcardQuery(w.lower(), field=field, boost=boost)
+
+    def _get_fuzzy_query(
+        self, body: str, max_edits: int, field: str | None, boost: float
+    ) -> Query | None:
+        terms = self.analyzer.terms(body)
+        if not terms:
+            return None
+        return FuzzyQuery(terms[0], max_edits=max_edits, field=field, boost=boost)
 
     def _phrase(self, text: str, slop: int, boost: float, field: str | None = None) -> Query | None:
         toks = self.analyzer.tokenize_text(text)
