@@ -578,6 +578,31 @@ def connected_components(
     return labels
 
 
+def near_duplicate_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """The deduplicated corpus: one representative per near-duplicate
+    component (the min-id member), plus every document that appears in
+    no candidate pair.
+
+    This is the operation production pipelines actually run after pair
+    finding (RefinedWeb §3.2 / SlimPajama keep-one-per-cluster):
+    pair-based removal is order-dependent on chains, so resolution goes
+    through connected components, then ONE left-anti join of the corpus
+    against the non-canonical members — no per-pair deletes, no driver
+    materialization of the cluster list.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def crossdoc_span_stats(
     docs: DataFrame,
     n: int = 8,

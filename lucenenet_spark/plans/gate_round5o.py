@@ -66,6 +66,61 @@ def simhash_near_dup(spark, sf_dir):
 # — the classic parser's lowercase-only 'merge*' would miss every doc
 # whose surface 'merge/merges/merged/merging' stemmed to 'merg'.
 # ==========================================================================
+# ==========================================================================
+# End-to-end near-dedup: the DEDUPLICATED CORPUS view (RefinedWeb §3.2 /
+# SlimPajama keep-one-per-cluster) — MinHash-LSH pairs -> connected
+# components -> one left-anti join keeping the min-id representative per
+# component plus every unpaired doc. Oracle: the dedup_components
+# recursive-CTE resolution with the anti-join expressed as NOT IN.
+# ==========================================================================
+from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRELUDE
+from lucenenet_spark.plans.gate import _docs_table
+from lucenenet_spark.plans.gate_pipeline import (
+    _MAX_BUCKET,
+    _MINHASH_BANDS,
+    _MINHASH_N,
+    _SHINGLE_DF_CAP,
+    _lsh_sql_ctes,
+)
+
+_SURVIVORS_SQL = (
+    _PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _lsh_sql_ctes()
+    + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (
+  SELECT node, CAST(least(node, min(r)) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+)
+
+
+@gate("near_dedup_survivors", _SURVIVORS_SQL)
+def near_dedup_survivors(spark, sf_dir):
+    """documents minus non-canonical near-dup cluster members."""
+    docs = _docs_table(spark, sf_dir)
+    sh = fdedup.capped_shingles(docs, n=3, df_cap=_SHINGLE_DF_CAP)
+    pairs = fdedup.minhash_lsh_pairs(
+        sh.withColumnRenamed("shingle", "term"),
+        n_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        max_bucket_size=_MAX_BUCKET,
+    )
+    return fdedup.near_duplicate_survivors(docs, pairs).select("doc_id")
+
+
 @gate(
     "analyzing_parser_prefix",
     SQL_PRELUDE

@@ -94,6 +94,18 @@ def test_parameter_validation(terms):
         simhash_near_duplicates(terms, n_bits=60, n_bands=8, max_hamming=3)
 
 
+def test_survivors_keep_one_per_component(spark, terms):
+    from lucenenet_spark.functions.dedup import near_duplicate_survivors
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    # chain component {0,1,5} via pairs (0,1),(1,5); component {2,3}; 4 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 5), (2, 3)], ["doc_a", "doc_b"]
+    )
+    kept = sorted(r.doc_id for r in near_duplicate_survivors(docs, pairs).collect())
+    assert kept == [0, 2, 4]  # min-id per component + the unpaired doc
+
+
 # --------------------------------------------------- AnalyzingQueryParser
 def test_prefix_analyzed_vs_classic():
     en = EnglishAnalyzer()
