@@ -61,6 +61,46 @@ def simhash_near_dup(spark, sf_dir):
 
 
 # ==========================================================================
+# WikipediaTokenizer typed tokens (Analysis/Wikipedia/WikipediaTokenizer.cs
+# :39-49): deterministic wiki markup is CONSTRUCTED from each doc's first
+# three words — "== w3 ==\n[[w1]] [[Category:w2]] plain" — then the real
+# tokenizer emits (term, type, pos) in reading order; the gate keeps the
+# typed (markup) tokens. The oracle rebuilds the same three rows directly:
+# heading token at pos 0, internal-link target at 1, category at 2 (the
+# trailing plain alphanumeric consumes pos 3 but has no type).
+# ==========================================================================
+@gate(
+    "wiki_typed_tokens",
+    """
+WITH w AS (
+  SELECT doc_id,
+         lower(string_split(text, ' ')[1]) AS w1,
+         lower(string_split(text, ' ')[2]) AS w2,
+         lower(string_split(text, ' ')[3]) AS w3
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id, w3 AS term, 'h' AS type, 0 AS pos FROM w
+UNION ALL SELECT doc_id, w1, 'il', 1 FROM w
+UNION ALL SELECT doc_id, w2, 'c', 2 FROM w
+""",
+)
+def wiki_typed_tokens_gate(spark, sf_dir):
+    """Markup classes as token types over constructed wiki text."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.wikipedia import wiki_typed_tokens
+
+    docs = _docs_table(spark, sf_dir)
+    w = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 3)
+    markup = F.concat(
+        F.lit("== "), F.col("ws")[2], F.lit(" ==\n[["), F.col("ws")[0],
+        F.lit("]] [[Category:"), F.col("ws")[1], F.lit("]] plain"),
+    )
+    toks = wiki_typed_tokens(w.select("doc_id", markup.alias("text")))
+    return toks.filter(F.col("type") != "").select("doc_id", "term", "type", "pos")
+
+
+# ==========================================================================
 # AnalyzingQueryParser (QueryParser/Analyzing/AnalyzingQueryParser.cs):
 # 'Merge*' parses to PrefixQuery('merg') against the Porter-stemmed index
 # — the classic parser's lowercase-only 'merge*' would miss every doc

@@ -128,6 +128,54 @@ def test_fuzzy_analyzed():
     assert q.term == "merg" and q.max_edits == 1
 
 
+# ------------------------------------------------------ WikipediaTokenizer
+def test_wiki_token_types():
+    from lucenenet_spark.analysis.wikipedia import wiki_tokens
+
+    text = (
+        "=== Early life ===\n"
+        "== Career ==\n"
+        "'''''Strong''''' '''bold''' ''soft'' plain "
+        "[[Alan Smithee|the director]] [[Category:Films]] "
+        "[http://example.com/x home page] <ref>cite me</ref>"
+    )
+    toks = wiki_tokens(text)
+    by_type: dict[str, list[str]] = {}
+    for term, ttype, _ in toks:
+        by_type.setdefault(ttype, []).append(term)
+    assert by_type["sh"] == ["early", "life"]
+    assert by_type["h"] == ["career"]
+    assert by_type["bi"] == ["strong"]
+    assert by_type["b"] == ["bold"]
+    assert by_type["i"] == ["soft"]
+    assert by_type["il"] == ["alan", "smithee"]
+    assert by_type["c"] == ["films"]
+    assert by_type["elu"] == ["http://example.com/x"]
+    assert by_type["el"] == ["home", "page"]
+    assert by_type["ci"] == ["cite", "me"]
+    # piped display text and bare words are plain alphanumerics
+    assert by_type[""] == ["plain", "the", "director"]
+    # positions: one per emitted token, reading order, no gaps
+    assert [p for (_, _, p) in toks] == list(range(len(toks)))
+
+
+def test_wiki_tokens_distributed(spark):
+    from lucenenet_spark.analysis.wikipedia import wiki_typed_tokens
+
+    df = spark.createDataFrame(
+        [(0, "[[Link]] word"), (1, "''it'' x")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.doc_id, r.term, r.type, r.pos) for r in wiki_typed_tokens(df).collect()
+    )
+    assert rows == [
+        (0, "link", "il", 0),
+        (0, "word", "", 1),
+        (1, "it", "i", 0),
+        (1, "x", "", 1),
+    ]
+
+
 def test_multi_token_chunk_rejected():
     with pytest.raises(ValueError, match="multiple terms"):
         AnalyzingQueryParser().parse("one\\ two*")
