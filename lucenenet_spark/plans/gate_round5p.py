@@ -1,0 +1,89 @@
+"""Gate registry part 5p: SnapshotDeletionPolicy snapshot + rollback.
+
+The engine indexes the corpus in two micro-batches (even doc_ids, then
+odd), snapshots the commit point between them, verifies the pin (a
+tiered-merge pass must refuse to prune the snapshotted segment), then
+ROLLS BACK to the snapshot and serves a BM25 top-k — so the query answer
+must equal a one-shot build over ONLY the even-doc_id half. The oracle is
+the standard BM25 prelude with every `documents` reference swapped for
+the even-half subset (df/avgdl/N all recomputed over the restored commit
+point, the property a real reader-on-IndexCommit has).
+
+Reference: Index/SnapshotDeletionPolicy.cs (Snapshot/Release pinning),
+PersistentSnapshotDeletionPolicy.cs (snapshots.json durability),
+IndexWriter rollback/restore-from-backup semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import (
+    SQL_PRELUDE,
+    _SQL_SCORED,
+    _Q,
+    _spark_score_q,
+    _tsc,
+    gate,
+)
+from lucenenet_spark.search.queries import TermQuery
+
+# BM25 prelude over the restored commit point: only even doc_ids exist.
+# "FROM documents d" (the dl CTE) must be rewritten before the bare
+# "FROM documents" occurrences so the alias survives the swap.
+_EVEN = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+_SQL_PRELUDE_EVEN = SQL_PRELUDE.replace(
+    "FROM documents d", f"FROM {_EVEN} d"
+).replace("FROM documents", f"FROM {_EVEN} documents")
+
+_SNAP_ENGINE: dict[str, object] = {}
+
+
+def get_engine_snapshot(spark, sf_dir):
+    """Two-batch incremental build + snapshot + pinned-merge check +
+    rollback; cached per sf_dir like the other gate engines."""
+    import os as _os
+    import tempfile
+
+    from lucenenet_spark.search.searcher import IndexSearcher
+    from lucenenet_spark.streaming.incremental import (
+        IncrementalIndexer,
+        SnapshotDeletionPolicy,
+    )
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _SNAP_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        out = tempfile.mkdtemp(prefix="snap_gate_")
+        ix = IncrementalIndexer(out)
+        policy = SnapshotDeletionPolicy(ix)
+        ix.process_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), 0)
+        snap = policy.snapshot()
+        ix.process_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), 1)
+        # The pin in action: both segments are merge candidates, but
+        # seg 0 is snapshotted, leaving <2 victims -> the merge must
+        # refuse (a merge deletes victim dirs, which would break the
+        # pinned commit point and the rollback below).
+        merged = ix.maybe_merge(spark, max_segments=1, merge_factor=2)
+        assert not merged, "tiered merge pruned a snapshotted segment"
+        policy.rollback(snap)
+        s = ix.refresh(spark)
+        _SNAP_ENGINE[key] = IndexSearcher(s.index, mode="double")
+    return _SNAP_ENGINE[key]
+
+
+@gate(
+    "snapshot_rollback_term",
+    _SQL_PRELUDE_EVEN + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q FROM ({_tsc('vector')})
+ORDER BY score_q DESC, doc_id ASC LIMIT 10
+""",
+)
+def snapshot_rollback_term(spark, sf_dir):
+    """Top-10 for TermQuery('vector') served from the ROLLED-BACK commit
+    point: identical to a fresh build over the even-doc_id half because
+    rollback restores the manifest to the snapshot's exact segment set
+    and refresh recomputes df/avgdl over only what that commit names."""
+    s = get_engine_snapshot(spark, sf_dir)
+    scored = _spark_score_q(s.scored(TermQuery("vector")))
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)

@@ -115,8 +115,18 @@ class IncrementalIndexer:
         committed = [(k, v) for k, v in manifest.items() if v["status"] == "committed"]
         if len(committed) <= max_segments:
             return False
+        # Deletion-policy seam (Index/IndexDeletionPolicy.cs): segments
+        # pinned by a SnapshotDeletionPolicy are never merge victims —
+        # merging deletes the victim dirs, which would invalidate a
+        # pinned commit point. Default (no policy) keeps the historical
+        # KeepOnlyLastCommit behavior: everything is fair game.
+        policy = getattr(self, "deletion_policy", None)
+        protected = policy.protected_keys() if policy is not None else set()
+        committed = [(k, v) for k, v in committed if k not in protected]
         committed.sort(key=lambda kv: (kv[1]["docs"], kv[0]))
         victims = committed[:merge_factor]
+        if len(victims) < 2:
+            return False  # a 1-segment "merge" is a no-op rewrite
         seg_root = os.path.join(self.out_dir, "segments")
         # Merge ids must be monotonic across the manifest's whole history:
         # len(manifest) shrinks after a merge and regrows with new batches,
@@ -230,6 +240,115 @@ class IncrementalIndexer:
             sum_ttf_by_field=by_field or None,
         )
         return IndexSearcher(idx)
+
+
+class SnapshotDeletionPolicy:
+    """Snapshot / release / rollback over IncrementalIndexer commit points
+    (Index/SnapshotDeletionPolicy.cs + PersistentSnapshotDeletionPolicy.cs;
+    restore semantics per IndexWriter.Rollback / the class doc's backup
+    use case).
+
+    A *commit point* here is the committed segment key-set at a moment —
+    exactly the token ``SearcherLifetimeManager.record()`` returns (the
+    reference's IndexCommit is the segments_N file naming the live
+    segment set). ``snapshot()`` pins the CURRENT commit point against
+    deletion: ``IncrementalIndexer.maybe_merge`` refuses to victimize any
+    segment a live snapshot references (merging deletes victim dirs,
+    which would invalidate the pinned commit — the reference instead
+    keeps the old commit's files via IndexFileDeleter ref-counts;
+    refusing the merge is the shared-storage equivalent with the same
+    observable guarantee: a pinned commit stays openable).
+    ``release()`` unpins; ``rollback()`` resets the index to a pinned
+    commit point, dropping every segment committed after it — manifest
+    swap FIRST, dir removal after (IndexFileDeleter ordering: a crash
+    mid-rollback never loses a durable commit, only leaks reclaimable
+    dirs). Snapshots persist in ``snapshots.json`` beside the manifest
+    (PersistentSnapshotDeletionPolicy: snapshots survive process death).
+    """
+
+    def __init__(self, indexer: IncrementalIndexer):
+        self.indexer = indexer
+        indexer.deletion_policy = self  # wire the merge-protection seam
+
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.indexer.out_dir, "snapshots.json")
+
+    def _load(self) -> dict[str, list[str]]:
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                return json.load(f)
+        return {}
+
+    def _commit(self, snaps: dict[str, list[str]]) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._path)
+
+    # ------------------------------------------------------------------
+    def snapshot(self) -> str:
+        """Pin the current commit point; returns the snapshot id
+        (SnapshotDeletionPolicy.Snapshot -> IndexCommit)."""
+        keys = self.indexer.record()
+        if not keys:
+            raise ValueError("no committed segments to snapshot "
+                             "(reference throws on no commits yet)")
+        snaps = self._load()
+        gen = max((int(s[len("snap_"):]) for s in snaps), default=-1) + 1
+        sid = f"snap_{gen:08d}"
+        snaps[sid] = list(keys)
+        self._commit(snaps)
+        return sid
+
+    def get_snapshot(self, sid: str) -> tuple[str, ...]:
+        """The pinned commit point's segment key-set (GetSnapshots)."""
+        snaps = self._load()
+        if sid not in snaps:
+            raise KeyError(f"unknown or released snapshot: {sid}")
+        return tuple(snaps[sid])
+
+    def release(self, sid: str) -> None:
+        """Unpin (SnapshotDeletionPolicy.Release): the commit point's
+        segments become merge victims again."""
+        snaps = self._load()
+        if sid not in snaps:
+            raise KeyError(f"unknown or released snapshot: {sid}")
+        del snaps[sid]
+        self._commit(snaps)
+
+    def protected_keys(self) -> set[str]:
+        """Union of every live snapshot's segment set — what maybe_merge
+        must not delete (IndexFileDeleter.IncRef on snapshotted commits)."""
+        out: set[str] = set()
+        for keys in self._load().values():
+            out.update(keys)
+        return out
+
+    # ------------------------------------------------------------------
+    def rollback(self, sid: str) -> None:
+        """Reset the index to the pinned commit point: segments committed
+        after the snapshot are dropped from the manifest, then their dirs
+        removed. Snapshots that reference a now-dropped segment (i.e.
+        taken after the restore target) are released automatically —
+        their commit points no longer exist."""
+        import shutil
+
+        keep = set(self.get_snapshot(sid))
+        manifest = self.indexer._load_manifest()
+        missing = [k for k in keep
+                   if manifest.get(k, {}).get("status") != "committed"]
+        if missing:
+            raise KeyError(f"snapshot {sid} references pruned segments: {missing}")
+        victims = [k for k in manifest if k not in keep]
+        new_manifest = {k: v for k, v in manifest.items() if k in keep}
+        self.indexer._commit_manifest(new_manifest)  # durable FIRST
+        snaps = {s: ks for s, ks in self._load().items()
+                 if set(ks) <= keep}
+        self._commit(snaps)
+        seg_root = os.path.join(self.indexer.out_dir, "segments")
+        for k in victims:
+            shutil.rmtree(os.path.join(seg_root, k), ignore_errors=True)
 
 
 class LiveFieldValues:

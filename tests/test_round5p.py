@@ -1,0 +1,137 @@
+"""Round-5p tests: SnapshotDeletionPolicy — pinning vs tiered merge,
+release, rollback (manifest-first ordering), persistence across policy
+instances, and error contracts. Reference semantics:
+Index/SnapshotDeletionPolicy.cs (Snapshot/Release/GetSnapshots),
+PersistentSnapshotDeletionPolicy.cs (durable snapshot store)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucenenet_spark.search.queries import TermQuery
+from lucenenet_spark.streaming.incremental import (
+    IncrementalIndexer,
+    SnapshotDeletionPolicy,
+)
+
+DOCS = [
+    (0, "spark merge query engine"),
+    (1, "vector index scan table"),
+    (2, "merge policy segment flush"),
+    (3, "query parser boolean clause"),
+    (4, "vector spark merge table"),
+    (5, "segment merge vector query"),
+]
+
+
+def _batch(spark, ids):
+    return spark.createDataFrame(
+        [d for d in DOCS if d[0] in ids], ["doc_id", "text"]
+    )
+
+
+@pytest.fixture()
+def indexer(spark, tmp_path):
+    ix = IncrementalIndexer(str(tmp_path / "idx"))
+    return ix
+
+
+def test_snapshot_requires_a_commit(indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    with pytest.raises(ValueError):
+        policy.snapshot()
+
+
+def test_snapshot_pins_segments_against_merge(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1}), 0)
+    sid = policy.snapshot()
+    indexer.process_batch(_batch(spark, {2, 3}), 1)
+    indexer.process_batch(_batch(spark, {4, 5}), 2)
+    seg_root = os.path.join(indexer.out_dir, "segments")
+    # seg 0 is pinned; segs 1+2 are mergeable -> merge runs but must not
+    # touch the pinned dir.
+    assert indexer.maybe_merge(spark, max_segments=1, merge_factor=3)
+    assert os.path.isdir(os.path.join(seg_root, "seg_00000000"))
+    assert not os.path.isdir(os.path.join(seg_root, "seg_00000001"))
+    # the pinned commit point stays openable (the reference guarantee)
+    assert policy.get_snapshot(sid) == ("seg_00000000",)
+    pinned = indexer.acquire(spark, policy.get_snapshot(sid))
+    assert pinned.index.max_doc == 2
+
+
+def test_merge_refuses_when_fewer_than_two_victims(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1}), 0)
+    policy.snapshot()
+    indexer.process_batch(_batch(spark, {2, 3}), 1)
+    # 2 committed > max_segments=1, but only seg 1 is unpinned: no merge.
+    assert not indexer.maybe_merge(spark, max_segments=1, merge_factor=2)
+    seg_root = os.path.join(indexer.out_dir, "segments")
+    assert os.path.isdir(os.path.join(seg_root, "seg_00000001"))
+
+
+def test_release_makes_segments_mergeable_again(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1}), 0)
+    sid = policy.snapshot()
+    indexer.process_batch(_batch(spark, {2, 3}), 1)
+    assert not indexer.maybe_merge(spark, max_segments=1, merge_factor=2)
+    policy.release(sid)
+    assert indexer.maybe_merge(spark, max_segments=1, merge_factor=2)
+    with pytest.raises(KeyError):
+        policy.get_snapshot(sid)
+
+
+def test_rollback_restores_the_commit_point(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1, 2}), 0)
+    sid = policy.snapshot()
+    indexer.process_batch(_batch(spark, {3, 4, 5}), 1)
+    assert indexer.refresh(spark).index.max_doc == 6
+    policy.rollback(sid)
+    s = indexer.refresh(spark)
+    assert s.index.max_doc == 3
+    # the dropped segment's dir is reclaimed and its docs unfindable
+    seg_root = os.path.join(indexer.out_dir, "segments")
+    assert not os.path.isdir(os.path.join(seg_root, "seg_00000001"))
+    hits = {r["doc_id"] for r in s.docset(TermQuery("vector")).collect()}
+    assert hits == {1}  # doc 4/5 contain 'vector' but were rolled back
+
+
+def test_rollback_releases_newer_snapshots_keeps_older(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1}), 0)
+    sid0 = policy.snapshot()
+    indexer.process_batch(_batch(spark, {2, 3}), 1)
+    sid1 = policy.snapshot()
+    indexer.process_batch(_batch(spark, {4, 5}), 2)
+    sid2 = policy.snapshot()
+    policy.rollback(sid1)
+    # sid2 named seg 2 which no longer exists -> auto-released;
+    # sid0's set is a subset of the restored commit -> still live.
+    with pytest.raises(KeyError):
+        policy.get_snapshot(sid2)
+    assert policy.get_snapshot(sid0) == ("seg_00000000",)
+    assert set(policy.get_snapshot(sid1)) == {"seg_00000000", "seg_00000001"}
+
+
+def test_snapshots_persist_across_policy_instances(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1}), 0)
+    sid = policy.snapshot()
+    # a fresh policy (new process in the reference's Persistent variant)
+    # sees the pin and still protects the segment
+    policy2 = SnapshotDeletionPolicy(indexer)
+    assert policy2.get_snapshot(sid) == ("seg_00000000",)
+    assert "seg_00000000" in policy2.protected_keys()
+
+
+def test_rollback_unknown_snapshot_raises(spark, indexer):
+    policy = SnapshotDeletionPolicy(indexer)
+    indexer.process_batch(_batch(spark, {0, 1}), 0)
+    with pytest.raises(KeyError):
+        policy.rollback("snap_99999999")
