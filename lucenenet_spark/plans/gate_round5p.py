@@ -87,3 +87,60 @@ def snapshot_rollback_term(spark, sf_dir):
     s = get_engine_snapshot(spark, sf_dir)
     scored = _spark_score_q(s.scored(TermQuery("vector")))
     return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
+
+
+# ==========================================================================
+# Replicator: publish revisions on the master, sync a replica
+# incrementally, serve the query FROM THE REPLICA. Two publish/update
+# cycles so the second sync is a genuine incremental diff (only the new
+# segment copies); the replica's answer must equal the full-corpus batch
+# oracle because the final revision names every segment and the replica
+# recomputes stats globally from its own manifest.
+# ==========================================================================
+_REPLICA_ENGINE: dict[str, object] = {}
+
+
+def get_engine_replica(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from lucenenet_spark.index.replicator import (
+        LocalReplicator,
+        ReplicationClient,
+    )
+    from lucenenet_spark.search.searcher import IndexSearcher
+    from lucenenet_spark.streaming.incremental import IncrementalIndexer
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _REPLICA_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        master = IncrementalIndexer(tempfile.mkdtemp(prefix="repl_master_"))
+        replicator = LocalReplicator(master)
+        client = ReplicationClient(replicator, tempfile.mkdtemp(prefix="repl_replica_"))
+        master.process_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), 0)
+        replicator.publish()
+        assert client.update_now(), "first sync copied nothing"
+        master.process_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), 1)
+        replicator.publish()
+        assert client.update_now(), "incremental sync copied nothing"
+        assert not client.update_now(), "already-current sync must no-op"
+        s = client.indexer().refresh(spark)
+        _REPLICA_ENGINE[key] = IndexSearcher(s.index, mode="double")
+    return _REPLICA_ENGINE[key]
+
+
+@gate(
+    "replica_term_query",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q FROM ({_tsc('merge')})
+ORDER BY score_q DESC, doc_id ASC LIMIT 10
+""",
+)
+def replica_term_query(spark, sf_dir):
+    """Top-10 for TermQuery('merge') answered BY THE REPLICA after two
+    incremental revision syncs — equal to the one-shot batch oracle over
+    the whole corpus (both segments replicated; df/avgdl recomputed from
+    the replica's own manifest)."""
+    s = get_engine_replica(spark, sf_dir)
+    scored = _spark_score_q(s.scored(TermQuery("merge")))
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)

@@ -274,17 +274,30 @@ class SnapshotDeletionPolicy:
     def _path(self) -> str:
         return os.path.join(self.indexer.out_dir, "snapshots.json")
 
-    def _load(self) -> dict[str, list[str]]:
+    def _load_state(self) -> dict:
+        """{"next_gen": int, "snaps": {sid: [segment keys]}} — the
+        counter persists so a released/rolled-back snapshot's id is
+        NEVER recycled (the reference never reuses a commit generation;
+        reuse would let a replica mistake a new revision for one it
+        already synced)."""
         if os.path.exists(self._path):
             with open(self._path) as f:
                 return json.load(f)
-        return {}
+        return {"next_gen": 0, "snaps": {}}
 
-    def _commit(self, snaps: dict[str, list[str]]) -> None:
+    def _load(self) -> dict[str, list[str]]:
+        return self._load_state()["snaps"]
+
+    def _commit_state(self, state: dict) -> None:
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(snaps, f, indent=1)
+            json.dump(state, f, indent=1)
         os.replace(tmp, self._path)
+
+    def _commit(self, snaps: dict[str, list[str]]) -> None:
+        state = self._load_state()
+        state["snaps"] = snaps
+        self._commit_state(state)
 
     # ------------------------------------------------------------------
     def snapshot(self) -> str:
@@ -294,11 +307,11 @@ class SnapshotDeletionPolicy:
         if not keys:
             raise ValueError("no committed segments to snapshot "
                              "(reference throws on no commits yet)")
-        snaps = self._load()
-        gen = max((int(s[len("snap_"):]) for s in snaps), default=-1) + 1
-        sid = f"snap_{gen:08d}"
-        snaps[sid] = list(keys)
-        self._commit(snaps)
+        state = self._load_state()
+        sid = f"snap_{state['next_gen']:08d}"
+        state["next_gen"] += 1
+        state["snaps"][sid] = list(keys)
+        self._commit_state(state)
         return sid
 
     def get_snapshot(self, sid: str) -> tuple[str, ...]:

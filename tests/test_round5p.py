@@ -135,3 +135,108 @@ def test_rollback_unknown_snapshot_raises(spark, indexer):
     indexer.process_batch(_batch(spark, {0, 1}), 0)
     with pytest.raises(KeyError):
         policy.rollback("snap_99999999")
+
+
+# ----------------------------------------------------------- replicator
+from lucenenet_spark.index.replicator import (  # noqa: E402
+    LocalReplicator,
+    ReplicationClient,
+)
+
+
+@pytest.fixture()
+def replication(spark, tmp_path):
+    master = IncrementalIndexer(str(tmp_path / "master"))
+    replicator = LocalReplicator(master)
+    client = ReplicationClient(replicator, str(tmp_path / "replica"))
+    return master, replicator, client
+
+
+def test_update_before_publish_raises(replication):
+    _, _, client = replication
+    with pytest.raises(ValueError):
+        client.update_now()
+
+
+def test_publish_and_sync_serves_same_results(spark, replication):
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1, 2}), 0)
+    replicator.publish()
+    assert client.update_now()
+    s = client.indexer().refresh(spark)
+    assert s.index.max_doc == 3
+    hits = {r["doc_id"] for r in s.docset(TermQuery("merge")).collect()}
+    master_hits = {
+        r["doc_id"]
+        for r in master.refresh(spark).docset(TermQuery("merge")).collect()
+    }
+    assert hits == master_hits == {0, 2}
+
+
+def test_incremental_sync_copies_only_new_segments(spark, replication):
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1}), 0)
+    replicator.publish()
+    client.update_now()
+    seg0 = os.path.join(client.replica_dir, "segments", "seg_00000000")
+    mtime0 = os.path.getmtime(seg0)
+    master.process_batch(_batch(spark, {2, 3}), 1)
+    replicator.publish()
+    assert client.update_now()
+    # the already-replicated immutable segment was NOT re-copied
+    assert os.path.getmtime(seg0) == mtime0
+    assert client.indexer().refresh(spark).index.max_doc == 4
+
+
+def test_sync_is_idempotent_when_current(spark, replication):
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1}), 0)
+    replicator.publish()
+    assert client.update_now()
+    assert not client.update_now()
+
+
+def test_publish_releases_previous_revision(spark, replication):
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1}), 0)
+    r1 = replicator.publish()
+    master.process_batch(_batch(spark, {2, 3}), 1)
+    r2 = replicator.publish()
+    # r1's pin is gone, r2's pin protects both its segments
+    with pytest.raises(KeyError):
+        replicator.policy.get_snapshot(r1.id)
+    assert set(replicator.policy.get_snapshot(r2.id)) == set(r2.keys)
+
+
+def test_checksum_mismatch_raises(spark, replication):
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1}), 0)
+    rev = replicator.publish()
+    rel = next(iter(rev.files))
+    size, _ = rev.files[rel]
+    rev.files[rel] = (size, "0" * 32)  # corrupt the manifest digest
+    with pytest.raises(ValueError):
+        client.update_now()
+
+
+def test_replica_cleans_up_rolled_back_segments(spark, replication):
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1}), 0)
+    replicator.publish()
+    # a user-held pin independent of the publish lifecycle (publish
+    # releases ITS previous revision when superseded; a backup keeps
+    # its own snapshot, the reference's documented pattern)
+    backup = replicator.policy.snapshot()
+    master.process_batch(_batch(spark, {2, 3}), 1)
+    replicator.publish()
+    client.update_now()
+    assert client.indexer().refresh(spark).index.max_doc == 4
+    # master rolls back to the backed-up commit point, re-publishes; the
+    # replica's next sync drops the obsolete segment dir
+    replicator.policy.rollback(backup)
+    replicator.publish()
+    assert client.update_now()
+    assert client.indexer().refresh(spark).index.max_doc == 2
+    assert not os.path.isdir(
+        os.path.join(client.replica_dir, "segments", "seg_00000001")
+    )
