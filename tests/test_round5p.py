@@ -240,3 +240,52 @@ def test_replica_cleans_up_rolled_back_segments(spark, replication):
     assert not os.path.isdir(
         os.path.join(client.replica_dir, "segments", "seg_00000001")
     )
+
+
+def test_randomized_publish_rollback_sync_invariant(spark, replication):
+    """Metamorphic sequence test: after ANY interleaving of batch
+    commits, user snapshots, rollbacks, publishes and syncs, a replica
+    that just synced serves exactly the master's published commit point
+    (same doc count, same term hits). Deterministic seed; ~12 ops."""
+    import random
+
+    rng = random.Random(42)
+    master, replicator, client = replication
+    next_batch = 0
+    user_pins: list[str] = []
+
+    def commit_batch():
+        nonlocal next_batch
+        ids = {(next_batch * 2) % 6, (next_batch * 2 + 1) % 6}
+        master.process_batch(_batch(spark, ids), next_batch)
+        next_batch += 1
+
+    commit_batch()
+    replicator.publish()
+    client.update_now()
+    for _ in range(12):
+        op = rng.choice(["batch", "pin", "rollback", "publish", "sync"])
+        if op == "batch":
+            commit_batch()
+        elif op == "pin":
+            user_pins.append(replicator.policy.snapshot())
+        elif op == "rollback" and user_pins:
+            target = rng.choice(user_pins)
+            try:
+                replicator.policy.rollback(target)
+            except KeyError:
+                user_pins.remove(target)  # auto-released by a prior rollback
+        elif op == "publish":
+            replicator.publish()
+        elif op == "sync":
+            client.update_now()
+    # final convergence: publish + sync, then replica == published master
+    rev = replicator.publish()
+    client.update_now()
+    s_replica = client.indexer().refresh(spark)
+    s_master = master.acquire(spark, rev.keys)
+    assert s_replica.index.max_doc == s_master.index.max_doc
+    for term in ("merge", "vector", "query"):
+        hr = {r["doc_id"] for r in s_replica.docset(TermQuery(term)).collect()}
+        hm = {r["doc_id"] for r in s_master.docset(TermQuery(term)).collect()}
+        assert hr == hm, term
