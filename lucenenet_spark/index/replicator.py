@@ -74,17 +74,27 @@ class LocalReplicator:
         manifest = self.indexer._load_manifest()
         seg_root = os.path.join(self.indexer.out_dir, "segments")
         files: dict[str, tuple[int, str]] = {}
+        seg_digests: dict[str, list[str]] = {k: [] for k in keys}
         for k in keys:
             seg_dir = os.path.join(seg_root, k)
             for root, _dirs, names in os.walk(seg_dir):
-                for n in names:
+                for n in sorted(names):
                     p = os.path.join(root, n)
                     rel = os.path.relpath(p, seg_root)
-                    files[rel] = (os.path.getsize(p), _md5_file(p))
+                    digest = _md5_file(p)
+                    files[rel] = (os.path.getsize(p), digest)
+                    seg_digests[k].append(f"{rel}:{digest}")
+        # Per-segment content uid: a segment KEY can be recreated with
+        # different bytes after a rollback + batch-id replay, so "same
+        # key" is not "same segment" — the replica compares uids, not
+        # key presence (the reference never reuses a segment name; our
+        # streaming batch-id contract can, so the uid carries identity).
+        segments_meta = {}
+        for k in keys:
+            uid = hashlib.md5("\n".join(sorted(seg_digests[k])).encode()).hexdigest()
+            segments_meta[k] = {**manifest[k], "uid": uid}
         rev = IndexRevision(
-            id=sid, keys=keys,
-            segments_meta={k: manifest[k] for k in keys},
-            files=files,
+            id=sid, keys=keys, segments_meta=segments_meta, files=files,
         )
         prev, self._current = self._current, rev
         if prev is not None:
@@ -95,7 +105,20 @@ class LocalReplicator:
         return rev
 
     def current_revision(self) -> IndexRevision | None:
-        return self._current
+        """The latest published revision, or None when nothing valid is
+        published — including after a master rollback invalidated the
+        published commit point (its snapshot auto-released, its files
+        possibly gone): the caller must publish() again rather than let
+        a replica copy from a deleted segment dir."""
+        rev = self._current
+        if rev is None:
+            return None
+        try:
+            self.policy.get_snapshot(rev.id)
+        except KeyError:
+            self._current = None
+            return None
+        return rev
 
 
 class ReplicationClient:
@@ -130,28 +153,43 @@ class ReplicationClient:
         copy. Raises ValueError on a checksum mismatch (torn source)."""
         rev = self.replicator.current_revision()
         if rev is None:
-            raise ValueError("nothing published yet")
+            raise ValueError("nothing published (or the published revision "
+                             "was invalidated by a rollback — publish again)")
         if self._synced_revision() == rev.id:
             return False
         src_root = os.path.join(self.replicator.indexer.out_dir, "segments")
         dst_root = os.path.join(self.replica_dir, "segments")
         os.makedirs(dst_root, exist_ok=True)
-        have = set(os.listdir(dst_root)) if os.path.isdir(dst_root) else set()
+        # a key counts as already-replicated only when its CONTENT uid
+        # matches — a rollback + batch-id replay can recreate a key with
+        # different bytes, and key-presence alone would serve stale data
+        have_uids: dict[str, str] = {}
+        manifest_path = os.path.join(self.replica_dir, "segments.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                have_uids = {k: v.get("uid", "")
+                             for k, v in json.load(f).items()}
+        have_dirs = set(os.listdir(dst_root))
+        # bucket the file manifest by segment once (not per-segment scans)
+        by_seg: dict[str, list[tuple[str, int, str]]] = {k: [] for k in rev.keys}
+        for rel, (size, digest) in rev.files.items():
+            seg = rel.split(os.sep, 1)[0]
+            if seg in by_seg:
+                by_seg[seg].append((rel, size, digest))
         for k in rev.keys:
-            if k in have:
-                continue  # immutable segment already replicated
+            if k in have_dirs and have_uids.get(k) == rev.segments_meta[k]["uid"]:
+                continue  # same content already replicated
             tmp = os.path.join(dst_root, f".{k}.copying")
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.copytree(os.path.join(src_root, k), tmp)
-            for rel, (size, digest) in rev.files.items():
-                if not rel.startswith(k + os.sep):
-                    continue
-                p = os.path.join(dst_root, f".{k}.copying",
-                                 os.path.relpath(rel, k))
+            for rel, size, digest in by_seg[k]:
+                p = os.path.join(tmp, os.path.relpath(rel, k))
                 if os.path.getsize(p) != size or _md5_file(p) != digest:
                     shutil.rmtree(tmp, ignore_errors=True)
                     raise ValueError(f"checksum mismatch replicating {rel}")
-            os.replace(tmp, os.path.join(dst_root, k))
+            final = os.path.join(dst_root, k)
+            shutil.rmtree(final, ignore_errors=True)  # replaced recreated key
+            os.replace(tmp, final)
         # durable-first publish on the replica: manifest naming exactly
         # the revision's keys, then the revision marker, then cleanup
         manifest_path = os.path.join(self.replica_dir, "segments.json")

@@ -29,12 +29,16 @@ from lucenenet_spark.plans.gate import (
 from lucenenet_spark.search.queries import TermQuery
 
 # BM25 prelude over the restored commit point: only even doc_ids exist.
-# "FROM documents d" (the dl CTE) must be rewritten before the bare
-# "FROM documents" occurrences so the alias survives the swap.
+# Rewrite via a placeholder that cannot match itself: "FROM documents d"
+# (the dl CTE) first so the alias survives, then the bare occurrences,
+# then expand the placeholder — a direct chained replace would re-match
+# the "FROM documents" INSIDE the first substitution and double-nest it.
 _EVEN = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
-_SQL_PRELUDE_EVEN = SQL_PRELUDE.replace(
-    "FROM documents d", f"FROM {_EVEN} d"
-).replace("FROM documents", f"FROM {_EVEN} documents")
+_SQL_PRELUDE_EVEN = (
+    SQL_PRELUDE.replace("FROM documents d", "FROM __EVEN__ d")
+    .replace("FROM documents", "FROM __EVEN__ documents")
+    .replace("__EVEN__", _EVEN)
+)
 
 _SNAP_ENGINE: dict[str, object] = {}
 
@@ -119,11 +123,14 @@ def get_engine_replica(spark, sf_dir):
         client = ReplicationClient(replicator, tempfile.mkdtemp(prefix="repl_replica_"))
         master.process_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), 0)
         replicator.publish()
-        assert client.update_now(), "first sync copied nothing"
+        synced1 = client.update_now()
         master.process_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), 1)
         replicator.publish()
-        assert client.update_now(), "incremental sync copied nothing"
-        assert not client.update_now(), "already-current sync must no-op"
+        synced2 = client.update_now()
+        noop = client.update_now()
+        # plain calls above: the syncs are load-bearing and must run
+        # even under python -O (assert-stripped)
+        assert synced1 and synced2 and not noop, "replication lifecycle broken"
         s = client.indexer().refresh(spark)
         _REPLICA_ENGINE[key] = IndexSearcher(s.index, mode="double")
     return _REPLICA_ENGINE[key]

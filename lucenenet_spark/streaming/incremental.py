@@ -118,10 +118,12 @@ class IncrementalIndexer:
         # Deletion-policy seam (Index/IndexDeletionPolicy.cs): segments
         # pinned by a SnapshotDeletionPolicy are never merge victims —
         # merging deletes the victim dirs, which would invalidate a
-        # pinned commit point. Default (no policy) keeps the historical
-        # KeepOnlyLastCommit behavior: everything is fair game.
-        policy = getattr(self, "deletion_policy", None)
-        protected = policy.protected_keys() if policy is not None else set()
+        # pinned commit point. The pin set is read from the DURABLE
+        # snapshots.json (PersistentSnapshotDeletionPolicy: pins survive
+        # process death, so a writer opened in a fresh process without a
+        # policy instance must still honor them). No snapshots file =
+        # the historical KeepOnlyLastCommit behavior.
+        protected = SnapshotDeletionPolicy.protected_keys_in(self.out_dir)
         committed = [(k, v) for k, v in committed if k not in protected]
         committed.sort(key=lambda kv: (kv[1]["docs"], kv[0]))
         victims = committed[:merge_factor]
@@ -268,7 +270,9 @@ class SnapshotDeletionPolicy:
 
     def __init__(self, indexer: IncrementalIndexer):
         self.indexer = indexer
-        indexer.deletion_policy = self  # wire the merge-protection seam
+        # merge protection needs no wiring: maybe_merge reads the durable
+        # snapshots.json via protected_keys_in(), so pins hold even in a
+        # process that never constructs a policy object
 
     @property
     def _path(self) -> str:
@@ -333,9 +337,19 @@ class SnapshotDeletionPolicy:
     def protected_keys(self) -> set[str]:
         """Union of every live snapshot's segment set — what maybe_merge
         must not delete (IndexFileDeleter.IncRef on snapshotted commits)."""
+        return self.protected_keys_in(self.indexer.out_dir)
+
+    @staticmethod
+    def protected_keys_in(out_dir: str) -> set[str]:
+        """Durable pin set for an index directory, readable WITHOUT a
+        policy instance — maybe_merge consults this so pins persist
+        across processes (the Persistent variant's whole point)."""
+        path = os.path.join(out_dir, "snapshots.json")
         out: set[str] = set()
-        for keys in self._load().values():
-            out.update(keys)
+        if os.path.exists(path):
+            with open(path) as f:
+                for keys in json.load(f).get("snaps", {}).values():
+                    out.update(keys)
         return out
 
     # ------------------------------------------------------------------

@@ -242,17 +242,16 @@ def test_replica_cleans_up_rolled_back_segments(spark, replication):
     )
 
 
-def test_randomized_publish_rollback_sync_invariant(spark, replication):
-    """Metamorphic sequence test: after ANY interleaving of batch
-    commits, user snapshots, rollbacks, publishes and syncs, a replica
-    that just synced serves exactly the master's published commit point
-    (same doc count, same term hits). Deterministic seed; ~12 ops."""
-    import random
-
-    rng = random.Random(42)
+def test_scripted_publish_rollback_sync_invariant(spark, replication):
+    """Metamorphic sequence test over a scripted interleaving that is
+    GUARANTEED to execute every op kind — including rollback between a
+    publish and a sync (the case where the published revision is
+    invalidated and the client must see the documented ValueError, not
+    a crash) — then converge: a replica that just synced serves exactly
+    the master's published commit point."""
     master, replicator, client = replication
     next_batch = 0
-    user_pins: list[str] = []
+    pins: list[str] = []
 
     def commit_batch():
         nonlocal next_batch
@@ -260,25 +259,26 @@ def test_randomized_publish_rollback_sync_invariant(spark, replication):
         master.process_batch(_batch(spark, ids), next_batch)
         next_batch += 1
 
-    commit_batch()
-    replicator.publish()
-    client.update_now()
-    for _ in range(12):
-        op = rng.choice(["batch", "pin", "rollback", "publish", "sync"])
+    script = ["batch", "pin", "batch", "publish", "sync", "rollback",
+              "sync", "publish", "sync", "batch", "pin", "batch",
+              "publish", "rollback", "sync", "publish", "sync"]
+    for op in script:
         if op == "batch":
             commit_batch()
         elif op == "pin":
-            user_pins.append(replicator.policy.snapshot())
-        elif op == "rollback" and user_pins:
-            target = rng.choice(user_pins)
-            try:
-                replicator.policy.rollback(target)
-            except KeyError:
-                user_pins.remove(target)  # auto-released by a prior rollback
+            pins.append(replicator.policy.snapshot())
+        elif op == "rollback":
+            replicator.policy.rollback(pins[-1])
         elif op == "publish":
             replicator.publish()
         elif op == "sync":
-            client.update_now()
+            if replicator.current_revision() is None:
+                # rollback invalidated the published revision: the
+                # client reports it instead of copying deleted files
+                with pytest.raises(ValueError):
+                    client.update_now()
+            else:
+                client.update_now()
     # final convergence: publish + sync, then replica == published master
     rev = replicator.publish()
     client.update_now()
@@ -289,3 +289,38 @@ def test_randomized_publish_rollback_sync_invariant(spark, replication):
         hr = {r["doc_id"] for r in s_replica.docset(TermQuery(term)).collect()}
         hm = {r["doc_id"] for r in s_master.docset(TermQuery(term)).collect()}
         assert hr == hm, term
+
+
+def test_replica_detects_recreated_segment_key(spark, replication):
+    """A rollback + batch-id replay can recreate a segment KEY with
+    different content; the replica must detect the uid mismatch and
+    re-copy instead of serving stale postings under fresh metadata."""
+    master, replicator, client = replication
+    master.process_batch(_batch(spark, {0, 1}), 0)
+    backup = replicator.policy.snapshot()
+    master.process_batch(_batch(spark, {2, 3}), 1)  # seg_00000001 v1
+    replicator.publish()
+    client.update_now()
+    replicator.policy.rollback(backup)
+    master.process_batch(_batch(spark, {4, 5}), 1)  # seg_00000001 v2!
+    replicator.publish()
+    assert client.update_now()
+    s = client.indexer().refresh(spark)
+    hits = {r["doc_id"] for r in s.docset(TermQuery("vector")).collect()}
+    assert hits == {1, 4, 5}  # v2 content (docs 4/5), not stale v1 (doc 1 only from batch 0)
+
+
+def test_merge_protection_survives_process_restart(spark, tmp_path):
+    """Pins are durable: a writer opened WITHOUT a policy instance (a
+    fresh process) still refuses to merge snapshotted segments, because
+    maybe_merge reads snapshots.json directly."""
+    out = str(tmp_path / "idx")
+    ix1 = IncrementalIndexer(out)
+    policy = SnapshotDeletionPolicy(ix1)
+    ix1.process_batch(_batch(spark, {0, 1}), 0)
+    policy.snapshot()
+    ix1.process_batch(_batch(spark, {2, 3}), 1)
+    # "restart": a brand-new indexer object, no policy constructed
+    ix2 = IncrementalIndexer(out)
+    assert not ix2.maybe_merge(spark, max_segments=1, merge_factor=2)
+    assert os.path.isdir(os.path.join(out, "segments", "seg_00000000"))
