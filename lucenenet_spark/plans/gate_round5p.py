@@ -151,3 +151,58 @@ def replica_term_query(spark, sf_dir):
     s = get_engine_replica(spark, sf_dir)
     scored = _spark_score_q(s.scored(TermQuery("merge")))
     return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
+
+
+# ==========================================================================
+# Two-phase commit + crash/resume (SegmentedIndexWriter lineage —
+# IndexWriter.cs two-phase commit, segments_N atomic rename): the build
+# "crashes" after 2 of 4 segments, RESUMES (committed segments skipped,
+# their lineage rows byte-untouched), merges term-sharded, and the
+# served top-k must equal the one-shot full-corpus oracle. Previously
+# pytest-only (test_segments.py); this puts the resume path under the
+# DuckDB gate like every other load-bearing path.
+# ==========================================================================
+_TPC_ENGINE: dict[str, object] = {}
+
+
+def get_engine_tpc(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from lucenenet_spark.index.segments import SegmentedIndexWriter
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _TPC_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        w = SegmentedIndexWriter(
+            out_dir=tempfile.mkdtemp(prefix="tpc_gate_"), num_segments=4
+        )
+        lineage = w.build(docs, fail_after=2)  # simulated crash
+        done = sorted(k for k, v in lineage.items() if v["status"] == "committed")
+        complete_after_crash = w.is_complete()
+        lineage2 = w.build(docs)  # resume
+        untouched = all(lineage2[k]["wall_sec"] == lineage[k]["wall_sec"]
+                        for k in done)
+        if complete_after_crash or len(done) != 2 or not untouched or not w.is_complete():
+            raise AssertionError("two-phase-commit resume contract violated")
+        idx = w.merge(spark)
+        _TPC_ENGINE[key] = IndexSearcher(idx, mode="double")
+    return _TPC_ENGINE[key]
+
+
+@gate(
+    "two_phase_commit_resume",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q FROM ({_tsc('spark')})
+ORDER BY score_q DESC, doc_id ASC LIMIT 10
+""",
+)
+def two_phase_commit_resume(spark, sf_dir):
+    """Top-10 for TermQuery('spark') over an index built crash -> resume
+    -> term-sharded merge: identical to the one-shot oracle because
+    resume skips exactly the durable segments and the merge re-aggregates
+    stats globally."""
+    s = get_engine_tpc(spark, sf_dir)
+    scored = _spark_score_q(s.scored(TermQuery("spark")))
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
