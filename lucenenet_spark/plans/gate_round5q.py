@@ -1,0 +1,93 @@
+"""Gate registry part 5q: DSIR importance resampling (LLM-pipeline op).
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+select raw-corpus documents whose hashed-ngram distribution matches a
+target domain. Here the target is the corpus's English subset
+(lang = 'en') and the raw pool is the whole multilingual corpus — the
+canonical DSIR use case (choose web pages that look like the target
+domain). The oracle reproduces the entire procedure in SQL: unigram +
+adjacent-bigram grams, md5-hex8 bucket hash mod 8192, Laplace-smoothed
+bucket models p (target) / q (raw), per-doc log weight
+sum cnt*(ln p - ln q), and the deterministic Gumbel top-k draw keyed by
+md5('dsir#' || doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucenenet_spark.plans.gate import _docs_table, gate
+
+_B = 8192  # hashed feature buckets (functions/dsir.py N_BUCKETS)
+
+
+def _hex8_of(expr: str) -> str:
+    """First 8 hex chars of md5(expr) as a 32-bit integer, digit by digit
+    (the strpos idiom shared with gate_pipeline's MinHash oracle)."""
+    dig = (
+        "(strpos('0123456789abcdef', substr(md5(" + expr + "), {p}, 1)) - 1)"
+    )
+    return " + ".join(f"({dig.format(p=j + 1)}) * {16 ** (7 - j)}" for j in range(8))
+
+
+_GUMBEL = (
+    "(-ln(-ln((CAST("
+    + _hex8_of("'dsir#' || CAST(doc_id AS VARCHAR)")
+    + " AS BIGINT) + 1) / 4294967297.0)))"
+)
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, term AS gram FROM tok WHERE term <> ''
+  UNION ALL
+  SELECT a.doc_id, a.lang, a.term || ' ' || b.term AS gram
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> '' AND b.term <> ''
+),
+gb AS (
+  SELECT doc_id, lang,
+         CAST({_hex8_of('gram')} AS BIGINT) % {_B} AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM gb GROUP BY doc_id, lang, bucket
+),
+q AS (SELECT bucket, SUM(cnt) AS qc FROM counts GROUP BY bucket),
+p AS (SELECT bucket, SUM(cnt) AS pc FROM counts WHERE lang = 'en' GROUP BY bucket),
+qt AS (SELECT CAST(SUM(qc) AS DOUBLE) AS qtot FROM q),
+pt AS (SELECT CAST(SUM(pc) AS DOUBLE) AS ptot FROM p),
+w AS (
+  SELECT c.doc_id,
+         SUM(c.cnt * (ln((coalesce(p.pc, 0) + 1) / (pt.ptot + {_B}))
+                    - ln((q.qc + 1) / (qt.qtot + {_B})))) AS logw
+  FROM counts c JOIN q USING (bucket) LEFT JOIN p USING (bucket), pt, qt
+  GROUP BY c.doc_id
+)
+SELECT doc_id,
+       CAST(floor(logw * 10000 + 0.5) AS BIGINT) AS logw_q,
+       CAST(floor((logw + {_GUMBEL}) * 10000 + 0.5) AS BIGINT) AS gumbel_q
+FROM w
+ORDER BY gumbel_q DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+@gate("dsir_importance_topk", _DSIR_SQL)
+def dsir_importance_topk(spark, sf_dir):
+    """The 50 documents DSIR selects from the multilingual raw corpus to
+    match the English target subset: Gumbel top-k over Laplace-smoothed
+    hashed-ngram log importance weights. Both models are <= 8192 rows
+    (broadcast side); the raw pass is one groupBy(id, bucket) plus one
+    groupBy(id) — no shuffle grows with the feature space."""
+    from lucenenet_spark.functions.dsir import dsir_gumbel_topk
+
+    docs = _docs_table(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_gumbel_topk(docs, target, k=50, seed="dsir", n_buckets=_B)
