@@ -91,3 +91,46 @@ def dsir_importance_topk(spark, sf_dir):
     docs = _docs_table(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
     return dsir_gumbel_topk(docs, target, k=50, seed="dsir", n_buckets=_B)
+
+
+# ==========================================================================
+# LLM-pipeline: sequence packing (GPT-style concat-and-chunk) — every
+# document's global token offset and first/last training-sequence ids,
+# all-integer oracle (a window prefix sum in SQL; the engine runs the
+# distributed two-phase scan instead of one serial window).
+# ==========================================================================
+_PACK_BUDGET = 2048
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       CAST("offset" // {_PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST(("offset" + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS BIGINT)
+         AS seq_last
+FROM c
+"""
+
+
+@gate("sequence_packing", _PACK_SQL)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing of the corpus into 2048-token training
+    sequences: per document, its exclusive-prefix-sum token offset and
+    the first/last sequence ids it occupies. The engine computes the
+    prefix sum as range-partitioned local cumsums + a bounded
+    per-partition offset table (never one serial window)."""
+    from lucenenet_spark.functions.packing import pack_sequences
+
+    docs = _docs_table(spark, sf_dir)
+    return pack_sequences(docs, budget=_PACK_BUDGET)

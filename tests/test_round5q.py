@@ -95,3 +95,63 @@ def test_plan_has_no_cartesian_and_broadcasts_the_models(corpus):
     plan = dsir_log_weights(corpus, target, n_buckets=1024)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --------------------------------------------------- sequence packing
+from lucenenet_spark.functions.packing import (  # noqa: E402
+    pack_sequences,
+    sequence_fill_stats,
+)
+
+_PACK_DOCS = [
+    (0, "a b c d e"),        # 5 tokens, offset 0
+    (1, "f g h"),            # 3 tokens, offset 5 — straddles budget=6
+    (2, ""),                 # 0 tokens, offset 8
+    (3, "i j k l m n o p"),  # 8 tokens, offset 8 — spans two boundaries
+    (4, "q"),                # 1 token, offset 16
+]
+
+
+@pytest.fixture(scope="module")
+def pack_corpus(spark):
+    return spark.createDataFrame(_PACK_DOCS, ["doc_id", "text"])
+
+
+def test_packing_offsets_and_sequence_spans(pack_corpus):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(pack_corpus, budget=6, num_partitions=2).collect()
+    }
+    assert rows[0] == dict(doc_id=0, n_tokens=5, offset=0, seq_first=0, seq_last=0)
+    # doc 1 occupies tokens 5..7: straddles the 6-token boundary
+    assert rows[1] == dict(doc_id=1, n_tokens=3, offset=5, seq_first=0, seq_last=1)
+    # zero-token doc pins to the sequence at its offset
+    assert rows[2] == dict(doc_id=2, n_tokens=0, offset=8, seq_first=1, seq_last=1)
+    # doc 3 occupies tokens 8..15: sequences 1 and 2
+    assert rows[3] == dict(doc_id=3, n_tokens=8, offset=8, seq_first=1, seq_last=2)
+    assert rows[4] == dict(doc_id=4, n_tokens=1, offset=16, seq_first=2, seq_last=2)
+
+
+def test_packing_is_partitioning_invariant(pack_corpus):
+    key = lambda d: d["doc_id"]  # noqa: E731
+    a = sorted(
+        (r.asDict() for r in pack_sequences(pack_corpus, budget=6, num_partitions=1).collect()),
+        key=key,
+    )
+    b = sorted(
+        (r.asDict() for r in pack_sequences(pack_corpus, budget=6, num_partitions=5).collect()),
+        key=key,
+    )
+    assert a == b
+
+
+def test_fill_stats(pack_corpus):
+    packed = pack_sequences(pack_corpus, budget=6, num_partitions=2)
+    row = sequence_fill_stats(packed, budget=6).collect()[0]
+    # 17 tokens total -> 3 sequences, last one holds tokens 12..16 (5 full)
+    assert row.asDict() == dict(n_sequences=3, total_tokens=17, last_fill=5)
+
+
+def test_packing_rejects_bad_budget(pack_corpus):
+    with pytest.raises(ValueError):
+        pack_sequences(pack_corpus, budget=0)
