@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from lucenenet_spark.index.builder import InvertedIndex, assign_doc_ids, build_index
 
-__all__ = ["sorted_reindex", "sort_permutation"]
+__all__ = ["sorted_reindex", "sort_permutation", "block_join_permutation"]
 
 
 def sort_permutation(docs: DataFrame, sort_key: str, id_col: str = "doc_id") -> DataFrame:
@@ -66,3 +66,78 @@ def sorted_reindex(
     sorted_docs = assign_doc_ids(keyed, order_col="_sk").drop("_sk")
     idx = build_index(sorted_docs, text_col=text_col, id_col="doc_id", **build_kw)
     return idx, sorted_docs
+
+
+def block_join_permutation(
+    parents: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    parent_sort: str,
+    child_sort: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(old_id, new_id, is_parent) — BlockJoinComparerSource's DocMap for
+    parent/child block indexes.
+
+    Reference ``Misc/Index/Sorter/BlockJoinComparatorSource.cs``: a
+    SortingMergePolicy comparer that reorders WHOLE blocks by the
+    parent's sort value without breaking block contiguity; children stay
+    before their parent inside the block (the reference's child-then-
+    parent block layout), ordered by ``child_sort`` (old-id order when
+    None, its ``SortField.FIELD_DOC`` default).
+
+    Relationally the block is the ``parent_key`` group, so the
+    permutation is a dense rank of the composite key (parent sort value,
+    parent old id, is-parent flag, child sort, old id) — one equi-join
+    to carry the parent's sort value onto its children, then the same
+    scalable two-phase rank :func:`assign_doc_ids` runs everywhere else
+    (no global window). Children whose parent is absent are dropped,
+    mirroring the reference's requirement that every block ends with a
+    parent-filter hit.
+    """
+    p = parents.select(
+        F.col(parent_key).alias("_pk"),
+        F.col(id_col).cast("long").alias("old_id"),
+        F.col(parent_sort).alias("_psort"),
+    )
+    if child_sort is None:
+        child_sort_col = F.col(id_col).cast("long")
+        parent_pad = F.lit(0).cast("long")
+    else:
+        child_sort_col = F.col(child_sort)
+        parent_pad = F.lit(None).cast(children.schema[child_sort].dataType)
+    pside = p.select(
+        "old_id",
+        F.struct(
+            F.col("_psort").alias("_psort"),
+            F.col("old_id").alias("_pold"),
+            F.lit(1).alias("_in_block"),  # the parent closes its block
+            parent_pad.alias("_csort"),
+            F.col("old_id").alias("_cold"),
+        ).alias("_sk"),
+        F.lit(True).alias("is_parent"),
+    )
+    c = children.select(
+        F.col(parent_key).alias("_pk"),
+        F.col(id_col).cast("long").alias("old_id"),
+        child_sort_col.alias("_csort"),
+    )
+    cside = (
+        c.join(p.select("_pk", F.col("old_id").alias("_pold"), "_psort"), "_pk")
+        .select(
+            "old_id",
+            F.struct(
+                F.col("_psort").alias("_psort"),
+                F.col("_pold").alias("_pold"),
+                F.lit(0).alias("_in_block"),
+                F.col("_csort").alias("_csort"),
+                F.col("old_id").alias("_cold"),
+            ).alias("_sk"),
+            F.lit(False).alias("is_parent"),
+        )
+    )
+    rows = pside.unionByName(cside)
+    return assign_doc_ids(rows, order_col="_sk").select(
+        "old_id", F.col("doc_id").alias("new_id"), "is_parent"
+    )

@@ -123,6 +123,69 @@ FROM c
 """
 
 
+# ==========================================================================
+# BlockJoinComparatorSource (Misc/Index/Sorter/BlockJoinComparatorSource.cs):
+# permute a parent/child block index so blocks order by the parent's sort
+# value, children stay before their parent, contiguity preserved. Parents
+# are orders (sort: o_totalprice), children their lineitems; old ids are
+# synthesized as orderkey*10 (+ linenumber) so both live in one id space.
+# ==========================================================================
+_BJS_SQL = """
+WITH p AS (
+  SELECT CAST(o_orderkey * 10 AS BIGINT) AS old_id,
+         o_orderkey AS pk, o_totalprice AS psort
+  FROM orders
+),
+c AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS old_id,
+         l_orderkey AS pk
+  FROM lineitem
+),
+rows_ AS (
+  SELECT old_id, psort, old_id AS pold, 1 AS in_block,
+         CAST(0 AS BIGINT) AS csort, TRUE AS is_parent
+  FROM p
+  UNION ALL
+  SELECT c.old_id, p.psort, p.old_id AS pold, 0 AS in_block,
+         c.old_id AS csort, FALSE AS is_parent
+  FROM c JOIN p USING (pk)
+)
+SELECT old_id,
+       CAST(row_number() OVER (
+         ORDER BY psort, pold, in_block, csort, old_id
+       ) - 1 AS BIGINT) AS new_id,
+       is_parent
+FROM rows_
+"""
+
+
+@gate("block_join_sort_permutation", _BJS_SQL)
+def block_join_sort_permutation(spark, sf_dir):
+    """The BlockJoinComparerSource DocMap over orders (parents, sorted by
+    o_totalprice) and their lineitems (children, old-id order): blocks
+    stay contiguous, children precede their parent, block order is the
+    parent sort. Engine side is one equi-join plus the scalable two-phase
+    dense rank; oracle is the equivalent serial window."""
+    import os as _os
+
+    from lucenenet_spark.index.sorter import block_join_permutation
+
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    parents = orders.select(
+        (F.col("o_orderkey") * 10).cast("long").alias("doc_id"),
+        F.col("o_orderkey").alias("okey"),
+        "o_totalprice",
+    )
+    children = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("doc_id"),
+        F.col("l_orderkey").alias("okey"),
+    )
+    return block_join_permutation(
+        parents, children, parent_key="okey", parent_sort="o_totalprice"
+    )
+
+
 @gate("sequence_packing", _PACK_SQL)
 def sequence_packing(spark, sf_dir):
     """Concat-and-chunk packing of the corpus into 2048-token training

@@ -155,3 +155,66 @@ def test_fill_stats(pack_corpus):
 def test_packing_rejects_bad_budget(pack_corpus):
     with pytest.raises(ValueError):
         pack_sequences(pack_corpus, budget=0)
+
+
+# ------------------------------------- block-join sorting permutation
+from lucenenet_spark.index.sorter import block_join_permutation  # noqa: E402
+
+# parents (doc_id, key, sortval); block sizes 2, 1, 3 children
+_PARENTS = [(100, "a", 30.0), (200, "b", 10.0), (300, "c", 20.0)]
+_CHILDREN = [
+    (101, "a", 5), (102, "a", 3),
+    (201, "b", 9),
+    (301, "c", 1), (302, "c", 8), (303, "c", 2),
+    (999, "zz", 7),  # orphan: parent absent -> dropped
+]
+
+
+@pytest.fixture(scope="module")
+def block_perm(spark):
+    parents = spark.createDataFrame(_PARENTS, ["doc_id", "key", "sortval"])
+    children = spark.createDataFrame(_CHILDREN, ["doc_id", "key", "csort"])
+    return parents, children
+
+
+def test_blocks_order_by_parent_sort_children_first(block_perm):
+    parents, children = block_perm
+    out = block_join_permutation(
+        parents, children, parent_key="key", parent_sort="sortval"
+    ).collect()
+    new = {r["old_id"]: r["new_id"] for r in out}
+    # orphan dropped; ids dense over the 9 surviving docs
+    assert 999 not in new and sorted(new.values()) == list(range(9))
+    # block order: b (10.0) < c (20.0) < a (30.0); children before parent,
+    # child_sort=None -> children keep old-id order inside the block
+    order = [old for old, _ in sorted(new.items(), key=lambda kv: kv[1])]
+    assert order == [201, 200, 301, 302, 303, 300, 101, 102, 100]
+    flags = {r["old_id"]: r["is_parent"] for r in out}
+    assert {o for o, f in flags.items() if f} == {100, 200, 300}
+
+
+def test_child_sort_reorders_children_within_block_only(block_perm):
+    parents, children = block_perm
+    out = block_join_permutation(
+        parents, children, parent_key="key", parent_sort="sortval",
+        child_sort="csort",
+    ).collect()
+    new = {r["old_id"]: r["new_id"] for r in out}
+    order = [old for old, _ in sorted(new.items(), key=lambda kv: kv[1])]
+    # same block order, children now by csort: c-block 301(1),303(2),302(8)
+    assert order == [201, 200, 301, 303, 302, 300, 102, 101, 100]
+
+
+def test_blocks_stay_contiguous(block_perm):
+    parents, children = block_perm
+    out = block_join_permutation(
+        parents, children, parent_key="key", parent_sort="sortval"
+    ).collect()
+    # group new ids by block (old id // 100 encodes the block here):
+    # each block must occupy a contiguous new-id range ending at its parent
+    by_block: dict[int, list[int]] = {}
+    for r in out:
+        by_block.setdefault(r["old_id"] // 100, []).append(r["new_id"])
+    for ids in by_block.values():
+        ids = sorted(ids)
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
