@@ -16,7 +16,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lucenenet_spark.plans.gate import _docs_table, gate
+from lucenenet_spark.plans.gate import (
+    SQL_PRELUDE,
+    _SQL_SCORED,
+    _Q,
+    _docs_table,
+    _spark_score_q,
+    _tsc,
+    gate,
+)
 
 _B = 8192  # hashed feature buckets (functions/dsir.py N_BUCKETS)
 
@@ -121,6 +129,67 @@ SELECT doc_id, n_tokens, "offset",
          AS seq_last
 FROM c
 """
+
+
+# ==========================================================================
+# IndexMergeTool (Misc/Misc/IndexMergeTool.cs, lucene-cli `index merge`):
+# two half-corpus indexes SAVED to disk, merged through the tool into a
+# destination directory, LOADED back, and served — the on-disk roundtrip
+# of AddIndexes + ForceMerge(1). Must equal the one-shot full-build
+# oracle because the rebase restores the original ids and stats are
+# re-aggregated from the unioned postings.
+# ==========================================================================
+_MERGETOOL_ENGINE: dict[str, object] = {}
+
+
+def _mergetool_engine(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from jobs.merge_index_job import merge_saved_indexes
+    from lucenenet_spark.index.builder import InvertedIndex, build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _MERGETOOL_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2 + 1
+        lo = docs.filter(F.col("doc_id") < mid)
+        # per-directory doc numbering, as AddIndexes sees each source
+        hi = docs.filter(F.col("doc_id") >= mid).withColumn(
+            "doc_id", F.col("doc_id") - F.lit(mid)
+        )
+        root = tempfile.mkdtemp(prefix="mergetool_gate_")
+        a, b, dest = (
+            _os.path.join(root, "idx_a"),
+            _os.path.join(root, "idx_b"),
+            _os.path.join(root, "merged"),
+        )
+        build_index(lo).save(a)
+        build_index(hi).save(b)
+        merge_saved_indexes(spark, dest, [a, b])
+        _MERGETOOL_ENGINE[key] = IndexSearcher(
+            InvertedIndex.load(spark, dest), mode="double"
+        )
+    return _MERGETOOL_ENGINE[key]
+
+
+@gate(
+    "index_merge_tool_term",
+    SQL_PRELUDE + "," + _SQL_SCORED + f"""
+SELECT doc_id, {_Q} AS score_q FROM ({_tsc('vector')})
+ORDER BY score_q DESC, doc_id ASC LIMIT 10
+""",
+)
+def index_merge_tool_term(spark, sf_dir):
+    """Top-10 TermQuery('vector') served from the merge tool's output
+    directory (save halves -> merge -> load): row-identical to the
+    one-shot full-corpus oracle."""
+    from lucenenet_spark.search.queries import TermQuery
+
+    s = _mergetool_engine(spark, sf_dir)
+    scored = _spark_score_q(s.scored(TermQuery("vector")))
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
 
 
 # ==========================================================================

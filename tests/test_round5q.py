@@ -205,6 +205,37 @@ def test_child_sort_reorders_children_within_block_only(block_perm):
     assert order == [201, 200, 301, 303, 302, 300, 102, 101, 100]
 
 
+# --------------------------------------------------- IndexMergeTool
+def test_merge_index_job_roundtrip_equals_single_build(spark, tmp_path):
+    from jobs.merge_index_job import main as merge_main
+    from lucenenet_spark.index.builder import InvertedIndex, build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"spark merge doc{i} " + ("spark " * (i % 3))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    lo = docs.filter(F.col("doc_id") < 10)
+    hi = docs.filter(F.col("doc_id") >= 10).withColumn(
+        "doc_id", F.col("doc_id") - F.lit(10)
+    )
+    a, b, dest = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(lo).save(a)
+    build_index(hi).save(b)
+    merge_main(["--output", dest, a, b])  # the lucene-cli `index merge` shape
+    merged = InvertedIndex.load(spark, dest)
+    single = build_index(docs)
+    assert merged.max_doc == single.max_doc == 20
+    m = {
+        (r["field"], r["term"]): (r["df"], r["ttf"])
+        for r in merged.term_stats.collect()
+    }
+    s = {
+        (r["field"], r["term"]): (r["df"], r["ttf"])
+        for r in single.term_stats.collect()
+    }
+    assert m == s
+
+
 def test_blocks_stay_contiguous(block_perm):
     parents, children = block_perm
     out = block_join_permutation(
