@@ -266,3 +266,113 @@ def sequence_packing(spark, sf_dir):
 
     docs = _docs_table(spark, sf_dir)
     return pack_sequences(docs, budget=_PACK_BUDGET)
+
+
+# ==========================================================================
+# LLM-pipeline: Gopher quality rules (Rae et al. 2021, appendix A) — the
+# rule inputs per document, quantized. Pure per-row array arithmetic.
+# ==========================================================================
+_GOPHER_SQL = """
+WITH tokf AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(floor(sum(length(w)) * 1.0 / count(*) * 10000 + 0.5) AS BIGINT)
+           AS mean_word_len_q,
+         CAST(floor(sum(CASE WHEN regexp_matches(w, '\\p{L}') THEN 1 ELSE 0 END)
+                    * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS alpha_frac_q,
+         CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM tokf GROUP BY doc_id
+),
+sym AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text, '[#]|\\.\\.\\.|…', '', 'g'))
+           AS n_sym
+  FROM documents
+)
+SELECT a.doc_id, a.n_words, a.mean_word_len_q, a.alpha_frac_q, a.stop_hits,
+       CAST(floor(s.n_sym * 1.0 / greatest(a.n_words, 1) * 10000 + 0.5) AS BIGINT)
+         AS symbol_ratio_q
+FROM agg a JOIN sym s USING (doc_id)
+"""
+
+
+@gate("gopher_quality_rules", _GOPHER_SQL)
+def gopher_quality_rules(spark, sf_dir):
+    """The Gopher rule inputs per document (word count, mean word length,
+    letter-word fraction, stop-list hits, symbol ratio). Complements the
+    gopher_repetition gate (the repetition half of the same rule set).
+    Zero-shuffle per-row plan."""
+    from lucenenet_spark.functions.quality_rules import gopher_quality_stats
+
+    return gopher_quality_stats(_docs_table(spark, sf_dir))
+
+
+# ==========================================================================
+# LLM-pipeline: C4 line filter (Raffel et al. 2020 §2.2). The flat corpus
+# is deterministically re-lined (8-token lines; terminal '.' only when
+# (doc_id + line_no) % 3 != 0) so the rule has real structure to act on,
+# then: keep lines ending in terminal punctuation with >= 5 words; keep
+# pages with >= 3 surviving lines; clean_text = surviving lines rejoined.
+# ==========================================================================
+_C4_KEEP = (
+    "right(line, 1) IN ('.', '!', '?', '\"') "
+    "AND len(string_split(line, ' ')) >= 5"
+)
+
+_C4_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+lines0 AS (
+  SELECT doc_id, line_no,
+         string_agg(term, ' ' ORDER BY pos)
+           || CASE WHEN (doc_id + line_no) % 3 <> 0 THEN '.' ELSE '' END AS line
+  FROM (SELECT doc_id, term, pos, pos // 8 AS line_no FROM tok WHERE term <> '')
+  GROUP BY doc_id, line_no
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN {_C4_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       sum(CASE WHEN {_C4_KEEP} THEN 1 ELSE 0 END) >= 3 AS page_kept,
+       coalesce(
+         string_agg(CASE WHEN {_C4_KEEP} THEN line END, chr(10) ORDER BY line_no),
+         '') AS clean_text
+FROM lines0 GROUP BY doc_id
+"""
+
+
+@gate("c4_line_filter", _C4_SQL)
+def c4_line_filter(spark, sf_dir):
+    """C4's line-level cleaning over the re-lined corpus: per page, the
+    line counts, the keep verdict, and the cleaned text. Line synthesis
+    and the filter are per-row array expressions — no shuffle."""
+    from lucenenet_spark.functions.quality_rules import c4_clean_lines
+
+    docs = _docs_table(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            array_join(
+              transform(
+                sequence(0,
+                  cast(ceil(size(array_remove(split(text, ' '), '')) / 8.0)
+                       as int) - 1),
+                i -> concat(
+                  array_join(
+                    slice(array_remove(split(text, ' '), ''), i * 8 + 1, 8), ' '),
+                  case when pmod(doc_id + i, 3) <> 0 then '.' else '' end)
+              ), '\n')
+            """
+        ).alias("text"),
+    )
+    return c4_clean_lines(lined, min_words=5, min_kept_lines=3)

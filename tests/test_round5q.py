@@ -205,6 +205,91 @@ def test_child_sort_reorders_children_within_block_only(block_perm):
     assert order == [201, 200, 301, 303, 302, 300, 102, 101, 100]
 
 
+# --------------------------------------- Gopher + C4 quality rules
+from lucenenet_spark.functions.quality_rules import (  # noqa: E402
+    c4_clean_lines,
+    c4_filter,
+    gopher_quality_filter,
+    gopher_quality_stats,
+)
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs away "
+    "to find that other foxes have gathered with great joy near the old "
+    "barn where the farmer keeps grain and the mice hide from the cats "
+    "that prowl at night while owls watch from the tall trees above them"
+)  # >= 50 words, mean len in range, all alpha, plenty of stop hits
+
+
+@pytest.fixture(scope="module")
+def gopher_corpus(spark):
+    rows = [
+        (0, _GOOD),
+        (1, "short doc with the and of that"),  # < 50 words
+        (2, " ".join(["the", "of", "and"] + ["a"] * 60)),  # mean len < 3
+        (3, " ".join(["the", "of"] + ["12345678"] * 60)),  # alpha frac < 0.8
+        (4, " ".join(["zebra"] * 60)),  # no stop-list hits
+        (5, _GOOD + " " + "### ### ### ### ### ### ### ### ### ###"),  # symbols
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_rules_each_reject_their_target(gopher_corpus):
+    kept = {
+        r["doc_id"] for r in gopher_quality_filter(gopher_corpus).collect()
+    }
+    assert kept == {0}
+
+
+def test_gopher_stats_values(gopher_corpus):
+    s = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_stats(gopher_corpus).collect()
+    }
+    assert s[4]["stop_hits"] == 0 and s[0]["stop_hits"] >= 2
+    assert s[3]["alpha_frac_q"] < 8000 and s[0]["alpha_frac_q"] == 10000
+    assert s[2]["mean_word_len_q"] < 30000
+    assert s[5]["symbol_ratio_q"] > 1000 and s[0]["symbol_ratio_q"] == 0
+
+
+def test_gopher_stats_plan_has_no_shuffle(gopher_corpus):
+    plan = (
+        gopher_quality_stats(gopher_corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+_C4_PAGE_A = (
+    "this line has enough words and ends well.\n"
+    "too short ends.\n"
+    "this line has enough words but no terminal punctuation\n"
+    "another qualifying line with plenty of words here.\n"
+    "a third qualifying line with plenty of words too!"
+)
+_C4_PAGE_B = "only one qualifying line with enough words here.\nnope\nalso nope"
+
+
+def test_c4_line_filter_keeps_and_rejects(spark):
+    df = spark.createDataFrame(
+        [(0, _C4_PAGE_A), (1, _C4_PAGE_B)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_clean_lines(df).collect()}
+    assert out[0]["n_lines"] == 5 and out[0]["n_kept"] == 3
+    assert out[0]["page_kept"] is True
+    assert out[0]["clean_text"].split("\n") == [
+        "this line has enough words and ends well.",
+        "another qualifying line with plenty of words here.",
+        "a third qualifying line with plenty of words too!",
+    ]
+    assert out[1]["n_kept"] == 1 and out[1]["page_kept"] is False
+    survivors = c4_filter(df)
+    rows = survivors.collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert rows[0]["text"] == out[0]["clean_text"]
+    assert survivors.columns == df.columns
+
+
 # --------------------------------------------------- IndexMergeTool
 def test_merge_index_job_roundtrip_equals_single_build(spark, tmp_path):
     from jobs.merge_index_job import main as merge_main
