@@ -1,24 +1,21 @@
-"""Sequence packing: concat-and-chunk documents into fixed-size
-training sequences.
+"""Sequence packing for LLM pretraining batches.
 
-LLM pretraining pipelines concatenate the tokenized corpus into one
-stream and cut it into fixed ``budget``-token training sequences (the
-GPT-style "concat and chunk" packing; documents may straddle sequence
-boundaries). The per-document artifact is its global token offset and
-the first/last sequence ids it lands in — enough to materialize any
-sequence, attribute a training sequence back to its source documents,
-or audit a decontamination pass at sequence granularity.
+The standard pretraining data layout concatenates documents (with an
+implicit separator) and slices the stream into fixed-capacity context
+windows ("concat-then-chunk" packing, the GPT/LLaMA convention). The
+useful per-doc bookkeeping is WHERE each document lands: its token
+offset in the packed stream and the first/last chunk it touches —
+that's what sequence-boundary masking and provenance tracking consume.
 
-Scale design (100 TB): the global offset is an exclusive prefix sum over
-the corpus in a deterministic order. A single unpartitioned window would
-serialize the corpus through one task, so this runs the classic
-distributed two-phase scan instead: range-partition by the order key
-(persisted — range boundaries are sampled per job, see
-index/builder.assign_doc_ids), per-partition cumulative sums in a
-window PARTITIONED by the range bucket (parallel), and a driver-side
-cumulative offset over the per-partition totals (one row per partition,
-bounded by the partition count, joined back via broadcast). No stage
-touches more than one partition's rows at a time.
+Distribution: a single global stream would serialize on one reducer, so
+the stream is SHARDED — docs are assigned to `n_shards` independent
+streams by `doc_id % n_shards` and packed per shard in doc-id order.
+Each shard's offsets are a window cumulative sum (one shuffle on the
+shard key, sort within shard). At 100 TB you size n_shards to the
+cluster's reducer count (thousands), so no reducer sees more than
+|corpus| / n_shards tokens; determinism is preserved because both the
+shard assignment and the within-shard order are pure functions of the
+doc id, not of partitioning.
 """
 
 from __future__ import annotations
@@ -26,13 +23,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def token_counts_col(text_col: str = "text"):
-    """Whitespace token count as a Column (empty tokens dropped)."""
-    return F.size(F.array_remove(F.split(F.col(text_col), " "), ""))
+__all__ = ["pack_sequences", "pack_stream_offsets", "sequence_fill_stats"]
 
 
 def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc packing coordinates under concat-then-chunk.
+
+    Returns (doc_id, shard, n_tokens, offset, chunk_first, chunk_last,
+    chunks_spanned): `offset` is the doc's starting token index in its
+    shard's packed stream; a doc occupies chunks
+    floor(offset/capacity) .. floor((offset+n_tokens-1)/capacity).
+    Tokens are raw whitespace tokens (the budget unit is the trainer's
+    tokenizer; whitespace is the deterministic stand-in used across this
+    repo's token-count ops)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    base = docs.select(
+        id_col,
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset")
+    out = base.select(id_col, "shard", "n_tokens", offset)
+    chunk_first = F.floor(F.col("offset") / capacity)
+    chunk_last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / capacity)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "offset",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last - chunk_first + 1).alias("chunks_spanned"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Single GLOBAL packed stream (the complement of the sharded layout above):
+# when the training job needs ONE corpus-order stream — e.g. to reproduce a
+# published run's exact chunk boundaries or audit decontamination at
+# sequence granularity — the offset is a global exclusive prefix sum. A
+# serial window would bottleneck, so this runs the classic distributed
+# two-phase scan: range-partition by the order key (persisted — range
+# boundaries are sampled per job, see index/builder.assign_doc_ids),
+# per-partition cumsums in a window PARTITIONED by the range bucket, and a
+# driver-side cumulative offset over per-partition totals (one row per
+# partition, joined back via broadcast).
+# --------------------------------------------------------------------------
+
+
+def pack_stream_offsets(
     df: DataFrame,
     budget: int,
     text_col: str = "text",
@@ -40,22 +91,21 @@ def pack_sequences(
     tokens_col: str | None = None,
     num_partitions: int = 16,
 ) -> DataFrame:
-    """(id, n_tokens, offset, seq_first, seq_last): concat-and-chunk
-    packing of the corpus (ordered by ``id_col``) into ``budget``-token
-    sequences.
+    """(id, n_tokens, offset, seq_first, seq_last): global concat-and-chunk
+    packing into ``budget``-token sequences, ordered by ``id_col``.
 
-    ``offset`` is the document's position in the global token stream
-    (exclusive prefix sum); ``seq_first``/``seq_last`` are the first and
-    last sequence ids the document occupies. Zero-token documents are
-    pinned to the sequence at their offset (they occupy no tokens but
-    still map somewhere deterministic).
+    ``offset`` is the document's position in the single global token
+    stream; ``seq_first``/``seq_last`` the first and last sequence ids it
+    occupies. Zero-token documents pin to the sequence at their offset.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n = F.col(tokens_col) if tokens_col else token_counts_col(text_col)
+    n = F.col(tokens_col) if tokens_col else F.size(
+        F.array_remove(F.split(F.col(text_col), " "), "")
+    )
     d = df.select(F.col(id_col).alias("_id"), n.cast("long").alias("n_tokens"))
-    # phase 1: range-partition on the order key; persist so the sampled
-    # range boundaries are identical across the two jobs below
+    # phase 1: range-partition on the order key; persist pins the sampled
+    # range boundaries across the two jobs below
     d = d.repartitionByRange(num_partitions, "_id").persist()
     try:
         d = d.withColumn("_pid", F.spark_partition_id())
@@ -68,7 +118,7 @@ def pack_sequences(
             ),
         )
         # phase 2: per-partition totals -> exclusive offsets (one row per
-        # partition; RangePartitioner indexes are ascending in key order)
+        # partition; RangePartitioner indexes ascend in key order)
         totals = sorted(
             d.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect(),
             key=lambda r: r["_pid"],
@@ -98,7 +148,7 @@ def pack_sequences(
                 ).cast("long"),
             )
         )
-        # materialize before unpersisting the phase-1 frame
+        # materialize before releasing the pinned phase-1 frame
         return out.localCheckpoint(eager=True)
     finally:
         d.unpersist()
@@ -106,7 +156,7 @@ def pack_sequences(
 
 def sequence_fill_stats(packed: DataFrame, budget: int) -> DataFrame:
     """(n_sequences, total_tokens, last_fill): how many training
-    sequences the packing produced and how full the final one is —
+    sequences the global packing produced and how full the final one is —
     the packing audit row."""
     return packed.agg(
         (F.floor((F.max(F.col("offset") + F.col("n_tokens")) - 1) / budget) + 1)

@@ -6,14 +6,18 @@ Two heuristic filter families every large pretraining pipeline runs:
   kept iff word count in [50, 100k], mean word length in [3, 10],
   symbol-to-word ratio (``#``/ellipsis) <= 0.1, >= 80% of words contain
   a letter, and at least 2 hits from an 8-word English stop list.
-- **C4 line rules** (Raffel et al. 2020 §2.2 — published): keep only
-  lines that end in terminal punctuation and have at least ``min_words``
-  words; drop pages left with fewer than 3 such lines.
+- **C4 line rewriting** (Raffel et al. 2020 §2.2): the line predicate
+  itself lives in functions/c4.py (c4_clean_stats — single source of
+  truth for the published rule, incl. the lorem-ipsum/brace page rules);
+  this module adds the step c4.py leaves out: REWRITING each surviving
+  page down to only its kept lines, which is what the C4 pipeline
+  actually emits.
 
 Scale design: both are pure per-row Column arithmetic — ``split`` +
 array expressions + regexps, ZERO shuffles and no Python. Complements
 the neighbouring signal modules (repetition.py = Gopher's repetition
-rules, lm_quality.py = the CCNet LM cut, pii.py, urls.py).
+rules, c4.py = the C4 page decision, lm_quality.py = the CCNet LM cut,
+pii.py, urls.py).
 """
 
 from __future__ import annotations
@@ -84,9 +88,6 @@ def gopher_quality_filter(
     return df.join(keep, id_col, "left_semi")
 
 
-_TERMINAL = (".", "!", "?", '"')
-
-
 def c4_clean_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -94,17 +95,15 @@ def c4_clean_lines(
     min_words: int = 5,
     min_kept_lines: int = 3,
 ) -> DataFrame:
-    """(id, n_lines, n_kept, page_kept, clean_text): the C4 line filter —
-    a line survives iff it ends in terminal punctuation AND has at least
-    ``min_words`` words; the page survives iff at least
-    ``min_kept_lines`` lines survive. ``clean_text`` is the surviving
-    lines re-joined with newlines (empty string when none survive)."""
-    lines = F.array_remove(F.split(F.col(text_col), "\n"), "")
-    kept = F.filter(
-        lines,
-        lambda ln: F.substring(ln, -1, 1).isin(*_TERMINAL)
-        & (F.size(F.array_remove(F.split(ln, " "), "")) >= F.lit(min_words)),
-    )
+    """(id, n_lines, n_kept, page_kept, clean_text): the C4 line filter
+    plus the rewrite — the line predicate (terminal punctuation AND at
+    least ``min_words`` words) is c4.py's, shared so the rule has one
+    definition; the page survives iff at least ``min_kept_lines`` lines
+    survive, and ``clean_text`` is those lines re-joined with newlines
+    (empty string when none survive)."""
+    from lucenenet_spark.functions.c4 import _kept_lines
+
+    lines, kept = _kept_lines(F.col(text_col), min_words)
     return df.select(
         id_col,
         F.size(lines).cast("long").alias("n_lines"),

@@ -262,10 +262,10 @@ def sequence_packing(spark, sf_dir):
     the first/last sequence ids it occupies. The engine computes the
     prefix sum as range-partitioned local cumsums + a bounded
     per-partition offset table (never one serial window)."""
-    from lucenenet_spark.functions.packing import pack_sequences
+    from lucenenet_spark.functions.packing import pack_stream_offsets
 
     docs = _docs_table(spark, sf_dir)
-    return pack_sequences(docs, budget=_PACK_BUDGET)
+    return pack_stream_offsets(docs, budget=_PACK_BUDGET)
 
 
 # ==========================================================================

@@ -97,9 +97,9 @@ def test_plan_has_no_cartesian_and_broadcasts_the_models(corpus):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-# --------------------------------------------------- sequence packing
+# ------------------------------------------ global sequence packing
 from lucenenet_spark.functions.packing import (  # noqa: E402
-    pack_sequences,
+    pack_stream_offsets,
     sequence_fill_stats,
 )
 
@@ -120,7 +120,7 @@ def pack_corpus(spark):
 def test_packing_offsets_and_sequence_spans(pack_corpus):
     rows = {
         r["doc_id"]: r.asDict()
-        for r in pack_sequences(pack_corpus, budget=6, num_partitions=2).collect()
+        for r in pack_stream_offsets(pack_corpus, budget=6, num_partitions=2).collect()
     }
     assert rows[0] == dict(doc_id=0, n_tokens=5, offset=0, seq_first=0, seq_last=0)
     # doc 1 occupies tokens 5..7: straddles the 6-token boundary
@@ -135,18 +135,18 @@ def test_packing_offsets_and_sequence_spans(pack_corpus):
 def test_packing_is_partitioning_invariant(pack_corpus):
     key = lambda d: d["doc_id"]  # noqa: E731
     a = sorted(
-        (r.asDict() for r in pack_sequences(pack_corpus, budget=6, num_partitions=1).collect()),
+        (r.asDict() for r in pack_stream_offsets(pack_corpus, budget=6, num_partitions=1).collect()),
         key=key,
     )
     b = sorted(
-        (r.asDict() for r in pack_sequences(pack_corpus, budget=6, num_partitions=5).collect()),
+        (r.asDict() for r in pack_stream_offsets(pack_corpus, budget=6, num_partitions=5).collect()),
         key=key,
     )
     assert a == b
 
 
 def test_fill_stats(pack_corpus):
-    packed = pack_sequences(pack_corpus, budget=6, num_partitions=2)
+    packed = pack_stream_offsets(pack_corpus, budget=6, num_partitions=2)
     row = sequence_fill_stats(packed, budget=6).collect()[0]
     # 17 tokens total -> 3 sequences, last one holds tokens 12..16 (5 full)
     assert row.asDict() == dict(n_sequences=3, total_tokens=17, last_fill=5)
@@ -154,7 +154,7 @@ def test_fill_stats(pack_corpus):
 
 def test_packing_rejects_bad_budget(pack_corpus):
     with pytest.raises(ValueError):
-        pack_sequences(pack_corpus, budget=0)
+        pack_stream_offsets(pack_corpus, budget=0)
 
 
 # ------------------------------------- block-join sorting permutation
