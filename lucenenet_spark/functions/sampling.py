@@ -35,6 +35,9 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "split_train_holdout",
+    "temperature_weights",
+    "deterministic_shuffle",
+    "materialize_mixture",
 ]
 
 _DENOM = 1_000_000
@@ -158,3 +161,58 @@ def deterministic_shuffle(
     sortWithinPartitions semantics of the range-partitioned sort."""
     key = sample_hash(F.col(id_col), salt)
     return docs.withColumn(key_out, key).orderBy(key_out, F.col(id_col))
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "mixture",
+    id_col: str = "doc_id",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """The tempered mixture made concrete: the resampled corpus itself.
+
+    Each document repeats ``floor(r)`` times plus one more with
+    probability ``frac(r)``, where r is :func:`temperature_weights`'
+    repeat_factor for its group and the fractional draw is a
+    deterministic per-doc hash (stochastic rounding — the expected copy
+    count equals r exactly, and reruns are bit-identical). Documents in
+    over-represented groups (r < 1) survive with probability r; tail
+    groups are upsampled with a 1-based ``copy_col`` numbering each
+    repetition.
+
+    Determinism across engines: r is quantized to 1e-4 FIRST, then all
+    arithmetic is integer (r_q // 10000 whole copies; the extra copy iff
+    hash % 10000 < r_q % 10000), so the only float op near a boundary is
+    the one quantization every gate already relies on.
+
+    Scale: the weights table is group-cardinality-sized (broadcast); the
+    expansion is a per-row sequence+explode bounded by ceil(max r) — no
+    shuffle beyond temperature_weights' metadata aggregate."""
+    w = temperature_weights(docs, group_col, alpha=alpha).select(
+        group_col,
+        F.floor(F.col("repeat_factor") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("_r_q"),
+    )
+    u = sample_hash(F.col(id_col), salt) % F.lit(10000)
+    n_copies = (
+        (F.col("_r_q") / F.lit(10000)).cast("long")
+        + F.when(u < F.col("_r_q") % F.lit(10000), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    expanded = (
+        docs.join(F.broadcast(w), group_col)
+        .withColumn("_n", n_copies)
+        .withColumn(
+            copy_col,
+            F.explode(
+                F.when(
+                    F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_r_q", "_n")
+    )
+    return expanded

@@ -269,6 +269,51 @@ def sequence_packing(spark, sf_dir):
 
 
 # ==========================================================================
+# LLM-pipeline: mixture materialization — temperature_weights' repeat
+# factors turned into the resampled corpus itself via stochastic rounding
+# (floor(r) whole copies + one more iff hash % 10000 < frac(r) in 1e-4
+# quanta). The oracle reproduces the tempered weights, the quantized r,
+# the per-doc hash draw, and the generate_series expansion.
+# ==========================================================================
+_MIX_SQL = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+p AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS w FROM c),
+z AS (SELECT sum(w) AS z, CAST(sum(n_docs) AS DOUBLE) AS n_total FROM p),
+rq AS (
+  SELECT p.lang,
+         CAST(floor(p.w / z.z * z.n_total / p.n_docs * 10000 + 0.5) AS BIGINT)
+           AS r_q
+  FROM p, z
+),
+n AS (
+  SELECT d.doc_id, d.lang,
+         CAST(r_q // 10000
+           + CASE WHEN (CAST({_hex8_of("'mixture#' || CAST(doc_id AS VARCHAR)")}
+                         AS BIGINT) % 10000) < (r_q % 10000)
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM documents d JOIN rq USING (lang)
+)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+FROM n
+"""
+
+
+@gate("mixture_materialize", _MIX_SQL)
+def mixture_materialize(spark, sf_dir):
+    """The alpha=0.5 tempered multilingual mixture materialized over the
+    lang column: every surviving (doc, copy) row. Weights table is
+    broadcast; the expansion is per-row sequence+explode."""
+    from lucenenet_spark.functions.sampling import materialize_mixture
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    out = materialize_mixture(docs, "lang", alpha=0.5, salt="mixture")
+    return out.select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+
+
+# ==========================================================================
 # LLM-pipeline: Gopher quality rules (Rae et al. 2021, appendix A) — the
 # rule inputs per document, quantized. Pure per-row array arithmetic.
 # ==========================================================================

@@ -205,6 +205,53 @@ def test_child_sort_reorders_children_within_block_only(block_perm):
     assert order == [201, 200, 301, 303, 302, 300, 102, 101, 100]
 
 
+# ------------------------------------------- mixture materialization
+from lucenenet_spark.functions.sampling import materialize_mixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mixture_corpus(spark):
+    rows = [(i, "big" if i < 240 else "small") for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "grp"])
+
+
+def test_alpha_one_keeps_every_doc_exactly_once(mixture_corpus):
+    out = materialize_mixture(mixture_corpus, "grp", alpha=1.0).collect()
+    assert len(out) == 300
+    assert all(r["copy"] == 1 for r in out)
+
+
+def test_tempering_upsamples_tail_and_downsamples_head(mixture_corpus):
+    out = materialize_mixture(mixture_corpus, "grp", alpha=0.5)
+    counts = {
+        r["grp"]: (r["n_rows"], r["n_docs"])
+        for r in out.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .collect()
+    }
+    big_rows, big_docs = counts["big"]
+    small_rows, small_docs = counts["small"]
+    # head group shrinks (r < 1: some docs dropped, none repeated);
+    # tail group grows (r > 1: every doc kept, some repeated)
+    assert big_rows < 240 and big_docs == big_rows
+    assert small_rows > 60 and small_docs == 60
+    # stochastic rounding keeps the realized total near the corpus size
+    assert abs((big_rows + small_rows) - 300) < 30
+
+
+def test_materialize_is_deterministic_and_salt_sensitive(mixture_corpus):
+    a = sorted(map(tuple, materialize_mixture(mixture_corpus, "grp").collect()))
+    b = sorted(map(tuple, materialize_mixture(mixture_corpus, "grp").collect()))
+    assert a == b
+    c = sorted(
+        map(tuple, materialize_mixture(mixture_corpus, "grp", salt="epoch2").collect())
+    )
+    assert a != c
+
+
 # --------------------------------------- Gopher + C4 quality rules
 from lucenenet_spark.functions.quality_rules import (  # noqa: E402
     c4_clean_lines,
