@@ -314,6 +314,84 @@ def mixture_materialize(spark, sf_dir):
 
 
 # ==========================================================================
+# LLM-pipeline: the COMPOSED curation funnel (functions/pipeline.curate):
+# Gopher rules -> exact dedup first-wins -> LM cut fit on the survivors
+# -> deterministic subsample. Each stage is gated on its own elsewhere;
+# this gate verifies the composition (ordering + survivor threading +
+# audit columns) against one chained CTE oracle.
+# ==========================================================================
+import math as _math
+
+_CUR_LM_MIN_Q = _math.floor(-3.45 * 10000)
+
+_CURATE_SQL = f"""
+WITH tokf0 AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+g AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(floor(sum(length(w)) * 1.0 / count(*) * 10000 + 0.5) AS BIGINT)
+           AS mwl_q,
+         CAST(floor(sum(CASE WHEN regexp_matches(w, '\\p{{L}}') THEN 1 ELSE 0 END)
+                    * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS alpha_q,
+         CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM tokf0 GROUP BY doc_id
+),
+sym AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text, '[#]|\\.\\.\\.|…', '', 'g'))
+           AS n_sym
+  FROM documents
+),
+s1 AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN g USING (doc_id) JOIN sym USING (doc_id)
+  WHERE g.n_words BETWEEN 50 AND 100000
+    AND g.mwl_q BETWEEN 30000 AND 100000
+    AND g.alpha_q >= 8000
+    AND g.stop_hits >= 2
+    AND CAST(floor(sym.n_sym * 1.0 / greatest(g.n_words, 1) * 10000 + 0.5)
+         AS BIGINT) <= 1000
+),
+keepid AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+s2 AS (SELECT s1.* FROM s1 JOIN keepid USING (doc_id)),
+tokf AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s2
+  ) WHERE w <> ''
+),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokf GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+lm AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(floor(avg(ln(f.cnt / tot.total)) * 10000 + 0.5) AS BIGINT)
+           AS avg_logprob_q
+  FROM tokf t JOIN freq f USING (w), tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, avg_logprob_q
+FROM lm
+WHERE avg_logprob_q >= {_CUR_LM_MIN_Q}
+  AND (CAST({_hex8_of("'curate#' || CAST(doc_id AS VARCHAR)")} AS BIGINT)
+       % 1000000) < 800000
+"""
+
+
+@gate("curation_pipeline", _CURATE_SQL)
+def curation_pipeline(spark, sf_dir):
+    """The full curation funnel over the corpus with default thresholds:
+    survivors with their LM audit columns."""
+    from lucenenet_spark.functions.pipeline import curate
+
+    return curate(_docs_table(spark, sf_dir))
+
+
+# ==========================================================================
 # LLM-pipeline: Gopher quality rules (Rae et al. 2021, appendix A) — the
 # rule inputs per document, quantized. Pure per-row array arithmetic.
 # ==========================================================================

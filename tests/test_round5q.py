@@ -205,6 +205,53 @@ def test_child_sort_reorders_children_within_block_only(block_perm):
     assert order == [201, 200, 301, 303, 302, 300, 102, 101, 100]
 
 
+# ----------------------------------------------- curation pipeline
+def test_curation_funnel_stages_each_bite(spark):
+    from lucenenet_spark.functions.pipeline import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "to find that other foxes have gathered with great joy near the old "
+        "barn where the farmer keeps grain and the mice hide from the cats "
+        "that prowl at night while owls watch from the tall trees above them"
+    )
+    rows = (
+        # ids 0..9: distinct good docs (append a distinct stop-word tail so
+        # content differs but stays rule-clean)
+        [(i, good + " and the end of doc number " + "the " * i) for i in range(10)]
+        # 10: exact duplicate of 0 -> dedup drops it (first-wins)
+        + [(10, good + " and the end of doc number ")]
+        # 11: fails gopher (too short)
+        + [(11, "short doc with the and of that")]
+        # 12: passes gopher but is all rare tokens -> LM tail
+        + [(12, " ".join(f"uniq{i}tok" for i in range(60)) + " the of and the of and")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate(docs, sample_fraction=1.0, lm_min_avg_logprob=-4.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 10 not in ids  # dedup stage
+    assert 11 not in ids  # gopher stage
+    assert 12 not in ids  # LM stage (rare-token doc scores far below)
+    assert ids <= set(range(10)) and len(ids) >= 8
+    # the sample stage: fraction < 1 removes a deterministic subset
+    sampled = curate(docs, sample_fraction=0.5, lm_min_avg_logprob=-4.5)
+    assert sampled.count() < len(ids)
+    again = curate(docs, sample_fraction=0.5, lm_min_avg_logprob=-4.5)
+    assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_curate_job_cli_writes_survivors(spark, tmp_path):
+    from jobs.curate_job import main as curate_main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    dest = str(tmp_path / "curated")
+    curate_main(["--input", src, "--output", dest])
+    out = spark.read.parquet(dest)
+    assert 0 < out.count() < 500
+    assert {"doc_id", "text", "n_tokens", "avg_logprob_q"} <= set(out.columns)
+
+
 # ------------------------------------------- mixture materialization
 from lucenenet_spark.functions.sampling import materialize_mixture  # noqa: E402
 
