@@ -1,0 +1,84 @@
+"""Product-quantization ANN (functions/pq.py): codebook determinism,
+encode invariants, ADC-table integer exactness, end-to-end recall vs the
+exact cosine baseline on the pinned reference sample."""
+
+import math
+
+from lucenenet_spark.functions import pq as fpq
+from lucenenet_spark.functions import similarity as fsim
+
+SF = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_trained_codebooks_deterministic_and_cached():
+    b1 = fpq.trained_pq_codebooks(m=8, ks=16, seed=11)
+    b2 = fpq.trained_pq_codebooks(m=8, ks=16, seed=11)
+    assert b1 is b2  # cache hit
+    assert len(b1) == 8 and all(len(bm) == 16 for bm in b1)
+    assert all(len(c) == 8 for bm in b1 for c in bm)  # dim 64 / m 8
+    b3 = fpq.train_pq_codebooks(
+        [[float(i + j) for i in range(64)] for j in range(40)], m=8, ks=4, seed=3
+    )
+    b4 = fpq.train_pq_codebooks(
+        [[float(i + j) for i in range(64)] for j in range(40)], m=8, ks=4, seed=3
+    )
+    assert b3 == b4
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    emb = spark.read.parquet(SF).limit(100)
+    books = fpq.trained_pq_codebooks(m=8, ks=16, seed=11)
+    rows = {r["vec_id"]: tuple(r[f"code{m}"] for m in range(8))
+            for r in fpq.pq_encode(emb, books).collect()}
+    rows2 = {r["vec_id"]: tuple(r[f"code{m}"] for m in range(8))
+             for r in fpq.pq_encode(emb, books).collect()}
+    assert rows == rows2
+    assert all(0 <= c < 16 for codes in rows.values() for c in codes)
+    assert len(rows) == 100
+
+
+def test_adc_table_matches_python_reference():
+    books = fpq.trained_pq_codebooks(m=8, ks=16, seed=11)
+    q = [math.sin(i * 0.37) for i in range(64)]
+    t = fpq.pq_distance_table_q(q, books)
+    assert len(t) == 8 and all(len(r) == 16 for r in t)
+    assert all(isinstance(v, int) and v >= 0 for r in t for v in r)
+    # nearest centroid by the table == nearest by direct squared distance
+    n = math.sqrt(sum(x * x for x in q))
+    qu = [x / n for x in q]
+    for mi in range(8):
+        sub = qu[mi * 8:(mi + 1) * 8]
+        direct = min(
+            range(16),
+            key=lambda c: sum((a - b) ** 2 for a, b in zip(sub, books[mi][c])),
+        )
+        assert t[mi].index(min(t[mi])) == direct
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(SF)
+    exact = [r["vec_id"] for r in fsim.cosine_topk(emb, 0, 10).collect()]
+    approx = [r["vec_id"] for r in fpq.pq_topk(emb, 0, k=10).collect()]
+    # the query's own code word distance is minimal -> always shortlisted;
+    # M=8/ks=16 on dim-64 is a strong code, expect solid recall on 512 rows
+    assert approx[0] == exact[0] == 0
+    assert len(set(approx) & set(exact)) >= 6
+    # re-rank is exact cosine: every returned (vec_id, cos_q) must agree
+    # with the brute-force quantized cosine for that vec_id
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    brute = {r["vec_id"]: r["cos_q"]
+             for r in fsim.cosine_topk_arrays_q(emb, qvec, 512).collect()}
+    for r in fpq.pq_topk(emb, 0, k=10).collect():
+        assert brute[r["vec_id"]] == r["cos_q"]
+
+
+def test_shortlist_is_codes_only_plan(spark):
+    """The ADC shortlist plan must not touch the float vectors after
+    encoding — no join back to `embedding` before the limit."""
+    emb = spark.read.parquet(SF)
+    books = fpq.trained_pq_codebooks(m=8, ks=16, seed=11)
+    q = [0.1] * 64
+    plan = fpq.pq_adc_shortlist(emb, q, books, n_short=5)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "Join" not in plan  # single narrow scan + TakeOrdered
