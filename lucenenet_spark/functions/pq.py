@@ -199,6 +199,12 @@ def pq_adc_shortlist(
     no shuffle."""
     table = pq_distance_table_q(query, codebooks)
     codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    return _adc_over_codes(codes, table, n_short)
+
+
+def _adc_over_codes(codes: DataFrame, table: list[list[int]], n_short: int) -> DataFrame:
+    """ADC TakeOrdered over a pre-encoded codes frame (vec_id, code0..) —
+    the shared shortlist tail of pq_adc_shortlist and ivfpq_topk."""
     adc = None
     for mi, row in enumerate(table):
         lut = F.array(*[F.lit(int(v)) for v in row])
@@ -209,6 +215,93 @@ def pq_adc_shortlist(
         .orderBy(F.asc("adc_q"), F.asc("vec_id"))
         .limit(n_short)
     )
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid, code0..code{M-1}): IVF cell assignment (argmax raw dot,
+    ties to smallest cid — ivf_assign's convention) PLUS the PQ codes over
+    the unit-normalized vector, in ONE narrow scan. This is the index-build
+    step of IVFADC: materialize it once (e.g. save as parquet partitioned
+    by cid) and every query thereafter reads only its probed cells' codes —
+    at 10^9 vectors the per-query scan is nprobe/n_cells of an 8-byte-per-
+    vector table, never the floats."""
+    from lucenenet_spark.functions.similarity import _dot_lit
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dots = [_dot_lit(vec_col, c) for c in centroids]
+    best = F.greatest(*dots)
+    cid = F.coalesce(
+        *[F.when(dots[c] == best, F.lit(c)) for c in range(len(centroids))]
+    )
+    unit = _unit_col(vec_col)
+    cols = [F.col(id_col).alias("vec_id"), cid.alias("cid")]
+    for mi in range(m):
+        scores = [_sub_score(unit, mi, c, dsub) for c in codebooks[mi]]
+        low = F.least(*scores)
+        code = F.coalesce(
+            *[F.when(scores[c] == low, F.lit(c)) for c in range(len(scores))]
+        )
+        cols.append(code.alias(f"code{mi}"))
+    return emb.select(*cols)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    ivf_seed: int = 7,
+    m: int = 8,
+    ks: int = 16,
+    pq_seed: int = 11,
+    shortlist_mult: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """True IVFADC (FAISS IVFPQ with by_residual=false): trained coarse
+    cells route the scan, PQ codes answer it. The query probes its
+    top-nprobe cells (driver arithmetic over centroid literals — a literal
+    IN predicate, partition-prunable when the codes table is stored
+    partitioned by cid), builds the integer ADC table, shortlists by codes
+    alone within the probed cells, and re-ranks the bounded shortlist by
+    exact quantized cosine via IN-list pushdown."""
+    from lucenenet_spark.functions.similarity import trained_ivf_centroids
+
+    cents = (
+        centroids
+        if centroids is not None
+        else trained_ivf_centroids(n_cells, ivf_seed)
+    )
+    books = (
+        codebooks if codebooks is not None else trained_pq_codebooks(m, ks, pq_seed)
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    # probe selection: raw-dot ranking, ties to smallest cid — the same
+    # convention as similarity.ivf_topk and its oracle
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda c: (-sum(a * b for a, b in zip(cents[c], qvec)), c),
+    )
+    probe = ranked[:nprobe]
+    table = pq_distance_table_q(qvec, books)
+    enc = ivfpq_encode(emb, cents, books).filter(F.col("cid").isin(probe))
+    short = _adc_over_codes(enc, table, n_short=k * shortlist_mult)
+    ids = [r["vec_id"] for r in short.select("vec_id").collect()]
+    sub = emb.filter(F.col("vec_id").isin(ids))
+    return cosine_topk_arrays_q(sub, qvec, k)
 
 
 def pq_topk(

@@ -73,6 +73,35 @@ def test_pq_topk_recall_vs_exact(spark):
         assert brute[r["vec_id"]] == r["cos_q"]
 
 
+def test_ivfpq_topk_recall_and_probe_monotonic(spark):
+    emb = spark.read.parquet(SF)
+    exact = {r["vec_id"] for r in fsim.cosine_topk(emb, 0, 10).collect()}
+
+    def hits(nprobe):
+        got = [r["vec_id"] for r in
+               fpq.ivfpq_topk(emb, 0, k=10, nprobe=nprobe).collect()]
+        assert got[0] == 0  # own cell always probed -> query always recalled
+        return len(set(got) & exact)
+
+    r2, r8 = hits(2), hits(8)
+    # more cells probed can only widen the candidate set
+    assert r8 >= r2
+    # approximate method on a 512-row fixture: a loose floor only — the
+    # hard correctness contract is the oracle gate + the nprobe=16 ==
+    # plain-PQ degeneracy below
+    assert r8 >= 3
+
+
+def test_ivfpq_subset_of_pq_shortlist_semantics(spark):
+    """With ALL cells probed, IVFPQ degenerates to plain PQ-ADC."""
+    emb = spark.read.parquet(SF)
+    full = [(r["vec_id"], r["cos_q"]) for r in
+            fpq.pq_topk(emb, 0, k=10).collect()]
+    allprobe = [(r["vec_id"], r["cos_q"]) for r in
+                fpq.ivfpq_topk(emb, 0, k=10, nprobe=16).collect()]
+    assert full == allprobe
+
+
 def test_shortlist_is_codes_only_plan(spark):
     """The ADC shortlist plan must not touch the float vectors after
     encoding — no join back to `embedding` before the limit."""
