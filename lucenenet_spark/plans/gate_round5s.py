@@ -1,6 +1,8 @@
 """Gate registry round-5 part s: SemDeDup semantic deduplication
 (Abbas et al. 2023) — trained-k-means-bounded within-cluster cosine
-dedup over the embeddings table, keep-farthest-from-centroid.
+dedup over the embeddings table, keep-farthest-from-centroid — and
+ExactSubstr duplicated-span removal (Lee et al. 2021) — keep-first
+rewrite of duplicated 10-token spans over the documents table.
 """
 
 from __future__ import annotations
@@ -64,6 +66,71 @@ SELECT vec_id, cid, csim_q
 FROM assign
 WHERE vec_id NOT IN (SELECT vec_id FROM removed)
 """
+
+
+_ES_N = 10
+
+
+def _substr_dedup_sql() -> str:
+    """Byte-for-byte rewrite oracle: positional md5 10-gram windows,
+    row_number keep-first per duplicated gram, loser coverage expansion,
+    kept-token reassembly with string_agg ORDER BY idx."""
+    n = _ES_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i + 1 : i + {n}], ' ')) AS g
+  FROM toks, unnest(generate_series(0, len(t) - {n})) AS u(i)
+  WHERE len(t) >= {n}
+),
+ranked AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn,
+         count(*) OVER (PARTITION BY g) AS occ
+  FROM grams
+),
+losers AS (SELECT doc_id, start FROM ranked WHERE occ >= 2 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, idx
+  FROM losers, unnest(generate_series(start, start + {n - 1})) AS c(idx)
+),
+tk AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS idx, unnest(t) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok FROM tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = tk.doc_id AND c.idx = tk.idx
+  )
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(reb.text_clean, '') AS text_clean,
+       CAST(len(string_split(d.text, ' ')) - coalesce(reb.n_kept, 0) AS BIGINT)
+         AS removed
+FROM documents d LEFT JOIN reb USING (doc_id)
+"""
+
+
+@gate("substring_dedup_rewrite", _substr_dedup_sql())
+def substring_dedup_rewrite(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al. 2021, arXiv:2107.06499, fixed-n
+    gram formulation): every duplicated 10-token span keeps its corpus-
+    first occurrence and is cut from all others; documents are rewritten
+    in place, never dropped. Oracle reproduces the rewrite byte-for-byte
+    including the keep-first tie-break and the removed-token counts."""
+    from lucenenet_spark.functions.substrdedup import remove_duplicate_spans
+    from lucenenet_spark.plans.gate import _docs_table
+
+    return remove_duplicate_spans(_docs_table(spark, sf_dir), n=_ES_N)
 
 
 @gate("semdedup_survivors", _semdedup_sql())
