@@ -133,6 +133,93 @@ def substring_dedup_rewrite(spark, sf_dir):
     return remove_duplicate_spans(_docs_table(spark, sf_dir), n=_ES_N)
 
 
+_RRF_TERM = "vector"
+_RRF_QID = 0
+_RRF_KEACH = 20
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _rrf_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE, _SQL_SCORED, _tsc
+
+    return (
+        SQL_PRELUDE
+        + ","
+        + _SQL_SCORED
+        + f""",
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(floor(score * 10000 + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS lr
+  FROM ({_tsc(_RRF_TERM)})
+  ORDER BY CAST(floor(score * 10000 + 0.5) AS BIGINT) DESC, doc_id ASC
+  LIMIT {_RRF_KEACH}
+),
+e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+qe AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = {_RRF_QID}
+),
+cosd AS (
+  SELECT e.vec_id, sum(e.v * qe.v) AS dot, sum(e.v * e.v) AS n2
+  FROM e JOIN qe USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sum(v * v) AS n2 FROM qe),
+sem AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY CAST(floor(dot / sqrt(cosd.n2 * qn.n2) * 10000 + 0.5)
+                         AS BIGINT) DESC, vec_id ASC
+         ) AS sr
+  FROM cosd, qn
+  ORDER BY CAST(floor(dot / sqrt(cosd.n2 * qn.n2) * 10000 + 0.5)
+                AS BIGINT) DESC, vec_id ASC
+  LIMIT {_RRF_KEACH}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(floor(
+           (coalesce(1.0 / ({_RRF_K}.0 + lr), 0.0)
+            + coalesce(1.0 / ({_RRF_K}.0 + sr), 0.0)) * 10000000 + 0.5
+         ) AS BIGINT) AS rrf_q,
+         CAST(coalesce(lr, 0) AS BIGINT) AS rank_0,
+         CAST(coalesce(sr, 0) AS BIGINT) AS rank_1
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf_q, rank_0, rank_1 FROM fused
+ORDER BY rrf_q DESC, doc_id ASC LIMIT {_RRF_TOPK}
+"""
+    )
+
+
+@gate("rrf_hybrid_topk", _rrf_sql())
+def rrf_hybrid_topk(spark, sf_dir):
+    """Hybrid lexical+vector retrieval (Cormack et al. SIGIR'09 RRF, the
+    Elasticsearch/Vespa hybrid-search shape): BM25 top-20 for term
+    'vector' fused with exact-cosine top-20 for the row-aligned stored
+    embedding of doc 0 via 1/(60+rank), both rank assignments on
+    quantized scores with doc-id tie-breaks."""
+    import os
+
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.hybrid import rrf_hybrid_topk as _rrf
+
+    _, searcher, _ = get_engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _rrf(
+        searcher, emb, _RRF_TERM, _RRF_QID,
+        k_each=_RRF_KEACH, rrf_k=_RRF_K, topk=_RRF_TOPK,
+    )
+
+
 @gate("semdedup_survivors", _semdedup_sql())
 def semdedup_survivors(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): trained spherical-k-means cells bound

@@ -1,0 +1,103 @@
+"""Hybrid lexical+vector retrieval via Reciprocal Rank Fusion.
+
+RRF (Cormack, Clarke & Buettcher, SIGIR 2009: "Reciprocal rank fusion
+outperforms Condorcet and individual rank learning methods"): given
+ranked lists from incomparable scorers, fuse on rank alone —
+``rrf(d) = sum over lists of 1 / (k + rank_list(d))`` with k=60. This is
+the standard way modern engines (Elasticsearch/OpenSearch/Vespa) combine
+a BM25 list with an embedding-ANN list: the scores live on different
+scales, the ranks don't.
+
+Scale shape: each retriever produces its OWN bounded top-k (BM25 rides
+the block-max WAND path, ANN rides IVF/PQ — neither scans for the other),
+so fusion touches 2k rows total. The rank window runs over an
+already-limited frame (TakeOrdered output), never the corpus; the fuse
+itself is a k-row full-outer join. Every rank is assigned on quantized
+scores with doc-id tie-breaks so a SQL oracle reproduces the fusion
+exactly, including the 1/(k+r) double arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ranked", "rrf_fuse", "rrf_hybrid_topk"]
+
+RRF_K = 60
+_RRF_Q = 10_000_000  # 1/(60+r) ~ 1e-2; 1e7 keeps 5 significant digits
+
+
+def ranked(topk: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, rank): 1-based rank by (score DESC, id ASC) over an
+    ALREADY-LIMITED top-k frame — the single-partition window is k rows
+    by construction, never the corpus."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return topk.select(
+        F.col(id_col).alias("doc_id"), F.row_number().over(w).alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = RRF_K, topk: int = 10
+) -> DataFrame:
+    """Fuse (doc_id, rank) lists: (doc_id, rrf_q, rank_0, rank_1, ...).
+    Absent docs contribute nothing to the sum and report rank 0 in their
+    list column. rrf_q = floor(sum(1/(k+rank)) * 1e7 + 0.5)."""
+    fused = None
+    for i, r in enumerate(rankings):
+        r = r.select("doc_id", F.col("rank").alias(f"rank_{i}"))
+        fused = r if fused is None else fused.join(r, "doc_id", "full_outer")
+    contribs = [
+        F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(rankings))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    rrf_q = F.floor(total * F.lit(float(_RRF_Q)) + F.lit(0.5)).cast("long")
+    out = fused.select(
+        "doc_id",
+        rrf_q.alias("rrf_q"),
+        *[
+            F.coalesce(F.col(f"rank_{i}"), F.lit(0)).cast("long").alias(f"rank_{i}")
+            for i in range(len(rankings))
+        ],
+    )
+    return out.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(topk)
+
+
+def rrf_hybrid_topk(
+    searcher,
+    emb: DataFrame,
+    term: str,
+    query_vec_id: int,
+    k_each: int = 20,
+    rrf_k: int = RRF_K,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 ⊕ cosine hybrid: the term query's quantized-BM25 top-k_each
+    and the stored vector's exact-cosine top-k_each, RRF-fused. vec_id is
+    the corpus doc_id (the embeddings table is row-aligned with
+    documents)."""
+    from lucenenet_spark.functions.similarity import cosine_topk
+    from lucenenet_spark.search.queries import TermQuery
+
+    lex_scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score_q"),
+    )
+    lex_top = lex_scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(k_each)
+    sem_top = cosine_topk(emb, query_vec_id, k=k_each).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(
+        [ranked(lex_top, "score_q"), ranked(sem_top, "cos_q")],
+        k=rrf_k,
+        topk=topk,
+    )
