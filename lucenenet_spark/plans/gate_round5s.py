@@ -220,6 +220,67 @@ def rrf_hybrid_topk(spark, sf_dir):
     )
 
 
+_PRF_TERM = "vector"
+_PRF_FBDOCS = 10
+_PRF_FBTERMS = 5
+_PRF_BETA = 0.3
+_PRF_K = 10
+
+
+def _rocchio_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE, _SQL_SCORED, _tsc
+
+    return (
+        SQL_PRELUDE
+        + ","
+        + _SQL_SCORED
+        + f""",
+fb AS (
+  SELECT doc_id FROM ({_tsc(_PRF_TERM)})
+  ORDER BY CAST(floor(score * 10000 + 0.5) AS BIGINT) DESC, doc_id ASC
+  LIMIT {_PRF_FBDOCS}
+),
+exp AS (
+  SELECT term FROM post JOIN fb USING (doc_id)
+  WHERE term <> '{_PRF_TERM}'
+  GROUP BY term
+  ORDER BY sum(tf) DESC, term ASC
+  LIMIT {_PRF_FBTERMS}
+),
+orig AS ({_tsc(_PRF_TERM)}),
+expsc AS (
+  SELECT doc_id, sum((idf * {_PRF_BETA!r}) * 2.2 * tf / (tf + nrm)) AS score
+  FROM sc JOIN exp USING (term) GROUP BY doc_id
+),
+final AS (
+  SELECT coalesce(o.doc_id, x.doc_id) AS doc_id,
+         coalesce(o.score, 0.0) + coalesce(x.score, 0.0) AS score
+  FROM orig o FULL OUTER JOIN expsc x ON o.doc_id = x.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM final
+ORDER BY score_q DESC, doc_id ASC LIMIT {_PRF_K}
+"""
+    )
+
+
+@gate("rocchio_prf_topk", _rocchio_sql())
+def rocchio_prf_topk(spark, sf_dir):
+    """Rocchio/RM3 pseudo-relevance feedback: top-10 feedback docs for
+    term 'vector', 5 heaviest feedback terms by integer tf sum (term
+    tie-break), re-search with the expansion at beta=0.3 as boosted
+    SHOULD clauses. Oracle recomputes feedback selection AND the expanded
+    BM25 sum entirely in SQL."""
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.prf import rocchio_search
+
+    idx, searcher, _ = get_engine(spark, sf_dir)
+    return rocchio_search(
+        idx, searcher, _PRF_TERM, k=_PRF_K,
+        fb_docs=_PRF_FBDOCS, fb_terms=_PRF_FBTERMS, beta=_PRF_BETA,
+    )
+
+
 @gate("semdedup_survivors", _semdedup_sql())
 def semdedup_survivors(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): trained spherical-k-means cells bound
