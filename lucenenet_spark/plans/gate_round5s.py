@@ -281,6 +281,106 @@ def rocchio_prf_topk(spark, sf_dir):
     )
 
 
+_MMR_QID = 0
+_MMR_NCAND = 20
+_MMR_K = 5
+_MMR_L = 7  # lambda = 0.7
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy: cand = exact-cosine top-20, sims = pairwise
+    quantized cosine over the candidate slice, then K step-CTEs each
+    picking argmax(L*rel_q - (10-L)*max_sim_to_selected) with id
+    tie-break — all BIGINT, zero float drift vs the driver greedy."""
+    big_l, inv = _MMR_L, 10 - _MMR_L
+    steps = []
+    for n in range(1, _MMR_K + 1):
+        if n == 1:
+            steps.append(f"""
+sel1 AS (
+  SELECT vec_id, CAST({big_l} * rel_q AS BIGINT) AS mmr_q
+  FROM cand ORDER BY {big_l} * rel_q DESC, vec_id ASC LIMIT 1
+)""")
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT vec_id FROM sel{m}" for m in range(1, n)
+            )
+            steps.append(f"""
+pen{n} AS (
+  SELECT c.vec_id, max(s.sim_q) AS p
+  FROM cand c JOIN sims s ON s.id_a = c.vec_id
+  WHERE s.id_b IN ({prev})
+  GROUP BY c.vec_id
+),
+sel{n} AS (
+  SELECT c.vec_id,
+         CAST({big_l} * c.rel_q - {inv} * coalesce(p.p, 0) AS BIGINT) AS mmr_q
+  FROM cand c LEFT JOIN pen{n} p USING (vec_id)
+  WHERE c.vec_id NOT IN ({prev})
+  ORDER BY mmr_q DESC, c.vec_id ASC LIMIT 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({n} AS INTEGER) AS step, vec_id, mmr_q FROM sel{n}"
+        for n in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH eall AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+qe AS (SELECT v, i FROM eall WHERE vec_id = {_MMR_QID}),
+cosd AS (
+  SELECT eall.vec_id, sum(eall.v * qe.v) AS dot, sum(eall.v * eall.v) AS n2
+  FROM eall JOIN qe USING (i) GROUP BY eall.vec_id
+),
+qn AS (SELECT sum(v * v) AS n2 FROM qe),
+cand AS (
+  SELECT vec_id,
+         CAST(floor(dot / sqrt(cosd.n2 * qn.n2) * 10000 + 0.5) AS BIGINT)
+           AS rel_q
+  FROM cosd, qn
+  ORDER BY rel_q DESC, vec_id ASC LIMIT {_MMR_NCAND}
+),
+e2 AS (
+  SELECT vec_id, v, i FROM eall
+  WHERE vec_id IN (SELECT vec_id FROM cand)
+),
+nn AS (SELECT vec_id, sum(v * v) AS n2 FROM e2 GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+sims AS (
+  SELECT id_a, id_b,
+         CAST(floor(dot / sqrt(na.n2 * nb.n2) * 10000 + 0.5) AS BIGINT)
+           AS sim_q
+  FROM dots JOIN nn na ON na.vec_id = id_a JOIN nn nb ON nb.vec_id = id_b
+),{",".join(steps)}
+SELECT step, vec_id, mmr_q FROM ({union}) ORDER BY step
+"""
+
+
+@gate("mmr_diversified_topk", _mmr_sql())
+def mmr_diversified_topk(spark, sf_dir):
+    """MMR diversification (Carbonell & Goldstein SIGIR'98): exact-cosine
+    top-20 candidates for stored vector 0, greedy re-rank to 5 with
+    lambda=0.7 as all-integer arithmetic (7*rel_q - 3*max_sim_q, max over
+    empty = 0, id tie-breaks). The oracle unrolls the 5 greedy steps as
+    chained CTEs — selection order, ids, and MMR values all exact."""
+    import os
+
+    from lucenenet_spark.functions.mmr import mmr_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return mmr_topk(
+        spark, emb, _MMR_QID,
+        n_candidates=_MMR_NCAND, k=_MMR_K, lambda_tenths=_MMR_L,
+    )
+
+
 @gate("semdedup_survivors", _semdedup_sql())
 def semdedup_survivors(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): trained spherical-k-means cells bound
