@@ -8,6 +8,16 @@ document intact. Document-level dedup (exact/MinHash/SemDeDup) misses
 this entirely — web pages share quotes, licenses, and templated passages
 without being document-level duplicates.
 
+Relationship to :func:`lucenenet_spark.functions.dedup.strip_duplicated_spans`
+(gate ``strip_dup_spans``): that transform is the BOILERPLATE-REMOVAL
+variant — it strips EVERY occurrence of a cross-document duplicated
+gram, keeping none, and ignores within-document repeats. This module is
+the paper's DEDUP semantics: "remove all but one" — the corpus-first
+occurrence (arg-min on (doc_id, start)) survives so the content itself
+is preserved exactly once, and within-document repeats count as
+duplicates too. Both are useful; a pipeline typically strips boilerplate
+first and dedups content second.
+
 Lee et al. find arbitrary-length >=50-token matches with a corpus-wide
 suffix array. The Spark-first equivalent here is the fixed-n sliding-gram
 formulation (the shape Dolma/RedPajama-class pipelines actually deploy):

@@ -125,8 +125,10 @@ def substring_dedup_rewrite(spark, sf_dir):
     """ExactSubstr span dedup (Lee et al. 2021, arXiv:2107.06499, fixed-n
     gram formulation): every duplicated 10-token span keeps its corpus-
     first occurrence and is cut from all others; documents are rewritten
-    in place, never dropped. Oracle reproduces the rewrite byte-for-byte
-    including the keep-first tie-break and the removed-token counts."""
+    in place, never dropped. The keep-one DEDUP semantics — the sibling
+    gate strip_dup_spans is the strip-ALL boilerplate-removal variant.
+    Oracle reproduces the rewrite byte-for-byte including the keep-first
+    tie-break and the removed-token counts."""
     from lucenenet_spark.functions.substrdedup import remove_duplicate_spans
     from lucenenet_spark.plans.gate import _docs_table
 
