@@ -51,6 +51,88 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-Backoff bigram LM document scoring (Brants, Popat, Xu,
+    Och, Dean, EMNLP'07 "Large Language Models in Machine Translation"
+    — the backoff score designed FOR distributed count tables):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram seen
+                         = alpha * c(w_i) / T             otherwise
+        (OOV unigrams score as hapax: alpha * 1 / T)
+
+    Returns (id_col, n_bigrams, avg_logprob_q): mean ln S over the
+    document's adjacent token pairs, quantized 1e-4. ``train`` supplies
+    the count corpus (defaults to ``df`` itself — then every bigram is
+    seen and the backoff never fires; pass a held-out split to exercise
+    it, the CCNet "score the crawl under a reference model" shape).
+
+    Scale: the bigram count table is one groupBy over exploded adjacent
+    pairs (map-side combinable); scoring is explode + two hash joins on
+    token keys + one groupBy(doc). The unigram/total tables ride along
+    broadcast-small or as ordinary shuffle joins — no driver state.
+    Docs with fewer than 2 tokens have no bigram events and are absent
+    from the result (callers treat them as unscorable, like CCNet)."""
+    if train is None:
+        train = df
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            id_col,
+            F.array_remove(F.split(F.col(text_col), " "), "").alias("t"),
+        ).filter(F.size("t") >= 2)
+        # slice(t, 2, ...) are tokens 2..L (1-based); lambda index i is
+        # 0-based within the slice, so t[i] (0-based) is the predecessor
+        return toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 2, size(t) - 1),"
+                    " (w, i) -> struct(t[i] AS w1, w AS w2))"
+                )
+            ).alias("p"),
+        ).select(id_col, "p.w1", "p.w2")
+
+    train_toks = train.select(
+        F.explode(
+            F.array_remove(F.split(F.col(text_col), " "), "")
+        ).alias("w")
+    )
+    uni = train_toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    big = (
+        _pairs(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    total = uni.agg(F.sum("cnt").cast("double").alias("_total"))
+    scored = (
+        _pairs(df)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.ln(
+                F.when(F.col("cb").isNotNull(), F.col("cb") / F.col("c1")).otherwise(
+                    F.lit(alpha) * F.coalesce(F.col("c2"), F.lit(1)) / F.col("_total")
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.avg("lp") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias(
+            "avg_logprob_q"
+        ),
+    )
+
+
 def lm_quality_filter(
     df: DataFrame,
     min_avg_logprob: float,

@@ -1,0 +1,129 @@
+"""Gate registry round-5 part t: link-graph PageRank (Page et al. 1999)
+over a deterministic synthetic web graph, and Stupid-Backoff bigram LM
+document scoring (Brants et al. EMNLP'07) with a held-out training
+split so the backoff path is exercised.
+"""
+
+from __future__ import annotations
+
+from lucenenet_spark.plans.gate import gate
+
+_PR_D = 0.85
+_PR_ITERS = 5
+_PR_K = 20
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration: the synthetic edge generator (Knuth
+    multiplicative hash, self-loops deflected), then ITERS chained
+    CTEs each doing the edges ⋈ ranks contribution join — identical
+    IEEE arithmetic to the Spark loop, quantized 1e-7 at the end."""
+    tele = 1.0 - _PR_D
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT nd.doc_id,
+         {tele!r} / nn.n + {_PR_D!r} * coalesce(c.m, 0.0) AS pr
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.pr / e.deg) AS m
+    FROM edges e JOIN r{k - 1} r ON r.doc_id = e.src GROUP BY e.dst
+  ) c USING (doc_id)
+  CROSS JOIN nn
+)""")
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+edges AS (
+  SELECT src,
+         CASE WHEN t = src THEN (t + 1) % n ELSE t END AS dst,
+         deg
+  FROM (
+    SELECT nd.doc_id AS src,
+           (nd.doc_id * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
+           CAST(nd.doc_id % 3 + 1 AS BIGINT) AS deg,
+           nn.n AS n
+    FROM nodes nd
+    CROSS JOIN nn
+    CROSS JOIN unnest(generate_series(0, nd.doc_id % 3)) AS u(j)
+  )
+),
+r0 AS (SELECT nd.doc_id, 1.0 / nn.n AS pr FROM nodes nd CROSS JOIN nn),{",".join(iters)}
+SELECT doc_id,
+       CAST(floor(pr * 10000000.0 + 0.5) AS BIGINT) AS rank_q
+FROM r{_PR_ITERS}
+ORDER BY rank_q DESC, doc_id ASC LIMIT {_PR_K}
+"""
+
+
+@gate("pagerank_topk", _pagerank_sql())
+def pagerank_topk(spark, sf_dir):
+    """Distributed PageRank (Page et al. 1999), 5 power iterations at
+    d=0.85 over the deterministic synthetic link graph (every doc emits
+    1 + id%3 edges via a Knuth multiplicative hash; no dangling nodes).
+    The oracle regenerates the graph and unrolls the 5 iterations as
+    chained CTEs; ranks quantized 1e-7 with doc-id tie-breaks."""
+    from lucenenet_spark.functions.pagerank import pagerank_topk as _pr
+    from lucenenet_spark.plans.gate import _docs_table
+
+    return _pr(
+        _docs_table(spark, sf_dir), k=_PR_K, damping=_PR_D, iterations=_PR_ITERS
+    )
+
+
+_SB_ALPHA = 0.4
+
+_SB_SQL = f"""
+WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+ttok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM tr
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ttok GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+tp AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM tr),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY w1, w2),
+dp AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+scored AS (
+  SELECT dp.doc_id,
+         ln(CASE WHEN b.cb IS NOT NULL THEN b.cb / CAST(u1.cnt AS DOUBLE)
+                 ELSE {_SB_ALPHA!r} * coalesce(u2.cnt, 1) / tot.total END) AS lp
+  FROM dp
+  LEFT JOIN big b ON b.w1 = dp.w1 AND b.w2 = dp.w2
+  LEFT JOIN uni u1 ON u1.w = dp.w1
+  LEFT JOIN uni u2 ON u2.w = dp.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(avg(lp) * 10000.0 + 0.5) AS BIGINT) AS avg_logprob_q
+FROM scored GROUP BY doc_id
+"""
+
+
+@gate("bigram_lm_quality", _SB_SQL)
+def bigram_lm_quality(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring (Brants et al. EMNLP'07): the
+    even-doc-id half of the corpus is the count model, every document is
+    scored under it — unseen bigrams hit the alpha=0.4 unigram backoff
+    and OOV unigrams score as hapax, so all three scoring branches are
+    oracle-checked. Output is each doc's mean ln S over adjacent pairs,
+    quantized 1e-4 (docs with <2 tokens are unscorable and absent)."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.lm_quality import bigram_logprob
+    from lucenenet_spark.plans.gate import _docs_table
+
+    docs = _docs_table(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return bigram_logprob(docs, train=train, alpha=_SB_ALPHA)
