@@ -86,17 +86,31 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     id_col: str = "doc_id",
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank: returns (id_col, pr double). ``edges``
     must carry (src, dst, deg) with deg = outdeg(src) on every row.
     Fixed iteration count (the published 5-15 sweep; convergence tests
-    belong to the caller), uniform teleport, no dangling mass (every
-    node must have deg >= 1 — true for build_link_graph)."""
+    belong to the caller), no dangling mass (every node must have
+    deg >= 1 — true for build_link_graph).
+
+    ``teleport`` personalizes the jump (Haveliwala WWW'02,
+    "Topic-Sensitive PageRank"): an (id_col, tp) frame whose tp sums
+    to 1 — rank mass teleports only onto those nodes, yielding
+    seed-relative importance (TrustRank/topic PageRank shape). None =
+    the uniform 1/N vector of classic PageRank. The start vector
+    equals the teleport vector, so the uniform default is unchanged."""
     n = nodes.count()
-    tele = (1.0 - damping) / float(n)
     ids = nodes.select(F.col(id_col).cast("long").alias(id_col))
+    if teleport is None:
+        tp = ids.select(id_col, (F.lit(1.0) / F.lit(float(n))).alias("tp"))
+    else:
+        tp = ids.join(teleport, id_col, "left").select(
+            id_col, F.coalesce(F.col("tp"), F.lit(0.0)).alias("tp")
+        )
+    tp = tp.persist()
     edges = edges.persist()
-    ranks = ids.select(id_col, (F.lit(1.0) / F.lit(float(n))).alias("pr")).persist()
+    ranks = tp.select(id_col, F.col("tp").alias("pr")).persist()
     for _ in range(iterations):
         contrib = (
             edges.join(
@@ -106,11 +120,12 @@ def pagerank(
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
         )
         new = (
-            ids.join(contrib, ids[id_col] == contrib["dst"], "left")
+            tp.join(contrib, tp[id_col] == contrib["dst"], "left")
             .select(
                 id_col,
                 (
-                    F.lit(tele) + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                    F.lit(1.0 - damping) * F.col("tp")
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("pr"),
             )
             .persist()
@@ -119,7 +134,72 @@ def pagerank(
         ranks.unpersist()
         ranks = new
     edges.unpersist()
+    tp.unpersist()
     return ranks
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99 "Authoritative
+    sources in a hyperlinked environment"): returns (id_col, auth,
+    hub). Power iteration from the all-ones hub vector; each half-step
+    L1-normalizes (divide by the sum of raw contributions — same fixed
+    point as the published L2 normalization up to scale, and division-
+    only arithmetic keeps the SQL oracle bit-comparable).
+
+    Scale shape is identical to :func:`pagerank`: per half-step one
+    hash join edges⋈vector plus one map-side-combinable groupBy, the
+    normalizer is a single-row agg broadcast back — no driver state
+    beyond the loop counter."""
+    ids = nodes.select(F.col(id_col).cast("long").alias(id_col))
+    edges = edges.persist()
+    hub = ids.select(id_col, F.lit(1.0).alias("h")).persist()
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hub.select(F.col(id_col).alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_sum = a_raw.agg(F.sum("a").alias("_s"))
+        new_auth = (
+            ids.join(a_raw, ids[id_col] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                id_col,
+                (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("_s")).alias("a"),
+            )
+            .persist()
+        )
+        new_auth.count()
+        if auth is not None:
+            auth.unpersist()
+        auth = new_auth
+        h_raw = (
+            edges.join(auth.select(F.col(id_col).alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        h_sum = h_raw.agg(F.sum("hr").alias("_s"))
+        new_hub = (
+            ids.join(h_raw, ids[id_col] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                id_col,
+                (F.coalesce(F.col("hr"), F.lit(0.0)) / F.col("_s")).alias("h"),
+            )
+            .persist()
+        )
+        new_hub.count()
+        hub.unpersist()
+        hub = new_hub
+    out = ids.join(auth, id_col).join(hub, id_col).select(id_col, "a", "h")
+    edges.unpersist()
+    return out
 
 
 def pagerank_topk(

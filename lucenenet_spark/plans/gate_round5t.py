@@ -12,28 +12,9 @@ _PR_D = 0.85
 _PR_ITERS = 5
 _PR_K = 20
 
-
-def _pagerank_sql() -> str:
-    """Unrolled power iteration: the synthetic edge generator (Knuth
-    multiplicative hash, self-loops deflected), then ITERS chained
-    CTEs each doing the edges ⋈ ranks contribution join — identical
-    IEEE arithmetic to the Spark loop, quantized 1e-7 at the end."""
-    tele = 1.0 - _PR_D
-    iters = []
-    for k in range(1, _PR_ITERS + 1):
-        iters.append(f"""
-r{k} AS (
-  SELECT nd.doc_id,
-         {tele!r} / nn.n + {_PR_D!r} * coalesce(c.m, 0.0) AS pr
-  FROM nodes nd
-  LEFT JOIN (
-    SELECT e.dst AS doc_id, sum(r.pr / e.deg) AS m
-    FROM edges e JOIN r{k - 1} r ON r.doc_id = e.src GROUP BY e.dst
-  ) c USING (doc_id)
-  CROSS JOIN nn
-)""")
-    return f"""
-WITH nodes AS (SELECT doc_id FROM documents),
+# the deterministic synthetic link graph, shared by every graph gate
+# (mirrors functions/pagerank.py build_link_graph bit-for-bit)
+_GRAPH_CTES = """nodes AS (SELECT doc_id FROM documents),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 edges AS (
   SELECT src,
@@ -48,7 +29,30 @@ edges AS (
     CROSS JOIN nn
     CROSS JOIN unnest(generate_series(0, nd.doc_id % 3)) AS u(j)
   )
-),
+)"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration: the synthetic edge generator (Knuth
+    multiplicative hash, self-loops deflected), then ITERS chained
+    CTEs each doing the edges ⋈ ranks contribution join — identical
+    IEEE arithmetic to the Spark loop, quantized 1e-7 at the end."""
+    tele = 1.0 - _PR_D
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT nd.doc_id,
+         {tele!r} * (1.0 / nn.n) + {_PR_D!r} * coalesce(c.m, 0.0) AS pr
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.pr / e.deg) AS m
+    FROM edges e JOIN r{k - 1} r ON r.doc_id = e.src GROUP BY e.dst
+  ) c USING (doc_id)
+  CROSS JOIN nn
+)""")
+    return f"""
+WITH {_GRAPH_CTES},
 r0 AS (SELECT nd.doc_id, 1.0 / nn.n AS pr FROM nodes nd CROSS JOIN nn),{",".join(iters)}
 SELECT doc_id,
        CAST(floor(pr * 10000000.0 + 0.5) AS BIGINT) AS rank_q
@@ -109,6 +113,145 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(floor(avg(lp) * 10000.0 + 0.5) AS BIGINT) AS avg_logprob_q
 FROM scored GROUP BY doc_id
 """
+
+
+_PPR_MOD = 10  # seed set: doc_id % 10 == 0
+
+
+def _ppr_sql() -> str:
+    """Personalized PageRank oracle: teleport vector restricted to the
+    seed set (uniform 1/|S| over seeds, 0 elsewhere), same unrolled
+    power iteration as the classic gate."""
+    tele = 1.0 - _PR_D
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+p{k} AS (
+  SELECT t.doc_id,
+         {tele!r} * t.tp + {_PR_D!r} * coalesce(c.m, 0.0) AS pr
+  FROM tp t
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.pr / e.deg) AS m
+    FROM edges e JOIN p{k - 1} r ON r.doc_id = e.src GROUP BY e.dst
+  ) c USING (doc_id)
+)""")
+    return f"""
+WITH {_GRAPH_CTES},
+sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM nodes
+       WHERE doc_id % {_PPR_MOD} = 0),
+tp AS (
+  SELECT nd.doc_id,
+         CASE WHEN nd.doc_id % {_PPR_MOD} = 0 THEN 1.0 / sc.s
+              ELSE 0.0 END AS tp
+  FROM nodes nd CROSS JOIN sc
+),
+p0 AS (SELECT doc_id, tp AS pr FROM tp),{",".join(iters)}
+SELECT doc_id,
+       CAST(floor(pr * 10000000.0 + 0.5) AS BIGINT) AS rank_q
+FROM p{_PR_ITERS}
+ORDER BY rank_q DESC, doc_id ASC LIMIT {_PR_K}
+"""
+
+
+@gate("personalized_pagerank", _ppr_sql())
+def personalized_pagerank(spark, sf_dir):
+    """Personalized/Topic-Sensitive PageRank (Haveliwala WWW'02, also
+    the TrustRank seed-propagation shape): teleport mass lands only on
+    the doc_id % 10 == 0 seed set, so rank measures proximity to the
+    seeds through the link graph. Same 5-iteration loop and oracle as
+    pagerank_topk with the seeded teleport vector."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.pagerank import build_link_graph, pagerank
+    from lucenenet_spark.plans.gate import _docs_table
+
+    nodes = _docs_table(spark, sf_dir).select("doc_id")
+    seeds = nodes.filter(F.col("doc_id") % _PPR_MOD == 0)
+    s_cnt = seeds.agg(F.count(F.lit(1)).cast("long").alias("_s"))
+    teleport = seeds.crossJoin(F.broadcast(s_cnt)).select(
+        "doc_id", (F.lit(1.0) / F.col("_s")).alias("tp")
+    )
+    pr = pagerank(
+        nodes, build_link_graph(nodes), damping=_PR_D,
+        iterations=_PR_ITERS, teleport=teleport,
+    )
+    return (
+        pr.select(
+            "doc_id",
+            F.floor(F.col("pr") * F.lit(10000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("rank_q"),
+        )
+        .orderBy(F.col("rank_q").desc(), F.col("doc_id").asc())
+        .limit(_PR_K)
+    )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_sql() -> str:
+    """HITS oracle: unrolled hub/authority half-steps, each L1-normalized
+    by the sum of its RAW contribution rows (pre-coalesce, matching the
+    Spark aggregation exactly)."""
+    steps = []
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+a{k}r AS (
+  SELECT e.dst AS doc_id, sum(h.h) AS a
+  FROM edges e JOIN h{k - 1} h ON h.doc_id = e.src GROUP BY e.dst
+),
+a{k}s AS (SELECT sum(a) AS s FROM a{k}r),
+a{k} AS (
+  SELECT nd.doc_id, coalesce(r.a, 0.0) / s.s AS a
+  FROM nodes nd LEFT JOIN a{k}r r USING (doc_id) CROSS JOIN a{k}s s
+),
+h{k}r AS (
+  SELECT e.src AS doc_id, sum(a.a) AS hr
+  FROM edges e JOIN a{k} a ON a.doc_id = e.dst GROUP BY e.src
+),
+h{k}s AS (SELECT sum(hr) AS s FROM h{k}r),
+h{k} AS (
+  SELECT nd.doc_id, coalesce(r.hr, 0.0) / s.s AS h
+  FROM nodes nd LEFT JOIN h{k}r r USING (doc_id) CROSS JOIN h{k}s s
+)""")
+    return f"""
+WITH {_GRAPH_CTES},
+h0 AS (SELECT doc_id, 1.0 AS h FROM nodes),{",".join(steps)}
+SELECT a{_HITS_ITERS}.doc_id,
+       CAST(floor(a{_HITS_ITERS}.a * 10000000.0 + 0.5) AS BIGINT) AS auth_q,
+       CAST(floor(h{_HITS_ITERS}.h * 10000000.0 + 0.5) AS BIGINT) AS hub_q
+FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} USING (doc_id)
+ORDER BY auth_q DESC, doc_id ASC LIMIT {_PR_K}
+"""
+
+
+@gate("hits_topk", _hits_sql())
+def hits_topk(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg JACM'99): 3 power iterations
+    from the all-ones hub vector over the synthetic link graph, each
+    half-step L1-normalized. Top-20 by quantized authority (doc-id
+    tie-break) with both scores oracle-checked."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.pagerank import build_link_graph, hits
+    from lucenenet_spark.plans.gate import _docs_table
+
+    nodes = _docs_table(spark, sf_dir).select("doc_id")
+    hv = hits(nodes, build_link_graph(nodes), iterations=_HITS_ITERS)
+    return (
+        hv.select(
+            "doc_id",
+            F.floor(F.col("a") * F.lit(10000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("auth_q"),
+            F.floor(F.col("h") * F.lit(10000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("hub_q"),
+        )
+        .orderBy(F.col("auth_q").desc(), F.col("doc_id").asc())
+        .limit(_PR_K)
+    )
 
 
 @gate("bigram_lm_quality", _SB_SQL)

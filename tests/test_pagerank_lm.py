@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from lucenenet_spark.functions.lm_quality import bigram_logprob
 from lucenenet_spark.functions.pagerank import (
     build_link_graph,
+    hits,
     pagerank,
     pagerank_topk,
 )
@@ -90,6 +91,58 @@ def test_pagerank_topk_order_and_quantization(spark):
     for a, b in zip(rows, rows[1:]):
         if a.rank_q == b.rank_q:
             assert a.doc_id < b.doc_id
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    # cycle 0 -> 1 -> 2 -> 0 with all teleport mass on node 0
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 0, 1)], "src long, dst long, deg long"
+    )
+    tp = spark.createDataFrame([(0, 1.0)], "doc_id long, tp double")
+    d = 0.85
+    r = {0: 1.0, 1: 0.0, 2: 0.0}
+    for _ in range(3):
+        r = {
+            0: (1.0 - d) * 1.0 + d * r[2],
+            1: (1.0 - d) * 0.0 + d * r[0],
+            2: (1.0 - d) * 0.0 + d * r[1],
+        }
+    got = {
+        x.doc_id: x.pr
+        for x in pagerank(nodes, edges, iterations=3, teleport=tp).collect()
+    }
+    for k in r:
+        assert got[k] == pytest.approx(r[k], abs=1e-12)
+    assert got[0] > got[1] > got[2]  # rank decays with hop distance from seed
+
+
+def test_uniform_teleport_matches_default(spark):
+    docs = _docs(spark, [(i, "x") for i in range(30)])
+    nodes = docs.select("doc_id")
+    edges = build_link_graph(nodes)
+    tp = nodes.select("doc_id", (F.lit(1.0) / F.lit(30.0)).alias("tp"))
+    a = {r.doc_id: r.pr for r in pagerank(nodes, edges, iterations=3).collect()}
+    b = {
+        r.doc_id: r.pr
+        for r in pagerank(nodes, edges, iterations=3, teleport=tp).collect()
+    }
+    assert a == b  # bitwise: the default IS the uniform teleport vector
+
+
+def test_hits_bipartite_hand_structure(spark):
+    # hubs {0,1} point at authorities {2,3}: 0 -> 2, 0 -> 3, 1 -> 2
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (3,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 2, 2), (0, 3, 2), (1, 2, 1)], "src long, dst long, deg long"
+    )
+    got = {r.doc_id: r for r in hits(nodes, edges, iterations=3).collect()}
+    # L1 normalization: both vectors sum to 1
+    assert sum(r.a for r in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(r.h for r in got.values()) == pytest.approx(1.0, abs=1e-12)
+    # 2 is cited by both hubs -> top authority; 0 cites both -> top hub
+    assert got[2].a > got[3].a > 0 and got[0].a == got[1].a == 0.0
+    assert got[0].h > got[1].h > 0 and got[2].h == got[3].h == 0.0
 
 
 # ---------------------------------------------------------------------------
