@@ -150,10 +150,180 @@ def cologne_phonetic(word: str) -> str:
     return collapsed[0] + collapsed[1:].replace("0", "")
 
 
+# ----------------------------------------------------------------- NYSIIS
+_NY_VOWELS = frozenset("AEIOU")
+
+
+def _nysiis_transcode(prev: str, curr: str, nxt: str, anxt: str) -> str:
+    """One character-class rewrite of the NYSIIS body loop
+    (Language/Nysiis.cs TranscodeRemaining — the published New York
+    State Identification and Intelligence System rules)."""
+    if curr == "E" and nxt == "V":
+        return "AF"
+    if curr in _NY_VOWELS:
+        return "A"
+    if curr == "Q":
+        return "G"
+    if curr == "Z":
+        return "S"
+    if curr == "M":
+        return "N"
+    if curr == "K":
+        return "NN" if nxt == "N" else "C"
+    if curr == "S" and nxt == "C" and anxt == "H":
+        return "SSS"
+    if curr == "P" and nxt == "H":
+        return "FF"
+    if curr == "H" and (prev not in _NY_VOWELS or nxt not in _NY_VOWELS):
+        return prev
+    if curr == "W" and prev in _NY_VOWELS:
+        return prev
+    return curr
+
+
+def nysiis(word: str, strict: bool = True) -> str:
+    """NYSIIS (Taft 1970, the commons-codec edition wrapped by
+    Language/Nysiis.cs): prefix/suffix normalization, in-place
+    character-class transcoding with duplicate collapse, trailing
+    S/AY/A cleanup; strict mode truncates to 6 (MACINTOSH -> MCANT,
+    WESTERLUND -> WASTAR strict / WASTARLAD full)."""
+    w = "".join(c for c in word.upper() if "A" <= c <= "Z")
+    if not w:
+        return ""
+    for pre, rep in (("MAC", "MCC"), ("KN", "NN"), ("K", "C"),
+                     ("PH", "FF"), ("PF", "FF"), ("SCH", "SSS")):
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+    for suf, rep in (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"),
+                     ("RD", "D"), ("NT", "D"), ("ND", "D")):
+        if w.endswith(suf):
+            w = w[: -len(suf)] + rep
+            break
+    chars = list(w)
+    n = len(chars)
+    key = [chars[0]]
+    for i in range(1, n):
+        nxt = chars[i + 1] if i < n - 1 else " "
+        anxt = chars[i + 2] if i < n - 2 else " "
+        tr = _nysiis_transcode(chars[i - 1], chars[i], nxt, anxt)
+        for j, ch in enumerate(tr):
+            if i + j < n:  # overwrite in place, never extend
+                chars[i + j] = ch
+        if chars[i] != chars[i - 1]:
+            key.append(chars[i])
+    if len(key) > 1:
+        last = key[-1]
+        if last == "S":
+            key.pop()
+            last = key[-1]
+        if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
+            del key[-2]
+        if last == "A":  # deliberately stale after the AY removal,
+            key.pop()    # matching the reference's lastChar handling
+    out = "".join(key)
+    return out[:6] if strict else out
+
+
+# ----------------------------------------------- Match Rating Approach
+_MRA_DOUBLES = [c + c for c in "BCDFGHJKLMNPQRSTVWXYZ"]
+
+
+def match_rating(name: str) -> str:
+    """Match Rating Approach encoder (Moore et al. 1977, Western
+    Airlines; Language/MatchRatingApproachEncoder.cs): strip
+    punctuation/whitespace, drop non-leading vowels, collapse doubled
+    consonants (single pass), keep first 3 + last 3 when longer than 6
+    (HARPER -> HRPR, Smith -> SMTH, ALESSANDRA -> ALSSDR)."""
+    if not name or len(name) == 1:
+        return ""
+    import re as _re
+
+    w = _re.sub(r"\-|[&]|\'|\.|[\,]", "", name.upper())
+    w = _re.sub(r"\s+", "", w)
+    if not w:
+        return ""
+    first = w[0]
+    body = _re.sub(r"A|E|I|O|U", "", w)
+    w = (first + body) if first in "AEIOU" else body
+    for dc in _MRA_DOUBLES:
+        if dc in w:
+            w = w.replace(dc, dc[0])
+    if len(w) > 6:
+        return w[:3] + w[-3:]
+    return w
+
+
+# ------------------------------------------------------------ Caverphone
+_CV2_STEPS = [
+    ("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"),
+    ("tch", "2ch"), ("c", "k"), ("q", "k"), ("x", "k"), ("v", "f"),
+    ("dg", "2g"), ("tio", "sio"), ("tia", "sia"), ("d", "t"),
+    ("ph", "fh"), ("b", "p"), ("sh", "s2"), ("z", "s"),
+]
+
+
+def caverphone2(word: str) -> str:
+    """Caverphone 2.0 (Hood 2004, Caversham Project ctp150804;
+    Language/Caverphone2.cs): the published rewrite cascade, padded
+    with '1' to exactly 10 (Stevenson -> STFNSN1111, Peter ->
+    PTA1111111, add/aid/earth/... -> AT11111111)."""
+    w = "".join(c for c in word.lower() if "a" <= c <= "z")
+    if not w:
+        return "1111111111"
+    if w.endswith("e"):
+        w = w[:-1]
+    for pre in ("cough", "rough", "tough", "enough", "trough"):
+        if w.startswith(pre):
+            w = pre[:-2] + "2f" + w[len(pre):]
+    if w.startswith("gn"):
+        w = "2n" + w[2:]
+    if w.endswith("mb"):
+        w = w[:-1] + "2"
+    for a, b in _CV2_STEPS:
+        w = w.replace(a, b)
+    if w and w[0] in "aeiou":
+        w = "A" + w[1:]
+    w = "".join("3" if c in "aeiou" else c for c in w)
+    w = w.replace("j", "y")
+    if w.startswith("y3"):
+        w = "Y3" + w[2:]
+    if w.startswith("y"):
+        w = "A" + w[1:]
+    w = w.replace("y", "3")
+    w = w.replace("3gh3", "3kh3").replace("gh", "22").replace("g", "k")
+    import re as _re
+
+    for c in "stpkfmn":
+        w = _re.sub(c + "+", c.upper(), w)
+    w = w.replace("w3", "W3").replace("wh3", "Wh3")
+    if w.endswith("w"):
+        w = w[:-1] + "3"
+    w = w.replace("w", "2")
+    if w.startswith("h"):
+        w = "A" + w[1:]
+    w = w.replace("h", "2")
+    w = w.replace("r3", "R3")
+    if w.endswith("r"):
+        w = w[:-1] + "3"
+    w = w.replace("r", "2")
+    w = w.replace("l3", "L3")
+    if w.endswith("l"):
+        w = w[:-1] + "3"
+    w = w.replace("l", "2")
+    w = w.replace("2", "")
+    if w.endswith("3"):
+        w = w[:-1] + "A"
+    w = w.replace("3", "")
+    return (w + "1111111111")[:10]
+
+
 _ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "cologne": cologne_phonetic,
+    "nysiis": lambda w: nysiis(w).lower(),
+    "match_rating": lambda w: match_rating(w).lower(),
+    "caverphone2": lambda w: caverphone2(w).lower(),
 }
 
 

@@ -254,6 +254,110 @@ def hits_topk(spark, sf_dir):
     )
 
 
+# ==========================================================================
+# Phonetic wave 2: NYSIIS + Caverphone 2.0 replace-mode analyzers
+# (Analysis.Phonetic/Language/{Nysiis,Caverphone2}.cs semantics) — same
+# key-merged-postings shape as the soundex gate: every term becomes its
+# phonetic key at index AND query time, the oracle re-derives the keyed
+# postings through a closed-vocabulary CASE map.
+# ==========================================================================
+_PHON2_ENGINE: dict[tuple, tuple] = {}
+
+
+def _get_engine_phon2(spark, sf_dir, encoder: str):
+    import os as _os
+
+    from lucenenet_spark.analysis.phonetic import PhoneticAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = (_os.path.abspath(sf_dir), encoder)
+    if key not in _PHON2_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(
+            docs.select("doc_id", "text"), analyzer=PhoneticAnalyzer(encoder)
+        ).cache()
+        _PHON2_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    return _PHON2_ENGINE[key]
+
+
+def _phon2_sql(encode_fn, query_word: str) -> str:
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+    from lucenenet_spark.plans.gate_round5 import _case_over
+
+    case = _case_over((w, encode_fn(w)) for w in _CORPUS_VOCAB)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tokf AS (
+  SELECT doc_id, {case} AS term
+  FROM tok WHERE term <> ''
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{encode_fn(query_word)}'
+"""
+
+
+def _nysiis_lc(w):
+    from lucenenet_spark.analysis.phonetic import nysiis
+
+    return nysiis(w).lower()
+
+
+def _caver_lc(w):
+    from lucenenet_spark.analysis.phonetic import caverphone2
+
+    return caverphone2(w).lower()
+
+
+@gate("nysiis_term_query", _phon2_sql(_nysiis_lc, "merge"))
+def nysiis_term_query(spark, sf_dir):
+    """TermQuery(nysiis('merge')) over a PhoneticAnalyzer('nysiis')
+    replace-mode index — NYSIIS-class retrieval (Taft 1970 rules, the
+    Language/Nysiis.cs rule set validated against the reference's own
+    golden vectors in tests) with BM25 over key-merged postings."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _get_engine_phon2(spark, sf_dir, "nysiis")
+    return _spark_score_q(s.scored(TermQuery(_nysiis_lc("merge"))))
+
+
+@gate("caverphone_term_query", _phon2_sql(_caver_lc, "merge"))
+def caverphone_term_query(spark, sf_dir):
+    """TermQuery(caverphone2('merge')) over a
+    PhoneticAnalyzer('caverphone2') replace-mode index — Caverphone 2.0
+    class retrieval (Hood 2004 cascade, Language/Caverphone2.cs)
+    with BM25 over key-merged postings."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _get_engine_phon2(spark, sf_dir, "caverphone2")
+    return _spark_score_q(s.scored(TermQuery(_caver_lc("merge"))))
+
+
 @gate("bigram_lm_quality", _SB_SQL)
 def bigram_lm_quality(spark, sf_dir):
     """Stupid-Backoff bigram LM scoring (Brants et al. EMNLP'07): the

@@ -89,3 +89,81 @@ def test_search_phonetic_match(spark):
     s = IndexSearcher(build_index(df, analyzer=PhoneticAnalyzer("soundex")))
     hits = {r["doc_id"] for r in s.search(TermQuery("r163"), 10).collect()}
     assert hits == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# Wave-2 encoders: NYSIIS / Caverphone 2.0 / Match Rating Approach —
+# golden vectors from the reference's own test suites
+# (Lucene.Net.Tests.Analysis.Phonetic/Language/{Nysiis,Caverphone2,
+# MatchRatingApproachEncoder}Test.cs)
+# ---------------------------------------------------------------------------
+def test_nysiis_reference_vectors_full():
+    from lucenenet_spark.analysis.phonetic import nysiis
+
+    vectors = [
+        ("MACINTOSH", "MCANT"), ("KNUTH", "NAT"), ("KOEHN", "CAN"),
+        ("PHILLIPSON", "FALAPSAN"), ("PFEISTER", "FASTAR"),
+        ("SCHOENHOEFT", "SANAFT"), ("MCKEE", "MCY"), ("MACKIE", "MCY"),
+        ("HEITSCHMIDT", "HATSNAD"), ("BART", "BAD"), ("HURD", "HAD"),
+        ("HUNT", "HAD"), ("WESTERLUND", "WASTARLAD"),
+        ("CASSTEVENS", "CASTAFAN"), ("VASQUEZ", "VASG"),
+        ("FRAZIER", "FRASAR"), ("BOWMAN", "BANAN"), ("MCKNIGHT", "MCNAGT"),
+        ("RICKERT", "RACAD"), ("DEUTSCH", "DAT"), ("WESTPHAL", "WASTFAL"),
+        ("SHRIVER", "SRAVAR"), ("KUHL", "CAL"), ("RAWSON", "RASAN"),
+        ("JILES", "JAL"), ("CARRAWAY", "CARY"), ("YAMADA", "YANAD"),
+        # rule-boundary probes (prefix/suffix/EV/H/W handling)
+        ("XEE", "XY"), ("XIE", "XY"), ("XDT", "XD"), ("XRT", "XD"),
+        ("XRD", "XD"), ("XNT", "XD"), ("XND", "XD"), ("XEV", "XAF"),
+        ("XAX", "XAX"), ("XEX", "XAX"), ("XIX", "XAX"), ("XOX", "XAX"),
+        ("XUX", "XAX"), ("XQ", "XG"),
+    ]
+    for src, expect in vectors:
+        assert nysiis(src, strict=False) == expect, src
+
+
+def test_nysiis_strict_truncates_to_six():
+    from lucenenet_spark.analysis.phonetic import nysiis
+
+    assert nysiis("WESTERLUND") == "WASTAR"
+    assert len(nysiis("HEITSCHMIDT")) <= 6
+
+
+def test_caverphone2_reference_vectors():
+    from lucenenet_spark.analysis.phonetic import caverphone2
+
+    assert caverphone2("Stevenson") == "STFNSN1111"
+    assert caverphone2("Peter") == "PTA1111111"
+    for w in ["add", "aid", "at", "art", "eat", "earth", "head", "hit",
+              "hot", "hold", "hard", "heart", "it", "out", "old"]:
+        assert caverphone2(w) == "AT11111111", w
+    for w in ["Cailean", "Callahan", "Carleen", "Charlene", "Cline",
+              "Colleen", "Cullen"]:
+        assert caverphone2(w) == "KLN1111111", w
+    assert len(caverphone2("x")) == 10  # always padded to exactly 10
+
+
+def test_match_rating_reference_vectors():
+    from lucenenet_spark.analysis.phonetic import match_rating
+
+    assert match_rating("HARPER") == "HRPR"
+    assert match_rating("Smith") == "SMTH"
+    assert match_rating("Smyth") == "SMYTH"
+    # leading vowel survives (RemoveVowels golden: ALSSNDR), then the
+    # doubled S collapses; 6 chars, so no first3+last3 cut
+    assert match_rating("ALESSANDRA") == "ALSNDR"
+    assert match_rating("") == "" and match_rating("A") == ""
+
+
+def test_phonetic_analyzer_wave2_encoders(spark):
+    from lucenenet_spark.analysis.phonetic import nysiis
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    df = spark.createDataFrame(
+        [(0, "knuth wrote taocp"), (1, "canute ruled england")],
+        "doc_id long, text string",
+    )
+    s = IndexSearcher(build_index(df, analyzer=PhoneticAnalyzer("nysiis")))
+    hits = {r["doc_id"] for r in s.search(TermQuery(nysiis("knuth").lower()), 10).collect()}
+    assert 0 in hits  # knuth -> NAT retrievable through its key
