@@ -253,6 +253,147 @@ def match_rating(name: str) -> str:
     return w
 
 
+# -------------------------------------------------------------- Metaphone
+_MP_FRONTV = "EIY"
+_MP_VARSON = "CSPTG"
+_MP_VOWELS = "AEIOU"
+
+
+def metaphone(word: str, max_code_len: int = 4) -> str:
+    """Metaphone (Lawrence Philips, Computer Language Dec. 1990;
+    Language/Metaphone.cs is the commons-codec edition): initial-pair
+    exceptions (KN/GN/PN/AE/WR/WH/X-), duplicate collapse except C,
+    then the per-letter context rules, capped at ``max_code_len``
+    (testing -> TSTN, SCHEDULE -> SKTL, THE -> 0)."""
+    w = "".join(c for c in word.upper() if "A" <= c <= "Z")
+    if not w:
+        return ""
+    if len(w) == 1:
+        return w
+    first, second = w[0], w[1]
+    if first in "KGP" and second == "N":
+        local = w[1:]
+    elif first == "A" and second == "E":
+        local = w[1:]
+    elif first == "W" and second == "R":
+        local = w[1:]
+    elif first == "W" and second == "H":
+        local = "W" + w[2:]
+    elif first == "X":
+        local = "S" + w[1:]
+    else:
+        local = w
+    wdsz = len(local)
+
+    def is_last(i: int) -> bool:
+        return i == wdsz - 1
+
+    def prev_is(i: int, c: str) -> bool:
+        return 0 < i < wdsz and local[i - 1] == c
+
+    def next_is(i: int, c: str) -> bool:
+        return 0 <= i < wdsz - 1 and local[i + 1] == c
+
+    def vowel(i: int) -> bool:
+        return local[i] in _MP_VOWELS
+
+    def region(i: int, t: str) -> bool:
+        return i + len(t) <= wdsz and local[i : i + len(t)] == t
+
+    code: list[str] = []
+    n = 0
+    while len(code) < max_code_len and n < wdsz:
+        symb = local[n]
+        if symb != "C" and prev_is(n, symb):  # collapse duplicates except C
+            n += 1
+            continue
+        if symb in _MP_VOWELS:
+            if n == 0:
+                code.append(symb)
+        elif symb == "B":
+            if not (prev_is(n, "M") and is_last(n)):  # silent -MB
+                code.append(symb)
+        elif symb == "C":
+            if prev_is(n, "S") and not is_last(n) and local[n + 1] in _MP_FRONTV:
+                pass  # SCI/SCE/SCY: silent C
+            elif region(n, "CIA"):
+                code.append("X")
+            elif not is_last(n) and local[n + 1] in _MP_FRONTV:
+                code.append("S")  # CI/CE/CY
+            elif prev_is(n, "S") and next_is(n, "H"):
+                code.append("K")  # SCH
+            elif next_is(n, "H"):
+                # reference code: initial CH with a vowel at index 2 is
+                # hard K (CHARACTER -> KRKT); otherwise X
+                if n == 0 and wdsz >= 3 and vowel(2):
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif symb == "D":
+            if not is_last(n + 1) and next_is(n, "G") and local[n + 2] in _MP_FRONTV:
+                code.append("J")  # DGE/DGI/DGY
+                n += 2
+            else:
+                code.append("T")
+        elif symb == "G":
+            if is_last(n + 1) and next_is(n, "H"):
+                pass  # GH at end: silent
+            elif not is_last(n + 1) and next_is(n, "H") and not vowel(n + 2):
+                pass  # GH before consonant: silent
+            elif n > 0 and (region(n, "GN") or region(n, "GNED")):
+                pass  # silent G
+            elif not is_last(n) and local[n + 1] in _MP_FRONTV and not prev_is(n, "G"):
+                code.append("J")
+            else:
+                code.append("K")
+        elif symb == "H":
+            if is_last(n):
+                pass  # terminal H
+            elif n > 0 and local[n - 1] in _MP_VARSON:
+                pass
+            elif vowel(n + 1):
+                code.append("H")
+        elif symb in "FJLMNR":
+            code.append(symb)
+        elif symb == "K":
+            if n == 0 or not prev_is(n, "C"):
+                code.append(symb)
+        elif symb == "P":
+            code.append("F" if next_is(n, "H") else symb)
+        elif symb == "Q":
+            code.append("K")
+        elif symb == "S":
+            if region(n, "SH") or region(n, "SIO") or region(n, "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif symb == "T":
+            if region(n, "TIA") or region(n, "TIO"):
+                code.append("X")
+            elif region(n, "TCH"):
+                pass  # silent in TCH
+            elif region(n, "TH"):
+                code.append("0")  # theta
+            else:
+                code.append("T")
+        elif symb == "V":
+            code.append("F")
+        elif symb in "WY":
+            if not is_last(n) and vowel(n + 1):
+                code.append(symb)
+        elif symb == "X":
+            code.append("K")
+            code.append("S")
+        elif symb == "Z":
+            code.append("S")
+        n += 1
+        if len(code) > max_code_len:
+            del code[max_code_len:]
+    return "".join(code)
+
+
 # ------------------------------------------------------------ Caverphone
 _CV2_STEPS = [
     ("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"),
@@ -321,6 +462,7 @@ _ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "cologne": cologne_phonetic,
+    "metaphone": lambda w: metaphone(w).lower(),
     "nysiis": lambda w: nysiis(w).lower(),
     "match_rating": lambda w: match_rating(w).lower(),
     "caverphone2": lambda w: caverphone2(w).lower(),

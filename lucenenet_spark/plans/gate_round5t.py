@@ -332,6 +332,25 @@ def _caver_lc(w):
     return caverphone2(w).lower()
 
 
+def _metaphone_lc(w):
+    from lucenenet_spark.analysis.phonetic import metaphone
+
+    return metaphone(w).lower()
+
+
+@gate("metaphone_term_query", _phon2_sql(_metaphone_lc, "merge"))
+def metaphone_term_query(spark, sf_dir):
+    """TermQuery(metaphone('merge')) over a PhoneticAnalyzer('metaphone')
+    replace-mode index — Metaphone-class retrieval (Philips 1990,
+    Language/Metaphone.cs, validated on the reference's 40 golden
+    vectors in tests) with BM25 over key-merged postings."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _get_engine_phon2(spark, sf_dir, "metaphone")
+    return _spark_score_q(s.scored(TermQuery(_metaphone_lc("merge"))))
+
+
 @gate("nysiis_term_query", _phon2_sql(_nysiis_lc, "merge"))
 def nysiis_term_query(spark, sf_dir):
     """TermQuery(nysiis('merge')) over a PhoneticAnalyzer('nysiis')

@@ -167,3 +167,26 @@ def test_phonetic_analyzer_wave2_encoders(spark):
     s = IndexSearcher(build_index(df, analyzer=PhoneticAnalyzer("nysiis")))
     hits = {r["doc_id"] for r in s.search(TermQuery(nysiis("knuth").lower()), 10).collect()}
     assert 0 in hits  # knuth -> NAT retrievable through its key
+
+
+def test_metaphone_reference_vectors():
+    from lucenenet_spark.analysis.phonetic import metaphone
+
+    vectors = [
+        ("howl", "HL"), ("testing", "TSTN"), ("The", "0"), ("quick", "KK"),
+        ("brown", "BRN"), ("fox", "FKS"), ("jumped", "JMPT"),
+        ("over", "OFR"), ("lazy", "LS"), ("dogs", "TKS"),
+        ("COMB", "KM"), ("TOMB", "TM"), ("WOMB", "WM"),  # silent -MB
+        ("SCIENCE", "SNS"), ("SCENE", "SN"), ("SCY", "S"),  # silent SC
+        ("WHY", ""), ("CIAPO", "XP"), ("SCHEDULE", "SKTL"),
+        ("SCHEMATIC", "SKMT"), ("CHARACTER", "KRKT"), ("TEACH", "TX"),
+        ("DODGY", "TJ"), ("DODGE", "TJ"), ("ADGIEMTI", "AJMT"),
+        ("GHENT", "KNT"), ("BAUGH", "B"), ("GNU", "N"), ("SIGNED", "SNT"),
+        ("PHISH", "FX"), ("SHOT", "XT"), ("ODSIAN", "OTXN"),
+        ("PULSION", "PLXN"), ("OTIA", "OX"), ("PORTION", "PRXN"),
+        ("RETCH", "RX"), ("WATCH", "WX"), ("AXEAXE", "AKSK"),
+    ]
+    for src, expect in vectors:
+        assert metaphone(src) == expect, src
+    assert metaphone("AXEAXEAXE", max_code_len=6) == "AKSKSK"
+    assert metaphone("a") == "A" and metaphone("") == ""
