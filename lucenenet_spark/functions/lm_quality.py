@@ -133,6 +133,41 @@ def bigram_logprob(
     )
 
 
+def lm_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    rank documents by LM score within each language and split into
+    ``n_buckets`` equal-frequency buckets — bucket 1 = head (most
+    LM-typical), bucket n = tail (dropped or down-weighted by the
+    published pipeline). Returns (id_col, lang_col?, n_tokens,
+    avg_logprob_q, bucket).
+
+    The rank is a window over (lang, score) — one shuffle on the
+    language key; at 100 TB the per-language partitions are the natural
+    parallel unit and skew (English) is handled by AQE. The ordering is
+    total (score desc, then id) so the bucket assignment is
+    deterministic and oracle-checkable."""
+    from pyspark.sql import Window
+
+    stats = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    cols = [id_col] + ([lang_col] if lang_col else [])
+    joined = df.select(*cols).join(stats, id_col)
+    part = Window.partitionBy(lang_col) if lang_col else Window.partitionBy()
+    w = part.orderBy(F.col("avg_logprob_q").desc(), F.col(id_col).asc())
+    return joined.select(
+        *cols,
+        "n_tokens",
+        "avg_logprob_q",
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+    )
+
+
 def lm_quality_filter(
     df: DataFrame,
     min_avg_logprob: float,

@@ -377,6 +377,43 @@ def caverphone_term_query(spark, sf_dir):
     return _spark_score_q(s.scored(TermQuery(_caver_lc("merge"))))
 
 
+_CCNET_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tokf AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokf GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+stats AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(floor(avg(ln(f.cnt / tot.total)) * 10000 + 0.5) AS BIGINT)
+           AS avg_logprob_q
+  FROM tokf t JOIN freq f USING (w), tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.lang, s.n_tokens, s.avg_logprob_q,
+       CAST(ntile(3) OVER (
+         PARTITION BY d.lang
+         ORDER BY s.avg_logprob_q DESC, d.doc_id ASC
+       ) AS BIGINT) AS bucket
+FROM documents d JOIN stats s USING (doc_id)
+"""
+
+
+@gate("ccnet_lm_buckets", _CCNET_SQL)
+def ccnet_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per-language
+    equal-frequency tertiles over the corpus-unigram LM score with a
+    total order (score desc, doc_id), so head/middle/tail membership is
+    deterministic. Docs too short to score are absent, as in
+    lm_unigram_quality."""
+    from lucenenet_spark.functions.lm_quality import lm_buckets
+    from lucenenet_spark.plans.gate import _docs_table
+
+    return lm_buckets(_docs_table(spark, sf_dir), n_buckets=3)
+
+
 @gate("bigram_lm_quality", _SB_SQL)
 def bigram_lm_quality(spark, sf_dir):
     """Stupid-Backoff bigram LM scoring (Brants et al. EMNLP'07): the

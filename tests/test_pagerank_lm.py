@@ -192,3 +192,39 @@ def test_bigram_empty_token_runs_collapse(spark):
     docs = _docs(spark, [(1, "a  b")])
     row = bigram_logprob(docs, train=train).collect()[0]
     assert row.n_bigrams == 1 and row.avg_logprob_q == 0
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail LM bucketing
+# ---------------------------------------------------------------------------
+def test_lm_buckets_equal_frequency_and_ordering(spark):
+    from lucenenet_spark.functions.lm_quality import lm_buckets
+
+    rows = [
+        (i, " ".join(["common"] * 5 + ["rare%d" % i] * (i % 4)), "en")
+        for i in range(12)
+    ] + [(100 + i, "unico texto %d aqui" % i, "es") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = lm_buckets(df, n_buckets=3).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r.bucket == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)  # equal frequency
+        # head scores dominate tail scores within the language
+        head = [r.avg_logprob_q for r in rs if r.bucket == 1]
+        tail = [r.avg_logprob_q for r in rs if r.bucket == 3]
+        assert min(head) >= max(tail)
+
+
+def test_lm_buckets_deterministic(spark):
+    from lucenenet_spark.functions.lm_quality import lm_buckets
+
+    df = spark.createDataFrame(
+        [(i, "tok same same", "en") for i in range(9)],
+        "doc_id long, text string, lang string",
+    )
+    a = {r.doc_id: r.bucket for r in lm_buckets(df).collect()}
+    b = {r.doc_id: r.bucket for r in lm_buckets(df).collect()}
+    assert a == b  # all-tied scores still bucket identically (id tiebreak)
