@@ -458,11 +458,23 @@ def caverphone2(word: str) -> str:
     return (w + "1111111111")[:10]
 
 
+def _dm_primary(w: str) -> str:
+    """Primary Double Metaphone code, lowercased for the token space
+    (the full primary/alternate pair lives in
+    analysis/double_metaphone.py; PhoneticFilter's replace mode keys on
+    the primary, DoubleMetaphoneFilter's originals+alternate injection
+    maps to inject=True with the primary key)."""
+    from lucenenet_spark.analysis.double_metaphone import double_metaphone
+
+    return double_metaphone(w)[0].lower()
+
+
 _ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "cologne": cologne_phonetic,
     "metaphone": lambda w: metaphone(w).lower(),
+    "double_metaphone": lambda w: _dm_primary(w),
     "nysiis": lambda w: nysiis(w).lower(),
     "match_rating": lambda w: match_rating(w).lower(),
     "caverphone2": lambda w: caverphone2(w).lower(),

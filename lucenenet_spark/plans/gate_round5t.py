@@ -351,6 +351,26 @@ def metaphone_term_query(spark, sf_dir):
     return _spark_score_q(s.scored(TermQuery(_metaphone_lc("merge"))))
 
 
+def _dm_lc(w):
+    from lucenenet_spark.analysis.double_metaphone import double_metaphone
+
+    return double_metaphone(w)[0].lower()
+
+
+@gate("double_metaphone_term", _phon2_sql(_dm_lc, "merge"))
+def double_metaphone_term(spark, sf_dir):
+    """TermQuery(double_metaphone('merge').primary) over a
+    PhoneticAnalyzer('double_metaphone') replace-mode index — Double
+    Metaphone retrieval (Philips 2000, Language/DoubleMetaphone.cs,
+    validated on the reference's golden vectors incl. the
+    primary/alternate split) with BM25 over key-merged postings."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _get_engine_phon2(spark, sf_dir, "double_metaphone")
+    return _spark_score_q(s.scored(TermQuery(_dm_lc("merge"))))
+
+
 @gate("nysiis_term_query", _phon2_sql(_nysiis_lc, "merge"))
 def nysiis_term_query(spark, sf_dir):
     """TermQuery(nysiis('merge')) over a PhoneticAnalyzer('nysiis')

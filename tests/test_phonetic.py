@@ -190,3 +190,59 @@ def test_metaphone_reference_vectors():
         assert metaphone(src) == expect, src
     assert metaphone("AXEAXEAXE", max_code_len=6) == "AKSKSK"
     assert metaphone("a") == "A" and metaphone("") == ""
+
+
+def test_double_metaphone_reference_vectors():
+    from lucenenet_spark.analysis.double_metaphone import double_metaphone as dm
+
+    primary = [
+        ("testing", "TSTN"), ("The", "0"), ("quick", "KK"),
+        ("brown", "PRN"), ("fox", "FKS"), ("jumped", "JMPT"),
+        ("over", "AFR"), ("lazy", "LS"), ("dogs", "TKS"),
+        ("MacCafferey", "MKFR"), ("Stephan", "STFN"),
+        ("Kuczewski", "KSSK"), ("McClelland", "MKLL"),
+        ("san jose", "SNHS"), ("xenophobia", "SNFP"),
+    ]
+    for src, expect in primary:
+        assert dm(src)[0] == expect, src
+    alternate = [
+        ("The", "T"), ("jumped", "AMPT"), ("Kutchefski", "KXFS"),
+        ("Fokker", "FKR"), ("Joqqi", "AK"), ("Hovvi", "HF"),
+        ("Czerny", "XRN"),
+    ]
+    for src, expect in alternate:
+        assert dm(src)[1] == expect, src
+    # max code length is honored on both codes
+    assert dm("jumped", 3) == ("JMP", "AMP")
+    assert dm("") == ("", "") and dm("  ") == ("", "")
+
+
+def test_double_metaphone_equality_fixtures():
+    from lucenenet_spark.analysis.double_metaphone import double_metaphone as dm
+
+    # the reference's enabled IsDoubleMetaphoneEqual fixtures: equal on
+    # BOTH the primary and the alternate code
+    basic = [
+        ("Case", "case"), ("CASE", "Case"), ("caSe", "cAsE"),
+        ("cookie", "quick"), ("quick", "cookie"), ("Brian", "Bryan"),
+        ("Auto", "Otto"), ("Steven", "Stefan"),
+        ("Philipowitz", "Filipowicz"),
+    ]
+    for a, b in basic:
+        assert dm(a)[0] == dm(b)[0], (a, b)
+        assert dm(a)[1] == dm(b)[1], (a, b)
+    # alternate-only match (the reference asserts only alternate here)
+    assert dm("Jablonski")[1] == dm("Yablonsky")[1]
+    # and a known non-match
+    assert dm("Brain")[0] != dm("Band")[0]
+
+
+def test_double_metaphone_slavo_germanic_and_branches():
+    from lucenenet_spark.analysis.double_metaphone import double_metaphone as dm
+
+    # primary/alternate split on the published branch families
+    assert dm("Smith") == ("SM0", "XMT")       # S+M -> S/X, TH -> 0/T
+    assert dm("schneider")[0] != dm("schneider")[1]  # SCH alternates
+    assert dm("Wasserman")[0].startswith("A")  # W+vowel: A primary
+    assert dm("Wasserman")[1].startswith("F")  # ... F alternate
+    assert dm("filipowicz", 5) == ("FLPTS", "FLPFX")  # Polish -wicz: TS/FX
