@@ -535,3 +535,83 @@ class PhoneticAnalyzer(_SnowballAnalyzer):
             self, pd.Series([text])
         )
         return [(self.encode(t), int(p)) for t, p in zip(terms, positions)]
+
+
+class DoubleMetaphoneAnalyzer(_SnowballAnalyzer):
+    """Analysis.Phonetic/DoubleMetaphoneFilter.cs analogue: each token
+    emits its Double Metaphone PRIMARY code, plus the ALTERNATE code
+    when it differs from the primary — and the original too in inject
+    mode. The filter's emission rules are preserved exactly:
+
+    - primary emitted only when it differs from the source token;
+    - alternate emitted only when it differs from the primary AND the
+      primary differed from the source (the reference's quirk);
+    - inject=True keeps the original at posIncrement >= 1 with the
+      codes as posIncrement-0 overlaps (field_lens counts originals
+      only, discountOverlaps); inject=False replaces the original with
+      the primary, the alternate still overlapping at its position."""
+
+    def __init__(self, inject: bool = True, max_code_len: int = 4,
+                 stopwords=None, **kw):
+        super().__init__(stopwords, **kw)
+        self.inject = inject
+        self.max_code_len = max_code_len
+
+    def _codes(self, uniques) -> tuple[np.ndarray, np.ndarray]:
+        from lucenenet_spark.analysis.double_metaphone import double_metaphone
+
+        pairs = [double_metaphone(u, self.max_code_len) for u in uniques]
+        prim = np.array([p.lower() for p, _ in pairs], dtype=object)
+        alt = np.array([a.lower() for _, a in pairs], dtype=object)
+        return prim, alt
+
+    @property
+    def _stem(self):  # replace-mode dictionary mapping (primary key)
+        from lucenenet_spark.analysis.double_metaphone import double_metaphone
+
+        def enc(w: str) -> str:
+            p = double_metaphone(w, self.max_code_len)[0].lower()
+            return p if p and p != w else w
+
+        return enc
+
+    def tokenize_batch(self, texts: pd.Series):
+        row_idx, terms, positions, field_lens = StandardAnalyzer.tokenize_batch(
+            self, pd.Series(texts)
+        )
+        if not len(terms):
+            return row_idx, terms, positions, field_lens
+        codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+        prim_u, alt_u = self._codes(uniques)
+        P, A = prim_u[codes], alt_u[codes]
+        prim_differs = (P != terms) & (P != "")
+        alt_differs = (A != P) & (A != "") & prim_differs
+        if self.inject:
+            base_r, base_t, base_p = row_idx, terms, positions
+        else:
+            base_r, base_p = row_idx, positions
+            base_t = np.where(prim_differs, P, terms).astype(object)
+            prim_differs = np.zeros_like(prim_differs)  # already in base
+        out_r = np.concatenate(
+            [base_r, row_idx[prim_differs], row_idx[alt_differs]]
+        )
+        out_t = np.concatenate([base_t, P[prim_differs], A[alt_differs]])
+        out_p = np.concatenate(
+            [base_p, positions[prim_differs], positions[alt_differs]]
+        )
+        order = np.lexsort((out_p, out_r))
+        return (
+            out_r[order],
+            out_t[order].astype(object),
+            out_p[order].astype(np.int32),
+            field_lens,
+        )
+
+    def query_terms(self, text: str) -> list[tuple[str, int]]:
+        """Query chain maps each token to its primary code (the
+        replace-mode contract; alternates are index-side recall)."""
+        _, terms, positions, _ = StandardAnalyzer.tokenize_batch(
+            self, pd.Series([text])
+        )
+        enc = self._stem
+        return [(enc(t), int(p)) for t, p in zip(terms, positions)]

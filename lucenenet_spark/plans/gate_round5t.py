@@ -320,6 +320,89 @@ WHERE p.term = '{encode_fn(query_word)}'
 """
 
 
+def _dm_inject_sql(query_word: str) -> str:
+    """Inject-mode oracle: postings are the UNION of originals, primary
+    codes (where they differ from the token), and alternate codes (where
+    they differ from the primary AND the primary differed) — while
+    doc length and total-token stats count ORIGINALS only
+    (discountOverlaps), exactly the engine's field_lens contract."""
+    from lucenenet_spark.analysis.double_metaphone import double_metaphone
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+    from lucenenet_spark.plans.gate_round5 import _case_over
+
+    pairs = {w: double_metaphone(w) for w in _CORPUS_VOCAB}
+    pcase = _case_over((w, p.lower()) for w, (p, _) in pairs.items())
+    acase = _case_over((w, a.lower()) for w, (_, a) in pairs.items())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+keys AS (
+  SELECT doc_id, term AS t, {pcase} AS p, {acase} AS a FROM tokf
+),
+allterms AS (
+  SELECT doc_id, t AS term FROM keys
+  UNION ALL
+  SELECT doc_id, p AS term FROM keys WHERE p <> t AND p <> ''
+  UNION ALL
+  SELECT doc_id, a AS term FROM keys WHERE a <> p AND a <> '' AND p <> t
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM allterms GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor((ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term = '{double_metaphone(query_word)[0].lower()}'
+"""
+
+
+_DM_INJ_ENGINE: dict[str, tuple] = {}
+
+
+@gate("dm_inject_term", _dm_inject_sql("merge"))
+def dm_inject_term(spark, sf_dir):
+    """TermQuery over a DoubleMetaphoneAnalyzer(inject=True) index —
+    the DoubleMetaphoneFilter.cs emission contract driver-verified:
+    originals stay searchable at posIncr >= 1, primary + distinct
+    alternate codes overlap at posIncr 0, norms count originals only."""
+    import os as _os
+
+    from lucenenet_spark.analysis.phonetic import DoubleMetaphoneAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _DM_INJ_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(
+            docs.select("doc_id", "text"),
+            analyzer=DoubleMetaphoneAnalyzer(inject=True),
+        ).cache()
+        _DM_INJ_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    _, s = _DM_INJ_ENGINE[key]
+    return _spark_score_q(s.scored(TermQuery(_dm_lc("merge"))))
+
+
 def _nysiis_lc(w):
     from lucenenet_spark.analysis.phonetic import nysiis
 

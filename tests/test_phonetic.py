@@ -246,3 +246,50 @@ def test_double_metaphone_slavo_germanic_and_branches():
     assert dm("Wasserman")[0].startswith("A")  # W+vowel: A primary
     assert dm("Wasserman")[1].startswith("F")  # ... F alternate
     assert dm("filipowicz", 5) == ("FLPTS", "FLPFX")  # Polish -wicz: TS/FX
+
+
+def test_double_metaphone_analyzer_inject_emission_rules():
+    import pandas as pd
+
+    from lucenenet_spark.analysis.phonetic import DoubleMetaphoneAnalyzer
+
+    a = DoubleMetaphoneAnalyzer(inject=True)
+    r, terms, pos, lens = a.tokenize_batch(pd.Series(["smith aaa"]))
+    got = sorted(zip(terms.tolist(), pos.tolist()))
+    # smith -> primary sm0 + alternate xmt, both overlapping position 0
+    assert ("smith", 0) in got and ("sm0", 0) in got and ("xmt", 0) in got
+    # 'aaa' -> dm 'A' != token: primary injected; alternate == primary: not
+    assert ("aaa", 1) in got and ("a", 1) in got
+    assert sum(1 for t, p in got if p == 1) == 2
+    assert lens[0] == 2  # norms count originals only
+
+
+def test_double_metaphone_analyzer_replace_mode():
+    import pandas as pd
+
+    from lucenenet_spark.analysis.phonetic import DoubleMetaphoneAnalyzer
+
+    a = DoubleMetaphoneAnalyzer(inject=False)
+    _, terms, pos, lens = a.tokenize_batch(pd.Series(["smith ran"]))
+    got = sorted(zip(terms.tolist(), pos.tolist()))
+    # primary replaces the original; alternate still overlaps
+    assert ("sm0", 0) in got and ("xmt", 0) in got and ("smith", 0) not in got
+    assert ("rn", 1) in got
+    assert lens[0] == 2
+
+
+def test_double_metaphone_analyzer_search_inject(spark):
+    from lucenenet_spark.analysis.phonetic import DoubleMetaphoneAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    df = spark.createDataFrame(
+        [(0, "smith codes"), (1, "schmidt reviews"), (2, "jones ships")],
+        "doc_id long, text string",
+    )
+    s = IndexSearcher(build_index(df, analyzer=DoubleMetaphoneAnalyzer(inject=True)))
+    # exact original still searchable
+    assert {r["doc_id"] for r in s.search(TermQuery("smith"), 10).collect()} == {0}
+    # alternate code xmt unifies smith (alt) and schmidt (primary)
+    assert {r["doc_id"] for r in s.search(TermQuery("xmt"), 10).collect()} == {0, 1}
