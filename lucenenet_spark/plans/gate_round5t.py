@@ -480,6 +480,48 @@ def caverphone_term_query(spark, sf_dir):
     return _spark_score_q(s.scored(TermQuery(_caver_lc("merge"))))
 
 
+# ==========================================================================
+# WET content-source round trip (Common Crawl conversion records; the
+# linedoc_roundtrip shape with the ISO 28500 WARC format)
+# ==========================================================================
+_WET_DIR: dict[str, str] = {}
+
+
+@gate("wet_roundtrip", "SELECT doc_id, text FROM documents")
+def wet_roundtrip(spark, sf_dir):
+    """Write the corpus as WARC/WET conversion records (one record per
+    doc, Content-Length-exact), read it back through the file-parallel
+    WET parser, and recover (doc_id, text) byte-identically — the
+    web-crawl analogue of the reference's content-source round trips
+    (ByTask/Feeds/*ContentSource.cs)."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.plans.gate import _docs_table
+    from lucenenet_spark.sources.warc import read_wet, write_wet
+
+    docs = _docs_table(spark, sf_dir)
+    key = _os.path.abspath(sf_dir)
+    if key not in _WET_DIR:
+        path = _os.path.join(tempfile.mkdtemp(prefix="wet_gate_"), "corpus.wet")
+        write_wet(
+            docs.select(
+                F.concat(F.lit("http://example.com/doc/"), F.col("doc_id"))
+                .alias("uri"),
+                "text",
+            ),
+            path,
+        )
+        _WET_DIR[key] = path
+    back = read_wet(spark, _WET_DIR[key])
+    return back.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
 _CCNET_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
