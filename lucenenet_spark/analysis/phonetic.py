@@ -469,12 +469,23 @@ def _dm_primary(w: str) -> str:
     return double_metaphone(w)[0].lower()
 
 
+def _dm_soundex_enc(w: str) -> str:
+    """Non-branching Daitch-Mokotoff code (Language/
+    DaitchMokotoffSoundex.cs Encode contract); the branching code SET
+    lives in analysis/dm_soundex.py dm_soundex_all for match-on-
+    intersection callers."""
+    from lucenenet_spark.analysis.dm_soundex import dm_soundex
+
+    return dm_soundex(w)
+
+
 _ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "cologne": cologne_phonetic,
     "metaphone": lambda w: metaphone(w).lower(),
     "double_metaphone": lambda w: _dm_primary(w),
+    "dm_soundex": lambda w: _dm_soundex_enc(w),
     "nysiis": lambda w: nysiis(w).lower(),
     "match_rating": lambda w: match_rating(w).lower(),
     "caverphone2": lambda w: caverphone2(w).lower(),

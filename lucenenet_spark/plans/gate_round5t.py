@@ -403,6 +403,26 @@ def dm_inject_term(spark, sf_dir):
     return _spark_score_q(s.scored(TermQuery(_dm_lc("merge"))))
 
 
+def _dmsx(w):
+    from lucenenet_spark.analysis.dm_soundex import dm_soundex
+
+    return dm_soundex(w)
+
+
+@gate("dm_soundex_term", _phon2_sql(_dmsx, "merge"))
+def dm_soundex_term(spark, sf_dir):
+    """TermQuery(dm_soundex('merge')) over a PhoneticAnalyzer
+    ('dm_soundex') replace-mode index — Daitch-Mokotoff Soundex
+    retrieval (Avotaynu standard, Language/DaitchMokotoffSoundex.cs,
+    validated on the reference's golden vectors incl. the branching
+    code sets) with BM25 over key-merged postings."""
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, s = _get_engine_phon2(spark, sf_dir, "dm_soundex")
+    return _spark_score_q(s.scored(TermQuery(_dmsx("merge"))))
+
+
 def _nysiis_lc(w):
     from lucenenet_spark.analysis.phonetic import nysiis
 

@@ -293,3 +293,48 @@ def test_double_metaphone_analyzer_search_inject(spark):
     assert {r["doc_id"] for r in s.search(TermQuery("smith"), 10).collect()} == {0}
     # alternate code xmt unifies smith (alt) and schmidt (primary)
     assert {r["doc_id"] for r in s.search(TermQuery("xmt"), 10).collect()} == {0, 1}
+
+
+def test_dm_soundex_reference_vectors():
+    from lucenenet_spark.analysis.dm_soundex import dm_soundex, dm_soundex_all
+
+    # branching code sets (SoundexAll golden vectors)
+    all_cases = [
+        ("Straßburg", "294795"), ("Strasburg", "294795"),
+        ("Éregon", "095600"), ("Eregon", "095600"), ("AKSSOL", "054800"),
+        ("GERSCHFELD", "547830|545783|594783|594578"),
+        ("GOLDEN", "583600"), ("Alpert", "087930"), ("Breuer", "791900"),
+        ("Haber", "579000"), ("Mannheim", "665600"), ("Mintz", "664000"),
+        ("Topf", "370000"), ("Kleinmann", "586660"),
+        ("Ben Aron", "769600"),
+        ("AUERBACH", "097400|097500"), ("OHRBACH", "097400|097500"),
+        ("LIPSHITZ", "874400"), ("LIPPSZYC", "874400|874500"),
+        ("LEWINSKY", "876450"), ("LEVINSKI", "876450"),
+        ("SZLAMAWICZ", "486740"), ("SHLAMOVITZ", "486740"),
+        ("Ceniow", "467000|567000"), ("Tsenyuv", "467000"),
+        ("Holubica", "587400|587500"), ("Golubitsa", "587400"),
+        ("Przemysl", "746480|794648"), ("Pshemeshil", "746480"),
+        ("Rosochowaciec",
+         "944744|944745|944754|944755|945744|945745|945754|945755"),
+    ]
+    for src, expect in all_cases:
+        assert "|".join(dm_soundex_all(src)) == expect, src
+    # non-branching Encode contract
+    enc_cases = [
+        ("AUERBACH", "097400"), ("OHRBACH", "097400"),
+        ("LIPSHITZ", "874400"), ("LIPPSZYC", "874400"),
+        ("LEWINSKY", "876450"), ("SZLAMAWICZ", "486740"),
+        (" \t\n\r Washington \t\n\r ", "746536"),
+    ]
+    for src, expect in enc_cases:
+        assert dm_soundex(src) == expect, src
+
+
+def test_dm_soundex_match_on_code_intersection():
+    from lucenenet_spark.analysis.dm_soundex import dm_soundex_all
+
+    # the D-M matching contract: names match when their code SETS
+    # intersect — Ceniow/Tsenyuv share 467000 though Encode differs
+    assert set(dm_soundex_all("Ceniow")) & set(dm_soundex_all("Tsenyuv"))
+    assert set(dm_soundex_all("Holubica")) & set(dm_soundex_all("Golubitsa"))
+    assert not (set(dm_soundex_all("Topf")) & set(dm_soundex_all("Mintz")))
