@@ -542,6 +542,82 @@ def wet_roundtrip(spark, sf_dir):
     )
 
 
+_TC_N = 40
+
+_TEXTCAT_SQL = f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+padded AS (
+  SELECT doc_id, lang, '_' || w || '_' AS pw FROM words WHERE w <> ''
+),
+grams AS (
+  SELECT doc_id, lang, substr(pw, i, 2) AS g
+  FROM padded, unnest(generate_series(1, length(pw) - 1)) AS u(i)
+  UNION ALL
+  SELECT doc_id, lang, substr(pw, i, 3) AS g
+  FROM padded, unnest(generate_series(1, length(pw) - 2)) AS u(i)
+),
+lc AS (
+  SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt FROM grams
+  WHERE doc_id % 2 = 0 GROUP BY lang, g
+),
+lp AS (
+  SELECT lang, g, lr FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g ASC) AS lr
+    FROM lc
+  ) WHERE lr <= {_TC_N}
+),
+dc AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM grams
+  GROUP BY doc_id, g
+),
+dp AS (
+  SELECT doc_id, g, dr FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS dr
+    FROM dc
+  ) WHERE dr <= {_TC_N}
+),
+langs AS (SELECT DISTINCT lang FROM lp),
+scored AS (
+  SELECT dp.doc_id, l.lang,
+         CAST(sum(coalesce(abs(dp.dr - lp.lr), {_TC_N})) AS BIGINT) AS dist
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+  GROUP BY dp.doc_id, l.lang
+)
+SELECT doc_id, lang AS lang_pred, dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY dist ASC, lang ASC
+  ) AS rn FROM scored
+) WHERE rn = 1
+"""
+
+
+@gate("textcat_langid", _TEXTCAT_SQL)
+def textcat_langid(spark, sf_dir):
+    """TextCat language ID (Cavnar & Trenkle 1994): top-40 padded char
+    2/3-gram rank profiles trained on the even-doc-id half's lang
+    labels, every document classified by exact-integer out-of-place
+    distance (penalty 40, total-order tie-breaks). Upgrades the
+    stopword-ratio heuristic gate to the published algorithm. Note the
+    synthetic corpus shares one token vocabulary across its lang
+    labels, so label-recovery accuracy here is near chance BY DESIGN —
+    the gate checks algorithmic parity; real-language separation is
+    shown by the en/de pytest twin (100%)."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.textcat import textcat_classify
+    from lucenenet_spark.plans.gate import _docs_table
+
+    docs = _docs_table(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return textcat_classify(docs, train, top_n=_TC_N)
+
+
 _CCNET_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

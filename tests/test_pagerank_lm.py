@@ -228,3 +228,53 @@ def test_lm_buckets_deterministic(spark):
     a = {r.doc_id: r.bucket for r in lm_buckets(df).collect()}
     b = {r.doc_id: r.bucket for r in lm_buckets(df).collect()}
     assert a == b  # all-tied scores still bucket identically (id tiebreak)
+
+
+# ---------------------------------------------------------------------------
+# TextCat language ID
+# ---------------------------------------------------------------------------
+def test_textcat_separates_obvious_languages(spark):
+    from lucenenet_spark.functions.textcat import textcat_classify
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en"))
+    for i in range(6, 12):
+        rows.append((i, "der schnelle braune fuchs springt über den hund", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.lang_pred for r in textcat_classify(df, df).collect()}
+    assert all(got[i] == "en" for i in range(6))
+    assert all(got[i] == "de" for i in range(6, 12))
+
+
+def test_textcat_distance_is_integer_and_deterministic(spark):
+    from lucenenet_spark.functions.textcat import textcat_classify
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en"), (1, "alpha beta gamma", "en")],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(tuple(r) for r in textcat_classify(df, df).collect())
+    b = sorted(tuple(r) for r in textcat_classify(df, df).collect())
+    assert a == b
+    # identical docs, single language: identical exact-integer distances
+    assert a[0][1:] == a[1][1:]
+    assert isinstance(a[0][2], int)
+
+
+def test_textcat_out_of_place_penalty(spark):
+    from lucenenet_spark.functions.textcat import textcat_classify
+
+    train = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa", "aa"), (1, "bbbb bbbb bbbb", "bb")],
+        "doc_id long, text string, lang string",
+    )
+    docs = spark.createDataFrame(
+        [(9, "cccc cccc", "xx")], "doc_id long, text string, lang string"
+    )
+    got = textcat_classify(docs, train, top_n=40).collect()[0]
+    # no gram overlap with either profile: every doc gram pays the max
+    # out-of-place penalty; tie on distance breaks to 'aa'
+    assert got.lang_pred == "aa"
+    n_doc_grams = len({"_c", "cc", "c_", "_cc", "ccc", "cc_"})
+    assert got.dist == 40 * n_doc_grams
