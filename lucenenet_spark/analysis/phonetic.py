@@ -483,11 +483,14 @@ _ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "cologne": cologne_phonetic,
-    "metaphone": lambda w: metaphone(w).lower(),
-    "double_metaphone": lambda w: _dm_primary(w),
+    # encoders that code only A-Z return "" for non-alphabetic tokens;
+    # fall back to the original term so numerics/punctuation tokens do
+    # not all conflate into one empty posting key
+    "metaphone": lambda w: metaphone(w).lower() or w,
+    "double_metaphone": lambda w: _dm_primary(w) or w,
     "dm_soundex": lambda w: _dm_soundex_enc(w),
-    "nysiis": lambda w: nysiis(w).lower(),
-    "match_rating": lambda w: match_rating(w).lower(),
+    "nysiis": lambda w: nysiis(w).lower() or w,
+    "match_rating": lambda w: match_rating(w).lower() or w,
     "caverphone2": lambda w: caverphone2(w).lower(),
 }
 
@@ -527,7 +530,7 @@ class PhoneticAnalyzer(_SnowballAnalyzer):
         codes, uniques = pd.factorize(pd.Series(terms), sort=False)
         keys = np.array([self.encode(u) for u in uniques], dtype=object)
         injected = keys[codes]
-        differs = injected != terms
+        differs = (injected != terms) & (injected != "")
         out_r = np.concatenate([row_idx, row_idx[differs]])
         out_t = np.concatenate([terms, injected[differs]])
         out_p = np.concatenate([positions, positions[differs]])

@@ -103,7 +103,11 @@ def bigram_logprob(
             F.array_remove(F.split(F.col(text_col), " "), "")
         ).alias("w")
     )
-    uni = train_toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # uni feeds the c1 join, the c2 join, AND the total agg — persist so
+    # the training-corpus scan runs once, not three times
+    uni = train_toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()
     big = (
         _pairs(train)
         .groupBy("w1", "w2")

@@ -65,7 +65,10 @@ def build_link_graph(nodes: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .select(
             "src",
-            ((F.col("src") * F.lit(KNUTH) + F.lit(STRIDE) * (F.col("j") + 1)) % F.col("_n")).alias("t"),
+            # reduce src mod N BEFORE the Knuth multiply: the int64
+            # overflow ceiling then depends on corpus SIZE (N <= ~3.4e9
+            # before (N-1)*KNUTH wraps), not on id magnitude
+            (((F.col("src") % F.col("_n")) * F.lit(KNUTH) + F.lit(STRIDE) * (F.col("j") + 1)) % F.col("_n")).alias("t"),
             "_n",
             (F.col("src") % 3 + 1).cast("long").alias("deg"),
         )
@@ -145,8 +148,12 @@ def hits(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, JACM'99 "Authoritative
-    sources in a hyperlinked environment"): returns (id_col, auth,
-    hub). Power iteration from the all-ones hub vector; each half-step
+    sources in a hyperlinked environment"): returns (id_col, a, h) —
+    authority and hub scores. Requires iterations >= 1. The returned
+    frame references the final persisted iteration vectors (tiny, one
+    row per node); callers that loop many graphs should unpersist via
+    Spark's storage LRU or df.unpersist() after consumption.
+    Power iteration from the all-ones hub vector; each half-step
     L1-normalizes (divide by the sum of raw contributions — same fixed
     point as the published L2 normalization up to scale, and division-
     only arithmetic keeps the SQL oracle bit-comparable).
@@ -155,6 +162,8 @@ def hits(
     hash join edges⋈vector plus one map-side-combinable groupBy, the
     normalizer is a single-row agg broadcast back — no driver state
     beyond the loop counter."""
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1")
     ids = nodes.select(F.col(id_col).cast("long").alias(id_col))
     edges = edges.persist()
     hub = ids.select(id_col, F.lit(1.0).alias("h")).persist()

@@ -76,9 +76,11 @@ def textcat_classify(
     and the per-language profiles trained from ``train``. Distances are
     exact integers; ties break to the lexicographically smallest
     language."""
+    # lang_prof is read twice (distinct langs + the broadcast join):
+    # persist so the training-gram scan and rank window run once
     lang_prof = _rank_profile(
         _char_grams(train, text_col, [lang_col]), lang_col, top_n
-    ).withColumnRenamed("rank", "lr")
+    ).withColumnRenamed("rank", "lr").persist()
     doc_prof = _rank_profile(
         _char_grams(docs, text_col, [id_col]), id_col, top_n
     ).withColumnRenamed("rank", "dr")

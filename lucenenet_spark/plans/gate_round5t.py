@@ -22,7 +22,7 @@ edges AS (
          deg
   FROM (
     SELECT nd.doc_id AS src,
-           (nd.doc_id * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
+           ((nd.doc_id % nn.n) * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
            CAST(nd.doc_id % 3 + 1 AS BIGINT) AS deg,
            nn.n AS n
     FROM nodes nd

@@ -47,10 +47,15 @@ def write_wet(
     text. Executor-parallel (ordinary Spark text write, one WET member
     per partition — records end with CRLF CRLF as in the spec)."""
     date = F.col(date_col) if date_col else F.lit(default_date)
+    # CR/LF in header VALUES would terminate the header block early and
+    # mis-frame the record (header-injection): strip them. Record TEXT
+    # needs no escaping — it is Content-Length-framed.
+    uri = F.regexp_replace(F.col(uri_col), "[\r\n]", "")
+    date = F.regexp_replace(date.cast("string"), "[\r\n]", "")
     rec = F.concat(
         F.lit("WARC/1.0" + _CRLF),
         F.lit("WARC-Type: conversion" + _CRLF),
-        F.lit("WARC-Target-URI: "), F.col(uri_col), F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(_CRLF),
         F.lit("WARC-Date: "), date, F.lit(_CRLF),
         F.lit("Content-Type: text/plain" + _CRLF),
         F.lit("Content-Length: "),
@@ -85,6 +90,9 @@ def _parse_wet_bytes(data: bytes):
             length = int(headers.get("content-length", ""))
         except ValueError:
             i = hdr_end + 4
+            continue
+        if length < 0:  # corrupt record: a negative length would walk
+            i = hdr_end + 4  # the cursor backwards and loop forever
             continue
         body_start = hdr_end + 4
         body = data[body_start : min(body_start + length, n)]

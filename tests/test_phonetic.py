@@ -338,3 +338,19 @@ def test_dm_soundex_match_on_code_intersection():
     assert set(dm_soundex_all("Ceniow")) & set(dm_soundex_all("Tsenyuv"))
     assert set(dm_soundex_all("Holubica")) & set(dm_soundex_all("Golubitsa"))
     assert not (set(dm_soundex_all("Topf")) & set(dm_soundex_all("Mintz")))
+
+
+def test_non_alphabetic_tokens_keep_their_term():
+    import pandas as pd
+
+    # metaphone/nysiis/match_rating return "" for pure-numeric tokens;
+    # the analyzer must keep the original term, not conflate all
+    # numerics into one empty posting key
+    for enc in ("metaphone", "nysiis", "match_rating", "double_metaphone"):
+        a = PhoneticAnalyzer(enc)
+        _, terms, _, _ = a.tokenize_batch(pd.Series(["release 2024 build 7"]))
+        assert "" not in set(terms.tolist()), enc
+        assert "2024" in set(terms.tolist()), enc
+        inj = PhoneticAnalyzer(enc, inject=True)
+        _, terms, _, _ = inj.tokenize_batch(pd.Series(["release 2024"]))
+        assert "" not in set(terms.tolist()), enc

@@ -74,3 +74,25 @@ def test_wet_file_parallelism(spark):
     back = read_wet(spark, path)
     assert back.count() == 8
     assert back.agg(F.count_distinct("uri")).collect()[0][0] == 8
+
+
+def test_wet_negative_content_length_terminates():
+    # corrupt record with negative length must not loop forever
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://bad\r\n"
+        b"Content-Length: -95\r\n\r\nxx\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://ok\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    got = list(_parse_wet_bytes(raw))
+    assert [(u, t) for u, _, t in got] == [("http://ok", "ok")]
+
+
+def test_wet_header_injection_sanitized(spark):
+    # CR/LF in a URI must not terminate the header block early
+    rows = [("http://a/1\r\n\r\nWARC-Date: evil", "payload"), ("http://a/2", "x")]
+    df = spark.createDataFrame(rows, "uri string, text string")
+    path = os.path.join(tempfile.mkdtemp(prefix="wet_test_"), "c.wet")
+    write_wet(df, path)
+    got = {r.uri: r.text for r in read_wet(spark, path).collect()}
+    assert got == {"http://a/1WARC-Date: evil": "payload", "http://a/2": "x"}
