@@ -542,6 +542,119 @@ def wet_roundtrip(spark, sf_dir):
     )
 
 
+# ==========================================================================
+# Scandinavian normalization+folding and hyphenated-word reassembly
+# (Analysis/Miscellaneous/{ScandinavianNormalizationFilter,
+# ScandinavianFoldingFilter,HyphenatedWordsFilter}.cs) — corrupt the raw
+# text deterministically, let the filter chain restore it, score against
+# the UNMODIFIED-corpus oracle (the pattern_replace_term gate shape).
+# ==========================================================================
+def _or3_sql(terms: tuple[str, ...]) -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE, _SQL_SCORED
+
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        SQL_PRELUDE
+        + ","
+        + _SQL_SCORED
+        + f"""
+SELECT doc_id,
+       CAST(floor(sum(idf * 2.2 * tf / (tf + nrm)) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM sc WHERE term IN ({inlist}) GROUP BY doc_id
+"""
+    )
+
+
+_SCAN_ENGINE: dict[str, tuple] = {}
+
+
+@gate("scandinavian_fold_term", _or3_sql(("value", "batch", "data")))
+def scandinavian_fold_term(spark, sf_dir):
+    """value/batch/data are corrupted in the raw text to vælue (æ
+    ligature: fold), bätch (Swedish umlaut: normalize ä->æ then fold),
+    dåta (å: fold); the ScandinavianFoldingAnalyzer chain restores all
+    three, so BM25 for the OR query equals the unmodified-corpus
+    oracle — both filters verified end-to-end in one index."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.misc_filters import ScandinavianFoldingAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _SCAN_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        corrupted = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", "value", "vælue"),
+                    "batch", "bätch",
+                ),
+                "data", "dåta",
+            ).alias("text"),
+        )
+        idx = build_index(
+            corrupted, analyzer=ScandinavianFoldingAnalyzer()
+        ).cache()
+        _SCAN_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    _, s = _SCAN_ENGINE[key]
+    q = BooleanQuery.of(
+        (TermQuery("value"), Occur.SHOULD),
+        (TermQuery("batch"), Occur.SHOULD),
+        (TermQuery("data"), Occur.SHOULD),
+    )
+    return _spark_score_q(s.scored(q))
+
+
+_HYPH_ENGINE: dict[str, tuple] = {}
+
+
+@gate("hyphenated_words_term", _or3_sql(("customer", "window", "stream")))
+def hyphenated_words_term(spark, sf_dir):
+    """customer/window/stream are split in the raw text as line-break
+    hyphenation ('cus- tomer', 'win- dow', 'str- e- am' — the last a
+    transitive chain); HyphenatedWordsAnalyzer reassembles them, so
+    BM25 for the OR query equals the unmodified-corpus oracle."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.misc_filters import HyphenatedWordsAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _HYPH_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        corrupted = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", "customer", "cus- tomer"),
+                    "window", "win- dow",
+                ),
+                "stream", "str- e- am",
+            ).alias("text"),
+        )
+        idx = build_index(corrupted, analyzer=HyphenatedWordsAnalyzer()).cache()
+        _HYPH_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    _, s = _HYPH_ENGINE[key]
+    q = BooleanQuery.of(
+        (TermQuery("customer"), Occur.SHOULD),
+        (TermQuery("window"), Occur.SHOULD),
+        (TermQuery("stream"), Occur.SHOULD),
+    )
+    return _spark_score_q(s.scored(q))
+
+
 _TC_N = 40
 
 _TEXTCAT_SQL = f"""
