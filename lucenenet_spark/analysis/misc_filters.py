@@ -135,6 +135,53 @@ class ScandinavianFoldingAnalyzer(_MiscFilterAnalyzer):
         return lambda w: scandinavian_fold(scandinavian_normalize(w))
 
 
+class KeywordRepeatStemAnalyzer(StandardAnalyzer):
+    """The canonical exact+stemmed chain: KeywordRepeatFilter ->
+    PorterStemFilter -> RemoveDuplicatesTokenFilter
+    (`Analysis/Miscellaneous/{KeywordRepeatFilter,
+    RemoveDuplicatesTokenFilter}.cs`). Every token emits its surface
+    form AND its Porter stem at the SAME position (posIncrement 0
+    overlay); when the stem equals the surface form the duplicate is
+    dropped (RemoveDuplicates' same-term-same-position rule). Norms
+    count surface tokens only (discountOverlaps), so exact-match
+    queries score identically to a plain index while stemmed queries
+    gain recall."""
+
+    def __init__(self, stopwords=None, **kw):
+        from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+
+        super().__init__(
+            stopwords=ENGLISH_STOP_WORDS if stopwords is None else stopwords,
+            lowercase=True,
+            **kw,
+        )
+
+    def tokenize_batch(self, texts: pd.Series):
+        import numpy as np
+
+        from lucenenet_spark.analysis.porter import porter_stem
+
+        row_idx, terms, positions, field_lens = super().tokenize_batch(
+            pd.Series(texts)
+        )
+        if not len(terms):
+            return row_idx, terms, positions, field_lens
+        codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+        stems = np.array([porter_stem(u) for u in uniques], dtype=object)
+        injected = stems[codes]
+        differs = (injected != terms) & (injected != "")
+        out_r = np.concatenate([row_idx, row_idx[differs]])
+        out_t = np.concatenate([terms, injected[differs]])
+        out_p = np.concatenate([positions, positions[differs]])
+        order = np.lexsort((out_p, out_r))
+        return (
+            out_r[order],
+            out_t[order].astype(object),
+            out_p[order].astype(np.int32),
+            field_lens,
+        )
+
+
 _WS = re.compile(r"\s+")
 
 

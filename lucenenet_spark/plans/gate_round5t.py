@@ -655,6 +655,93 @@ def hyphenated_words_term(spark, sf_dir):
     return _spark_score_q(s.scored(q))
 
 
+def _kwrepeat_sql() -> str:
+    """KeywordRepeat inject oracle: postings = surface tokens UNION
+    Porter stems where they differ (RemoveDuplicates drops the equal
+    case), doc length and totals count SURFACE tokens only
+    (discountOverlaps) — then the standard BM25 OR over the exact term
+    and the stem. English stop set applies before the repeat, matching
+    the analyzer chain."""
+    from lucenenet_spark.analysis.porter import porter_stem
+    from lucenenet_spark.plans.gate import _STOPS
+    from lucenenet_spark.plans.gate_modules import _CORPUS_VOCAB
+    from lucenenet_spark.plans.gate_round5 import _case_over
+
+    scase = _case_over((w, porter_stem(w)) for w in _CORPUS_VOCAB)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tokf AS (
+  SELECT doc_id, term FROM tok
+  WHERE term <> '' AND term NOT IN ({_STOPS})
+),
+keys AS (SELECT doc_id, term AS t, {scase} AS s FROM tokf),
+allterms AS (
+  SELECT doc_id, t AS term FROM keys
+  UNION ALL
+  SELECT doc_id, s AS term FROM keys WHERE s <> t AND s <> ''
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM allterms GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+)
+SELECT p.doc_id,
+       CAST(floor(sum(ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n)))) * 10000 + 0.5) AS BIGINT)
+         AS score_q
+FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+WHERE p.term IN ('merge', '{porter_stem("merge")}')
+GROUP BY p.doc_id
+"""
+
+
+_KWR_ENGINE: dict[str, tuple] = {}
+
+
+@gate("keyword_repeat_stem", _kwrepeat_sql())
+def keyword_repeat_stem(spark, sf_dir):
+    """KeywordRepeatFilter -> PorterStemFilter -> RemoveDuplicates: the
+    exact surface term and its Porter stem coexist at the same position
+    (norms count surface tokens only), so OR('merge', stem) scores both
+    the exact and the stem-class postings — the Lucene recipe for
+    exact+stemmed retrieval in one field, driver-verified."""
+    import os as _os
+
+    from lucenenet_spark.analysis.misc_filters import KeywordRepeatStemAnalyzer
+    from lucenenet_spark.analysis.porter import porter_stem
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate import _spark_score_q
+    from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _KWR_ENGINE:
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(
+            docs.select("doc_id", "text"), analyzer=KeywordRepeatStemAnalyzer()
+        ).cache()
+        _KWR_ENGINE[key] = (idx, IndexSearcher(idx, mode="double"))
+    _, s = _KWR_ENGINE[key]
+    q = BooleanQuery.of(
+        (TermQuery("merge"), Occur.SHOULD),
+        (TermQuery(porter_stem("merge")), Occur.SHOULD),
+    )
+    return _spark_score_q(s.scored(q))
+
+
 _TC_N = 40
 
 _TEXTCAT_SQL = f"""

@@ -92,3 +92,31 @@ def test_filter_analyzers_restore_corrupted_corpus(spark):
                     analyzer=HyphenatedWordsAnalyzer())
     )
     assert {r["doc_id"] for r in s2.search(TermQuery("customer"), 5).collect()} == {2}
+
+
+def test_keyword_repeat_stem_chain(spark):
+    import pandas as pd
+
+    from lucenenet_spark.analysis.misc_filters import KeywordRepeatStemAnalyzer
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    a = KeywordRepeatStemAnalyzer()
+    _, terms, pos, lens = a.tokenize_batch(pd.Series(["merges batch testing"]))
+    got = sorted(zip(terms.tolist(), pos.tolist()))
+    # surface + stem overlap; stem==surface deduped (batch)
+    assert ("merges", 0) in got and ("merg", 0) in got
+    assert ("testing", 2) in got and ("test", 2) in got
+    assert got.count(("batch", 1)) == 1
+    assert lens[0] == 3  # norms count surface tokens only
+
+    df = spark.createDataFrame(
+        [(0, "merges done"), (1, "merge done"), (2, "other work")],
+        "doc_id long, text string",
+    )
+    s = IndexSearcher(build_index(df, analyzer=KeywordRepeatStemAnalyzer()))
+    # exact surface form stays precise...
+    assert {r["doc_id"] for r in s.search(TermQuery("merges"), 5).collect()} == {0}
+    # ...while the stem class unifies the inflections
+    assert {r["doc_id"] for r in s.search(TermQuery("merg"), 5).collect()} == {0, 1}
