@@ -655,6 +655,40 @@ def hyphenated_words_term(spark, sf_dir):
     return _spark_score_q(s.scored(q))
 
 
+_IVJ_SQL = """
+SELECT l.user_id,
+       l.event_id AS l_id,
+       r.event_id AS r_id,
+       CAST(date_diff('microsecond', l.ts, r.ts) AS BIGINT) AS gap_micros
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL 5 MINUTE
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+"""
+
+
+@gate("stream_interval_join", _IVJ_SQL)
+def stream_interval_join(spark, sf_dir):
+    """Event-time interval join (click -> purchase attribution within 5
+    minutes per user): the stream-stream join plan run in batch mode
+    against the plain self-join oracle. The streaming twin
+    (watermarked both sides, state bounded by the time-range predicate)
+    is byte-compared to this batch plan in tests/test_streaming_windows.py."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.streaming.windows import interval_join
+
+    ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        upper_minutes=5,
+    )
+
+
 def _kwrepeat_sql() -> str:
     """KeywordRepeat inject oracle: postings = surface tokens UNION
     Porter stems where they differ (RemoveDuplicates drops the equal

@@ -197,3 +197,63 @@ def dedup_exact_stream(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    upper_minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(key_col, l_id, r_id, gap_micros): event-time interval join —
+    each left event pairs with same-key right events whose timestamp
+    lies in (left.ts, left.ts + upper_minutes] (the click->conversion
+    attribution shape).
+
+    Streaming semantics: a stream-stream INNER join. Both sides are
+    watermarked and the closed time-range predicate lets Spark bound
+    the join state — buffered rows older than watermark + interval are
+    evicted, so state is O(events per interval), not O(stream). Inner
+    matches emit immediately (no watermark wait). Batch mode (used by
+    the DuckDB gate) is the identical plan on static frames.
+    """
+    l = left.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("l_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key_col).alias("rk"),
+        F.col(id_col).alias("r_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    if left.isStreaming:
+        l = l.withColumn("l_ts", F.col("l_ts").cast("timestamp")).withWatermark(
+            "l_ts", watermark
+        )
+        r = r.withColumn("r_ts", F.col("r_ts").cast("timestamp")).withWatermark(
+            "r_ts", watermark
+        )
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {int(upper_minutes)} MINUTES")
+        )
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select(
+            F.col("k").alias(key_col),
+            "l_id",
+            "r_id",
+            (
+                F.unix_micros(F.col("r_ts").cast("timestamp"))
+                - F.unix_micros(F.col("l_ts").cast("timestamp"))
+            ).alias("gap_micros"),
+        )
+    )

@@ -117,3 +117,42 @@ def test_dedup_exact_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_stream").collect()
     }
     assert got == batch
+
+
+def test_interval_join_stream_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join (click -> purchase within 5 min per
+    user): the watermarked streaming inner join must emit exactly the
+    batch plan's pairs."""
+    from lucenenet_spark.streaming.windows import interval_join
+
+    ev, src = events
+    batch = {
+        (r["user_id"], r["l_id"], r["r_id"], r["gap_micros"])
+        for r in interval_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            upper_minutes=5,
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        upper_minutes=5,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["l_id"], r["r_id"], r["gap_micros"])
+        for r in spark.sql("SELECT * FROM ivj").collect()
+    }
+    assert got == batch
+    assert len(got) > 0
