@@ -362,3 +362,76 @@ def ivf_topk(
     if quantized:
         return cosine_topk_arrays_q(sub, qvec, k)
     return cosine_topk_arrays(sub, qvec, k)
+
+
+# --------------------------------------------------------------------------
+# SQ8: symmetric int8 scalar quantization (the FAISS ScalarQuantizer
+# QT_8bit shape) — integer shortlist + exact re-rank
+# --------------------------------------------------------------------------
+def sq8_quantize(vals: list[float]) -> tuple[list[int], int]:
+    """Driver-side twin of the executor quantization: per-vector scale
+    127/max|x|, q_i = floor(x_i * s + 0.5); returns (ints, sum q_i^2)."""
+    import math
+
+    m = max(max(abs(float(x)) for x in vals), 1e-30)
+    s = 127.0 / m
+    q = [int(math.floor(float(x) * s + 0.5)) for x in vals]
+    return q, sum(v * v for v in q)
+
+
+def sq8_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    n_shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized ANN: shortlist by int8 cosine, exact re-rank.
+
+    Each vector is quantized to int8 with a per-vector symmetric scale
+    (127/max|x|). The shortlist metric is the all-integer cosine
+    sum(qa*qb) / sqrt(sum(qa^2) * sum(qb^2)) — the per-vector scales
+    cancel, so no float state is stored beside the codes. At 100 TB
+    this is the classic memory/bandwidth trade: 4x smaller vectors
+    scanned in whole-stage codegen (zip_with/aggregate, no UDF), then
+    only ``n_shortlist`` rows touch the full-precision embeddings for
+    the exact re-rank. Returns (vec_id, cos8_q, cos_q) ordered by the
+    exact quantized cosine."""
+    qq, qn2 = sq8_quantize(query)
+    qlit = F.array(*[F.lit(int(v)) for v in qq])
+    mx = F.greatest(
+        F.expr(f"array_max(transform({vec_col}, x -> abs(x)))"),
+        F.lit(1e-30),
+    )
+    qvec = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(x * (127.0 / _m) + 0.5) AS BIGINT))"
+    )
+    coded = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col), mx.alias("_m")
+    ).select("vec_id", vec_col, qvec.alias("_q"))
+    dot_i = F.expr(
+        "aggregate(zip_with(_q, _qq, (a, b) -> a * b), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x)"
+    )
+    n2_i = F.expr(
+        "aggregate(_q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    scored = coded.withColumn("_qq", qlit).select(
+        "vec_id",
+        vec_col,
+        F.floor(
+            dot_i / F.sqrt(n2_i.cast("double") * F.lit(float(qn2)))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("cos8_q"),
+    )
+    short = scored.orderBy(F.desc("cos8_q"), F.asc("vec_id")).limit(n_shortlist)
+    exact_q = F.floor(
+        cosine_col(query, vec_col) * F.lit(10000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        short.select("vec_id", "cos8_q", exact_q.alias("cos_q"))
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(k)
+    )

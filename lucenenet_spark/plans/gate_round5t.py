@@ -655,6 +655,100 @@ def hyphenated_words_term(spark, sf_dir):
     return _spark_score_q(s.scored(q))
 
 
+_SQ8_SHORT = 50
+_SQ8_K = 10
+_SQ8_QID = 0
+_SQ8_QUERY: dict[str, list] = {}
+
+
+def _sq8_query(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _SQ8_QUERY:
+        emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+        row = emb.filter(F.col("vec_id") == _SQ8_QID).collect()[0]
+        _SQ8_QUERY[key] = [float(x) for x in row["embedding"]]
+    return _SQ8_QUERY[key]
+
+
+def _sq8_sql() -> str:
+    """SQ8 oracle, SF-agnostic: the query vector (vec_id 0) is derived
+    and quantized IN SQL with the identical floor(x*(127/max|x|)+0.5)
+    arithmetic the Spark/driver side uses — corpus quantization,
+    all-integer shortlist cosine, then exact double re-rank."""
+    return f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qv AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(
+           x * (127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30))
+           + 0.5) AS BIGINT)) AS q
+  FROM raw
+),
+eq AS (
+  SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS i FROM qv
+),
+ql AS (
+  SELECT unnest(q) AS qi, generate_subscripts(q, 1) AS i
+  FROM qv WHERE vec_id = {_SQ8_QID}
+),
+qn2 AS (SELECT CAST(sum(qi * qi) AS BIGINT) AS n2 FROM ql),
+d AS (
+  SELECT eq.vec_id,
+         CAST(sum(eq.qi * ql.qi) AS BIGINT) AS dq,
+         CAST(sum(eq.qi * eq.qi) AS BIGINT) AS n2
+  FROM eq JOIN ql USING (i) GROUP BY eq.vec_id
+),
+short AS (
+  SELECT d.vec_id,
+         CAST(floor(dq / sqrt(CAST(d.n2 AS DOUBLE) * CAST(qn2.n2 AS DOUBLE))
+                    * 10000.0 + 0.5) AS BIGINT) AS cos8_q
+  FROM d, qn2 ORDER BY cos8_q DESC, d.vec_id ASC LIMIT {_SQ8_SHORT}
+),
+er AS (
+  SELECT r.vec_id, unnest(r.v) AS x, generate_subscripts(r.v, 1) AS i
+  FROM raw r JOIN short ON short.vec_id = r.vec_id
+),
+qe AS (
+  SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+  FROM raw WHERE vec_id = {_SQ8_QID}
+),
+cosd AS (
+  SELECT er.vec_id, sum(er.x * qe.x) AS dot, sum(er.x * er.x) AS n2
+  FROM er JOIN qe USING (i) GROUP BY er.vec_id
+),
+qn AS (SELECT sum(x * x) AS n2 FROM qe)
+SELECT s.vec_id, s.cos8_q,
+       CAST(floor(cosd.dot / sqrt(cosd.n2 * qn.n2) * 10000.0 + 0.5) AS BIGINT)
+         AS cos_q
+FROM short s JOIN cosd USING (vec_id), qn
+ORDER BY cos_q DESC, s.vec_id ASC LIMIT {_SQ8_K}
+"""
+
+
+@gate("ann_sq8_topk", _sq8_sql())
+def ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (the FAISS QT_8bit shape): per-vector
+    symmetric int8 codes, all-integer shortlist cosine (the per-vector
+    scales cancel out of sum(qa*qb)/sqrt(sum qa^2 * sum qb^2)), exact
+    float re-rank of the top-50 — completing the ANN family
+    brute/hyperplane-LSH/IVF/PQ-ADC/IVFADC/SQ8. Both stages
+    oracle-checked (shortlist metric integer-exact)."""
+    import os as _os
+
+    from lucenenet_spark.functions.similarity import sq8_ann_topk
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    return sq8_ann_topk(
+        emb, _sq8_query(spark, sf_dir), n_shortlist=_SQ8_SHORT, k=_SQ8_K
+    )
+
+
 _IVJ_SQL = """
 SELECT l.user_id,
        l.event_id AS l_id,

@@ -111,3 +111,34 @@ def test_shortlist_is_codes_only_plan(spark):
     plan = fpq.pq_adc_shortlist(emb, q, books, n_short=5)._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert "Join" not in plan  # single narrow scan + TakeOrdered
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+def test_sq8_quantize_bounds_and_scale():
+    from lucenenet_spark.functions.similarity import sq8_quantize
+
+    q, n2 = sq8_quantize([0.5, -1.0, 0.25, 0.0])
+    assert q == [64, -127, 32, 0]  # floor(x*127/max + 0.5)
+    assert n2 == 64 * 64 + 127 * 127 + 32 * 32
+    assert max(abs(v) for v in q) <= 127
+
+
+def test_sq8_shortlist_recall_vs_exact(spark):
+    from lucenenet_spark.functions.similarity import (
+        cosine_topk_arrays_q,
+        sq8_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    exact = [r.vec_id for r in cosine_topk_arrays_q(emb, query, k=10).collect()]
+    got = sq8_ann_topk(emb, query, n_shortlist=50, k=10).collect()
+    approx = [r.vec_id for r in got]
+    # int8 at 64 dims preserves the exact top-10 almost perfectly; require
+    # >= 8/10 recall and the top hit (the query itself) exact
+    assert len(set(exact) & set(approx)) >= 8
+    assert approx[0] == 0 and got[0].cos_q == 10000
+    # re-rank output is ordered by the exact quantized cosine
+    assert [r.cos_q for r in got] == sorted((r.cos_q for r in got), reverse=True)
