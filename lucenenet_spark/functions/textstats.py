@@ -75,3 +75,61 @@ def language_id(docs: DataFrame, threshold: float = 0.02) -> DataFrame:
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): md5 content hash (dedup/identity key)."""
     return docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+
+
+def zipf_vocab_stats(term_stats: DataFrame, quantum: float = 1e6) -> DataFrame:
+    """Corpus vocabulary rank–frequency statistics: fit ln(freq) = a +
+    slope * ln(rank) by least squares over the whole term dictionary —
+    the Zipf diagnostic every corpus-curation pipeline plots (natural
+    web text slopes ≈ -1; synthetic/degenerate corpora deviate, so the
+    slope is a cheap corpus-health signal alongside the quality rules).
+
+    Determinism contract (gate oracle): ln(rank)/ln(freq) are QUANTIZED
+    to bigints first (floor(ln(v)*quantum + 0.5)), the regression sums
+    are exact integer aggregates over those bigints, and only the final
+    slope/intercept formula runs in double — identical IEEE ops on
+    identical integers in both engines, so the result is bit-stable.
+
+    Scale note: the global row_number window sorts only the TERM
+    DICTIONARY (vocabulary ≪ corpus; even a 10^12-doc crawl has ~10^8
+    distinct terms after analysis), and the downstream aggregate is a
+    single map-side-combinable pass; ranks beyond ~2^40 would need the
+    sort-based two-pass rank instead of one window partition.
+
+    Input: term_stats (term, ttf) for one field. Output one row:
+    (n_terms, total_tokens, slope_q, intercept_q).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("ttf"), F.asc("term"))
+    q = term_stats.select("term", F.col("ttf").cast("long").alias("ttf")).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    lq = q.select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(quantum) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("ttf").cast("double")) * F.lit(quantum) + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+        "ttf",
+    )
+    ag = lq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum("ttf").cast("long").alias("total_tokens"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    return ag.select(
+        F.col("n").alias("n_terms"),
+        "total_tokens",
+        F.floor(slope * F.lit(quantum) + F.lit(0.5)).cast("long").alias("slope_q"),
+        F.floor(intercept + F.lit(0.5)).cast("long").alias("intercept_q"),
+    )

@@ -1,0 +1,165 @@
+"""Gate registry round-5 part u: anchor-text aggregation over the
+deterministic link graph (Brin & Page 1998 §2.2), the set-based
+MoreLikeThis.RetrieveInterestingTerms surface (MoreLikeThis.cs:674),
+and Zipf rank–frequency vocabulary statistics (corpus-health signal).
+"""
+
+from __future__ import annotations
+
+from lucenenet_spark.plans.gate import SQL_PRELUDE, gate
+
+# ----------------------------------------------------------------------
+# anchor_text_agg — regenerate the Knuth-hash link graph WITH per-edge
+# anchors (3-token window of the source text at offset j) and aggregate
+# per target. Mirrors functions/anchors.py bit-for-bit: DuckDB list
+# indexing t[j+1] == Spark F.get(toks, j) (0-indexed), concat_ws skips
+# NULL slots in both engines, list_sort/array_sort agree on ASCII.
+# ----------------------------------------------------------------------
+_ANCHOR_K = 20
+_ANCHOR_CAP = 64
+
+_ANCHOR_SQL = f"""
+WITH nodes AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+e AS (
+  SELECT src,
+         CASE WHEN t = src THEN (t + 1) % n ELSE t END AS dst,
+         concat_ws(' ', toks[j + 1], toks[j + 2], toks[j + 3]) AS anchor
+  FROM (
+    SELECT nd.doc_id AS src, nd.toks,
+           ((nd.doc_id % nn.n) * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
+           u.j AS j, nn.n AS n
+    FROM nodes nd
+    CROSS JOIN nn
+    CROSS JOIN unnest(generate_series(0, nd.doc_id % 3)) AS u(j)
+  )
+)
+SELECT dst,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+       array_to_string(
+         (list_sort(list_distinct(list(anchor))))[1:{_ANCHOR_CAP}], '|'
+       ) AS anchors_cat
+FROM e GROUP BY dst
+ORDER BY n_anchors DESC, dst ASC LIMIT {_ANCHOR_K}
+"""
+
+
+@gate("anchor_text_agg", _ANCHOR_SQL)
+def anchor_text_agg(spark, sf_dir):
+    """Per-target anchor-text aggregation (Brin & Page 1998 §2.2): one
+    bounded groupBy(dst) over the deterministic synthetic link graph,
+    each edge carrying a 3-token source-text window as its anchor."""
+    from lucenenet_spark.functions.anchors import anchor_text_agg as _agg
+    from lucenenet_spark.functions.anchors import build_anchor_edges
+    from lucenenet_spark.plans.gate import _docs_table
+
+    edges = build_anchor_edges(_docs_table(spark, sf_dir))
+    return _agg(edges, k=_ANCHOR_K, max_anchors=_ANCHOR_CAP)
+
+
+# ----------------------------------------------------------------------
+# mlt_interesting_terms — MoreLikeThis.RetrieveInterestingTerms for a
+# seed SET of docs in one plan. Oracle reuses the shared analyzer
+# prelude (post/ts/cs) and the exact tf*(ln(n/(df+1))+1) formula.
+# ----------------------------------------------------------------------
+_MLT_MAXDOC = 8
+_MLT_PERDOC = 5
+_MLT_MINTF = 2
+_MLT_MINDF = 2
+
+_MLT_SQL = SQL_PRELUDE + f""",
+cand AS (
+  SELECT p.doc_id, p.term,
+         CAST(floor(p.tf * (ln(cs.n / (ts.df + 1)) + 1) * 1000000 + 0.5)
+              AS BIGINT) AS score_q
+  FROM post p JOIN ts USING (term), cs
+  WHERE p.doc_id < {_MLT_MAXDOC} AND p.tf >= {_MLT_MINTF} AND ts.df >= {_MLT_MINDF}
+),
+rk AS (
+  SELECT doc_id, term, score_q,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS BIGINT) AS rnk
+  FROM cand
+)
+SELECT doc_id, rnk, term, score_q FROM rk WHERE rnk <= {_MLT_PERDOC}
+"""
+
+
+@gate("mlt_interesting_terms", _MLT_SQL)
+def mlt_interesting_terms(spark, sf_dir):
+    """Set-based RetrieveInterestingTerms (MoreLikeThis.cs:674): top-5
+    tf*idf terms per seed doc, quantized scores, term tie-break."""
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.mlt import interesting_terms
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    return interesting_terms(
+        idx,
+        max_doc_id=_MLT_MAXDOC,
+        per_doc=_MLT_PERDOC,
+        min_term_freq=_MLT_MINTF,
+        min_doc_freq=_MLT_MINDF,
+    )
+
+
+# ----------------------------------------------------------------------
+# zipf_vocab_stats — quantize-then-integer-sum regression so both
+# engines do identical IEEE ops: xq/yq bigints, exact integer sums,
+# final slope/intercept formula in double, quantized out.
+# ----------------------------------------------------------------------
+_ZIPF_SQL = SQL_PRELUDE + """,
+rk AS (
+  SELECT term, ttf,
+         CAST(row_number() OVER (ORDER BY ttf DESC, term ASC) AS BIGINT) AS rank
+  FROM ts
+),
+qv AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+         CAST(floor(ln(CAST(ttf AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yq,
+         ttf
+  FROM rk
+),
+ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx,
+         CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(ttf) AS BIGINT) AS total_tokens
+  FROM qv
+)
+SELECT n AS n_terms, total_tokens,
+       CAST(floor(
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0 + 0.5
+       ) AS BIGINT) AS slope_q,
+       CAST(floor(
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5
+       ) AS BIGINT) AS intercept_q
+FROM ag
+"""
+
+
+@gate("zipf_vocab_stats", _ZIPF_SQL)
+def zipf_vocab_stats(spark, sf_dir):
+    """Zipf rank–frequency least-squares fit over the term dictionary
+    (slope ≈ -1 for natural text): quantized-input integer-sum
+    regression, bit-stable across engines."""
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.functions.textstats import zipf_vocab_stats as _zipf
+    from pyspark.sql import functions as F
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    ts = idx.term_stats.filter(F.col("field") == idx.default_field).select("term", "ttf")
+    return _zipf(ts)

@@ -66,3 +66,55 @@ def more_like_this_query(
         for s, t in top
     )
     return BooleanQuery(clauses=clauses)
+
+
+def interesting_terms(
+    index: InvertedIndex,
+    max_doc_id: int = 8,
+    per_doc: int = 5,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 2,
+    field: str | None = None,
+):
+    """MoreLikeThis.RetrieveInterestingTerms as a SET-BASED DataFrame op.
+
+    Reference: src/Lucene.Net.Queries/Mlt/MoreLikeThis.cs:674
+    (RetrieveInterestingTerms) ranks one document's terms by tf * idf
+    (idf = ln(numDocs/(docFreq+1)) + 1, DefaultSimilarity) after the
+    (minTermFreq, minDocFreq) gates and returns the best terms. The
+    reference API is one-doc-at-a-time; re-expressed Spark-first it is
+    one plan for a whole SEED SET of documents — postings ⋈ term_stats
+    plus a per-doc row_number window — so "give me the MLT terms of
+    every doc in this partition of the crawl" is a single distributed
+    pass instead of a driver loop.
+
+    Determinism: scores quantized to floor(score*1e6 + 0.5) with term
+    ASC tie-break, so the selected set is engine-independent.
+
+    Output: (doc_id, rnk, term, score_q) for doc_id < max_doc_id.
+    """
+    from pyspark.sql import Window
+
+    fld = field or index.default_field
+    p = index.postings.filter(
+        (F.col("field") == fld) & (F.col("doc_id") < max_doc_id)
+    ).select("doc_id", "term", "tf")
+    s = index.term_stats.filter(F.col("field") == fld).select("term", "df")
+    n = float(index.max_doc)
+    scored = (
+        p.join(s, "term")
+        .filter((F.col("tf") >= min_term_freq) & (F.col("df") >= min_doc_freq))
+        .withColumn(
+            "score_q",
+            F.floor(
+                F.col("tf") * (F.log(F.lit(n) / (F.col("df") + 1)) + F.lit(1.0)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= per_doc)
+        .select("doc_id", "rnk", "term", "score_q")
+    )

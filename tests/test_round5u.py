@@ -1,0 +1,179 @@
+"""Round-5 part-u twins: anchor-text aggregation, set-based MLT
+interesting terms, and Zipf vocabulary statistics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucenenet_spark.functions.anchors import anchor_text_agg, build_anchor_edges
+from lucenenet_spark.functions.pagerank import KNUTH, STRIDE
+from lucenenet_spark.functions.textstats import zipf_vocab_stats
+from lucenenet_spark.index.builder import build_index
+from lucenenet_spark.search.mlt import interesting_terms, more_like_this_query
+from lucenenet_spark.search.queries import TermQuery
+
+
+# ---------------------------------------------------------------- anchors
+def _expected_edges(texts: list[str]) -> list[tuple[int, int, str]]:
+    """Pure-Python replica of build_anchor_edges for a dense-id corpus."""
+    n = len(texts)
+    out = []
+    for src, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        for j in range(src % 3 + 1):
+            t = ((src % n) * KNUTH + STRIDE * (j + 1)) % n
+            dst = (t + 1) % n if t == src else t
+            anchor = " ".join(toks[j : j + 3])
+            out.append((src, dst, anchor))
+    return out
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_anchor_edges_match_python_replica(spark):
+    texts = [f"w{i} x{i} y{i} z{i} q{i} r{i}" for i in range(17)]
+    got = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in build_anchor_edges(_mk_docs(spark, texts)).collect()
+    )
+    assert got == sorted(_expected_edges(texts))
+
+
+def test_anchor_short_doc_truncates_like_real_anchors(spark):
+    # doc 2 emits edges j=0..2 but has only 2 tokens: anchors shrink,
+    # never NULL (concat_ws drops missing slots).
+    texts = ["a b c d", "e f g h", "p q"]
+    rows = build_anchor_edges(_mk_docs(spark, texts)).filter(F.col("src") == 2).collect()
+    anchors = sorted(r["anchor"] for r in rows)
+    assert anchors == ["", "p q", "q"]  # j=0 -> 'p q', j=1 -> 'q', j=2 -> ''
+
+
+def test_anchor_agg_counts_and_sorted_distinct_cat(spark):
+    texts = [f"t{i} u{i} v{i} w{i}" for i in range(11)]
+    edges = _expected_edges(texts)
+    agg = {
+        r["dst"]: (r["n_anchors"], r["n_src"], r["anchors_cat"])
+        for r in anchor_text_agg(build_anchor_edges(_mk_docs(spark, texts)), k=100).collect()
+    }
+    by_dst: dict[int, list[tuple[int, str]]] = {}
+    for s, d, a in edges:
+        by_dst.setdefault(d, []).append((s, a))
+    assert set(agg) == set(by_dst)
+    for d, pairs in by_dst.items():
+        n_anchors, n_src, cat = agg[d]
+        assert n_anchors == len(pairs)
+        assert n_src == len({s for s, _ in pairs})
+        assert cat == "|".join(sorted({a for _, a in pairs}))
+
+
+def test_anchor_agg_cap_bounds_hub_state(spark):
+    # All edges onto one dst with distinct anchors: cap keeps 2 smallest.
+    edges = spark.createDataFrame(
+        [(i, 0, f"anchor{i:02d}") for i in range(10)], "src long, dst long, anchor string"
+    )
+    row = anchor_text_agg(edges, k=1, max_anchors=2).collect()[0]
+    assert row["n_anchors"] == 10 and row["n_src"] == 10
+    assert row["anchors_cat"] == "anchor00|anchor01"
+
+
+# ---------------------------------------------------- MLT interesting terms
+@pytest.fixture(scope="module")
+def small_index(spark):
+    texts = [
+        "spark index spark index merge merge merge query",
+        "query plan query plan filter filter scan scan scan",
+        "index scan filter merge query spark plan batch batch",
+        "batch row batch row window window window agg agg",
+    ] * 4  # df high enough for min_doc_freq gates
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return build_index(docs, text_col="text", id_col="doc_id")
+
+
+def test_interesting_terms_match_mlt_query_clauses(small_index):
+    """The set-based surface must select exactly the terms the existing
+    one-doc MLT query builder selects (same gates, same quantized
+    ranking), for every seed doc."""
+    df = interesting_terms(
+        small_index, max_doc_id=4, per_doc=25, min_term_freq=2, min_doc_freq=2
+    )
+    by_doc: dict[int, list[str]] = {}
+    for r in df.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    for d in range(4):
+        q = more_like_this_query(
+            small_index, d, max_query_terms=25, min_term_freq=2, min_doc_freq=2
+        )
+        want = [c.query.term for c in q.clauses if isinstance(c.query, TermQuery)]
+        got = [t for _, t in sorted(by_doc.get(d, []))]
+        assert got == want, f"doc {d}: {got} != {want}"
+
+
+def test_interesting_terms_respects_gates_and_k(small_index):
+    df = interesting_terms(
+        small_index, max_doc_id=2, per_doc=2, min_term_freq=3, min_doc_freq=1
+    ).collect()
+    assert {r["doc_id"] for r in df} <= {0, 1}
+    for r in df:
+        assert r["rnk"] <= 2
+    # min_term_freq=3 keeps only tf>=3 terms of doc 0: 'merge' (tf 3)
+    doc0 = [r["term"] for r in df if r["doc_id"] == 0]
+    assert doc0 == ["merge"]
+
+
+# ------------------------------------------------------------------- zipf
+def _zipf_expected(freqs: dict[str, int]) -> tuple[int, int, int, int]:
+    """Pure-Python replica of the quantize-then-integer-sum regression."""
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(len(ranked))]
+    ys = [math.floor(math.log(c) * 1e6 + 0.5) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(sxx) - float(sx) * float(sx)
+    )
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return (
+        n,
+        sum(freqs.values()),
+        math.floor(slope * 1e6 + 0.5),
+        math.floor(intercept + 0.5),
+    )
+
+
+def test_zipf_stats_match_python_replica(spark):
+    freqs = {f"term{i:03d}": max(1, 1000 // (i + 1)) for i in range(40)}
+    ts = spark.createDataFrame(list(freqs.items()), "term string, ttf long")
+    row = zipf_vocab_stats(ts).collect()[0]
+    n, tot, slope_q, intercept_q = _zipf_expected(freqs)
+    assert (row["n_terms"], row["total_tokens"]) == (n, tot)
+    assert row["slope_q"] == slope_q
+    assert row["intercept_q"] == intercept_q
+    # an exact-Zipf vocabulary fits slope ~= -1
+    assert -1_100_000 < row["slope_q"] < -900_000
+
+
+def test_zipf_tie_break_is_term_ascending(spark):
+    # equal frequencies: rank order must be term ASC, making the result
+    # deterministic — replica agreement proves the tie-break matches.
+    freqs = {w: 7 for w in ("b", "a", "d", "c")}
+    freqs["z"] = 100
+    ts = spark.createDataFrame(list(freqs.items()), "term string, ttf long")
+    row = zipf_vocab_stats(ts).collect()[0]
+    n, tot, slope_q, intercept_q = _zipf_expected(freqs)
+    assert (row["n_terms"], row["total_tokens"], row["slope_q"], row["intercept_q"]) == (
+        n,
+        tot,
+        slope_q,
+        intercept_q,
+    )
