@@ -163,3 +163,113 @@ def zipf_vocab_stats(spark, sf_dir):
     idx, _, _ = get_engine(spark, sf_dir)
     ts = idx.term_stats.filter(F.col("field") == idx.default_field).select("term", "ttf")
     return _zipf(ts)
+
+
+# ----------------------------------------------------------------------
+# anchor_field_search — BM25 retrieval over the AGGREGATED ANCHOR FIELD:
+# each page's pseudo-document is the multiset of incoming anchor strings
+# (sorted for determinism, multiplicity kept so repeated anchors raise
+# tf), indexed with the standard analyzer and searched like any field.
+# This is the classic web-search composition (Brin & Page 1998 §2.2 —
+# anchor words are indexed AS the target's content; same shape as the
+# MS MARCO anchor corpus). The oracle regenerates graph + anchors +
+# pseudo-docs in SQL and scores the identical double BM25.
+# ----------------------------------------------------------------------
+_AFS_TERM = "filter"
+_AFS_K = 10
+
+
+def _anchor_field_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH nodes AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+e AS (
+  SELECT src,
+         CASE WHEN t = src THEN (t + 1) % n ELSE t END AS dst,
+         concat_ws(' ', toks[j + 1], toks[j + 2], toks[j + 3]) AS anchor
+  FROM (
+    SELECT nd.doc_id AS src, nd.toks,
+           ((nd.doc_id % nn.n) * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
+           u.j AS j, nn.n AS n
+    FROM nodes nd
+    CROSS JOIN nn
+    CROSS JOIN unnest(generate_series(0, nd.doc_id % 3)) AS u(j)
+  )
+),
+ad AS (
+  SELECT dst AS doc_id,
+         array_to_string(list_sort(list(anchor)), ' ') AS text
+  FROM e GROUP BY dst
+),
+docs2 AS (
+  SELECT d.doc_id, coalesce(ad.text, '') AS text
+  FROM documents d LEFT JOIN ad USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2
+),
+tokf AS (
+  SELECT doc_id, term FROM tok WHERE term <> '' AND term NOT IN ({stops})
+),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(x.dl, 0) AS BIGINT) AS dl
+  FROM docs2 d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id) x USING (doc_id)
+),
+ts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+cs AS (
+  SELECT CAST((SELECT count(*) FROM docs2) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM tokf) AS DOUBLE) AS sttf
+),
+sc AS (
+  SELECT p.doc_id,
+         ln(1 + (cs.n - ts.df + 0.5) / (ts.df + 0.5))
+           * 2.2 * p.tf
+           / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (cs.sttf / cs.n))) AS score
+  FROM post p JOIN dl USING (doc_id) JOIN ts USING (term), cs
+  WHERE p.term = '{_AFS_TERM}'
+)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+FROM sc ORDER BY score_q DESC, doc_id ASC LIMIT {_AFS_K}
+"""
+
+
+@gate("anchor_field_search", _anchor_field_sql())
+def anchor_field_search(spark, sf_dir):
+    """BM25 top-k over the aggregated incoming-anchor field: link graph
+    -> per-target anchor pseudo-doc -> build_index -> TermQuery. One
+    groupBy builds the field; the search is the standard engine path."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.anchors import build_anchor_edges
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate import _docs_table, _spark_score_q
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    docs = _docs_table(spark, sf_dir)
+    edges = build_anchor_edges(docs)
+    adoc = edges.groupBy("dst").agg(
+        F.array_join(F.array_sort(F.collect_list("anchor")), " ").alias("atext")
+    )
+    docs2 = (
+        docs.select("doc_id")
+        .join(adoc, docs["doc_id"] == adoc["dst"], "left")
+        .select("doc_id", F.coalesce(F.col("atext"), F.lit("")).alias("text"))
+    )
+    idx = build_index(docs2, text_col="text", id_col="doc_id")
+    searcher = IndexSearcher(idx, mode="double")
+    scored = _spark_score_q(searcher.scored(TermQuery(_AFS_TERM)))
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(_AFS_K)

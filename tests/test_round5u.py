@@ -177,3 +177,39 @@ def test_zipf_tie_break_is_term_ascending(spark):
         slope_q,
         intercept_q,
     )
+
+
+# ------------------------------------------------------- anchor field search
+def test_anchor_field_search_scores_anchor_not_body(spark):
+    """A term present only in SOURCE texts (hence in anchors) must hit
+    the TARGETS it links to via the anchor field, and a target's own
+    body text must contribute nothing."""
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    # doc 0 starts with the marker tokens; its j=0 anchor lands on some dst
+    texts = ["zzmarker aa bb cc dd"] + [f"p{i} q{i} r{i} s{i} t{i}" for i in range(1, 9)]
+    docs = _mk_docs(spark, texts)
+    edges = build_anchor_edges(docs)
+    marker_dsts = {r["dst"] for r in edges.filter(F.col("anchor").contains("zzmarker")).collect()}
+    assert marker_dsts  # the synthetic graph always emits >= 1 edge per src
+
+    adoc = edges.groupBy("dst").agg(
+        F.array_join(F.array_sort(F.collect_list("anchor")), " ").alias("atext")
+    )
+    docs2 = (
+        docs.select("doc_id")
+        .join(adoc, docs["doc_id"] == adoc["dst"], "left")
+        .select("doc_id", F.coalesce(F.col("atext"), F.lit("")).alias("text"))
+    )
+    idx = build_index(docs2, text_col="text", id_col="doc_id")
+    hits = {
+        r["doc_id"]
+        for r in IndexSearcher(idx, mode="double").scored(TermQuery("zzmarker")).collect()
+    }
+    assert hits == marker_dsts
+    # doc 0's own body contains zzmarker, but unless an edge carried it
+    # there, doc 0 itself must NOT match on the anchor field
+    if 0 not in marker_dsts:
+        assert 0 not in hits
