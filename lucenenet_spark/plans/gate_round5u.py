@@ -273,3 +273,103 @@ def anchor_field_search(spark, sf_dir):
     searcher = IndexSearcher(idx, mode="double")
     scored = _spark_score_q(searcher.scored(TermQuery(_AFS_TERM)))
     return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(_AFS_K)
+
+
+# ----------------------------------------------------------------------
+# static_rank_blend — the web-search ranking composition: BM25 text
+# relevance blended with a query-INDEPENDENT static document prior
+# (PageRank over the link graph). Every production web engine ranks
+# this way (Brin & Page 1998 §4.5 combine link rank with IR score;
+# Lucene's analogue is CustomScoreQuery / FunctionQuery wrapping a
+# stored rank field, Queries/CustomScore/CustomScoreQuery.cs).
+#
+# Determinism: the prior is the 1e-7-QUANTIZED pagerank (the exact
+# bigint the pagerank_topk gate proved engine-identical), so the blend
+# ln(1 + pr_q) runs on identical integers; BM25 uses the shared double
+# path. blended = bm25 + 0.3 * ln(1 + pr_q), quantized 1e4.
+#
+# Scale note: at index time the prior would be materialized as a
+# DocValues column (one broadcast-joinable table keyed by doc_id), so
+# serving pays ZERO extra shuffle; here the join is explicit because
+# the gate builds both sides on the fly.
+# ----------------------------------------------------------------------
+_SRB_TERM = "vector"
+_SRB_K = 10
+_SRB_W = 0.3
+
+
+def _static_rank_blend_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+    from lucenenet_spark.plans.gate import _SQL_SCORED as _SCORED
+    from lucenenet_spark.plans.gate_round5t import _GRAPH_CTES, _PR_D, _PR_ITERS
+
+    tele = 1.0 - _PR_D
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT nd.doc_id,
+         {tele!r} * (1.0 / nn.n) + {_PR_D!r} * coalesce(c.m, 0.0) AS pr
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.pr / e.deg) AS m
+    FROM edges e JOIN r{k - 1} r ON r.doc_id = e.src GROUP BY e.dst
+  ) c USING (doc_id)
+  CROSS JOIN nn
+)""")
+    return (
+        _PRE
+        + ","
+        + _SCORED
+        + f""",
+{_GRAPH_CTES},
+r0 AS (SELECT nd.doc_id, 1.0 / nn.n AS pr FROM nodes nd CROSS JOIN nn),{",".join(iters)},
+prq AS (
+  SELECT doc_id, CAST(floor(pr * 10000000.0 + 0.5) AS BIGINT) AS pr_q
+  FROM r{_PR_ITERS}
+),
+txt AS (
+  SELECT doc_id, idf * 2.2 * tf / (tf + nrm) AS score
+  FROM sc WHERE term = '{_SRB_TERM}'
+)
+SELECT t.doc_id,
+       CAST(floor((t.score + {_SRB_W!r} * ln(1 + p.pr_q)) * 10000 + 0.5)
+            AS BIGINT) AS score_q
+FROM txt t JOIN prq p USING (doc_id)
+ORDER BY score_q DESC, doc_id ASC LIMIT {_SRB_K}
+"""
+    )
+
+
+@gate("static_rank_blend", _static_rank_blend_sql())
+def static_rank_blend(spark, sf_dir):
+    """BM25 + static-prior blending: text score for one term plus
+    0.3 * ln(1 + quantized PageRank), the query-independent rank
+    signal joined per doc (DocValues-column shape at index time)."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.pagerank import build_link_graph, pagerank
+    from lucenenet_spark.plans.gate import _docs_table, get_engine
+    from lucenenet_spark.plans.gate_round5t import _PR_D, _PR_ITERS
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, searcher, docs = get_engine(spark, sf_dir)
+    nodes = docs.select("doc_id")
+    pr = pagerank(
+        nodes, build_link_graph(nodes), damping=_PR_D, iterations=_PR_ITERS
+    ).select(
+        "doc_id",
+        F.floor(F.col("pr") * F.lit(1e7) + F.lit(0.5)).cast("long").alias("pr_q"),
+    )
+    scored = searcher.scored(TermQuery(_SRB_TERM)).select("doc_id", "score")
+    blended = scored.join(pr, "doc_id").select(
+        "doc_id",
+        F.floor(
+            (F.col("score") + F.lit(_SRB_W) * F.log(F.lit(1) + F.col("pr_q")))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("score_q"),
+    )
+    return blended.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(_SRB_K)

@@ -213,3 +213,35 @@ def test_anchor_field_search_scores_anchor_not_body(spark):
     # there, doc 0 itself must NOT match on the anchor field
     if 0 not in marker_dsts:
         assert 0 not in hits
+
+
+# --------------------------------------------------------- static rank blend
+def test_static_rank_blend_prior_breaks_bm25_ties(spark):
+    """Identical texts => identical BM25; the PageRank prior must then
+    decide the order, and the blend must equal bm25 + 0.3*ln(1+pr_q)
+    recomputed from the component outputs."""
+    import math
+
+    from lucenenet_spark.functions.pagerank import build_link_graph, pagerank
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    texts = ["alpha beta gamma delta"] * 12
+    docs = _mk_docs(spark, texts)
+    idx = build_index(docs, text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    bm25 = {r["doc_id"]: r["score"] for r in s.scored(TermQuery("alpha")).collect()}
+    assert len(set(round(v, 9) for v in bm25.values())) == 1  # all tied
+
+    nodes = docs.select("doc_id")
+    pr = pagerank(nodes, build_link_graph(nodes), damping=0.85, iterations=5)
+    pr_q = {r["doc_id"]: math.floor(r["pr"] * 1e7 + 0.5) for r in pr.collect()}
+
+    blended = {
+        d: math.floor((bm25[d] + 0.3 * math.log(1 + pr_q[d])) * 10000 + 0.5)
+        for d in bm25
+    }
+    want = sorted(bm25, key=lambda d: (-blended[d], d))
+    # equal-BM25 docs must now be ordered by prior (desc), doc_id tiebreak
+    by_prior = sorted(bm25, key=lambda d: (-pr_q[d], d))
+    # wherever priors are strictly ordered, blend order must agree
+    assert want == by_prior
