@@ -237,3 +237,45 @@ def pagerank_topk(
         .limit(k)
     )
     return out
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row link-graph diagnostics: node/edge counts, degree extremes,
+    self-loops, and reciprocity (Broder et al. WWW'00 "Graph structure
+    in the web" measures) — the sanity panel a crawl-graph pipeline
+    emits before ranking.
+
+    reciprocal_pairs counts unordered {a,b} with BOTH a->b and b->a in
+    the DISTINCT edge set: dedup, one self-equi-join on the reversed
+    key, count(a<b). All aggregates partial/map-side combinable; the
+    join is the only shuffle pair and both sides are the deduped edge
+    list (≪ multigraph edges on a real crawl).
+    """
+    e = edges.select("src", "dst")
+    d = e.distinct().persist()
+    rec = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .filter(F.col("a.src") < F.col("a.dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("reciprocal_pairs"))
+    )
+    outd = d.groupBy("src").agg(F.count(F.lit(1)).alias("od")).agg(
+        F.max("od").cast("long").alias("max_out_degree")
+    )
+    ind = d.groupBy("dst").agg(F.count(F.lit(1)).alias("idg")).agg(
+        F.max("idg").cast("long").alias("max_in_degree")
+    )
+    base = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("src").cast("long").alias("n_src_nodes"),
+        F.countDistinct("dst").cast("long").alias("n_dst_nodes"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("self_loops"),
+    )
+    dd = d.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_edges"))
+    out = base.crossJoin(dd).crossJoin(outd).crossJoin(ind).crossJoin(rec)
+    return out

@@ -373,3 +373,64 @@ def static_rank_blend(spark, sf_dir):
         .alias("score_q"),
     )
     return blended.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(_SRB_K)
+
+
+# ----------------------------------------------------------------------
+# link_graph_stats — crawl-graph diagnostics panel (Broder et al.
+# WWW'00): edge/node counts, degree extremes, self-loops, reciprocity
+# over the deterministic link graph. Oracle regenerates the graph and
+# computes the identical aggregates; reciprocity is the same
+# dedup -> reversed-key self-join -> a<b count.
+# ----------------------------------------------------------------------
+_LGS_SQL = """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+e AS (
+  SELECT src, CASE WHEN t = src THEN (t + 1) % n ELSE t END AS dst
+  FROM (
+    SELECT nd.doc_id AS src,
+           ((nd.doc_id % nn.n) * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
+           nn.n AS n
+    FROM nodes nd
+    CROSS JOIN nn
+    CROSS JOIN unnest(generate_series(0, nd.doc_id % 3)) AS u(j)
+  )
+),
+d AS (SELECT DISTINCT src, dst FROM e),
+rec AS (
+  SELECT CAST(count(*) AS BIGINT) AS reciprocal_pairs
+  FROM d a JOIN d b ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst
+),
+outd AS (
+  SELECT CAST(max(od) AS BIGINT) AS max_out_degree
+  FROM (SELECT src, count(*) AS od FROM d GROUP BY src)
+),
+ind AS (
+  SELECT CAST(max(idg) AS BIGINT) AS max_in_degree
+  FROM (SELECT dst, count(*) AS idg FROM d GROUP BY dst)
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_src_nodes,
+         CAST(count(DISTINCT dst) AS BIGINT) AS n_dst_nodes,
+         CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS self_loops
+  FROM e
+),
+dd AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_edges FROM d)
+SELECT n_edges, n_src_nodes, n_dst_nodes, self_loops, n_distinct_edges,
+       max_out_degree, max_in_degree, reciprocal_pairs
+FROM base, dd, outd, ind, rec
+"""
+
+
+@gate("link_graph_stats", _LGS_SQL)
+def link_graph_stats(spark, sf_dir):
+    """Link-graph diagnostics (Broder et al. WWW'00 web-structure
+    measures) over the deterministic synthetic graph: one row of
+    degree/reciprocity/self-loop aggregates."""
+    from lucenenet_spark.functions.pagerank import build_link_graph, graph_stats
+    from lucenenet_spark.plans.gate import _docs_table
+
+    nodes = _docs_table(spark, sf_dir).select("doc_id")
+    return graph_stats(build_link_graph(nodes))

@@ -245,3 +245,21 @@ def test_static_rank_blend_prior_breaks_bm25_ties(spark):
     by_prior = sorted(bm25, key=lambda d: (-pr_q[d], d))
     # wherever priors are strictly ordered, blend order must agree
     assert want == by_prior
+
+
+# --------------------------------------------------------- link graph stats
+def test_graph_stats_hand_built(spark):
+    """Hand graph: 1<->2 reciprocal, 0->1, 3->3 self-loop, dup edge 0->1."""
+    from lucenenet_spark.functions.pagerank import graph_stats
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 1), (3, 3)], "src long, dst long"
+    )
+    r = graph_stats(edges).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["n_distinct_edges"] == 4
+    assert r["n_src_nodes"] == 4 and r["n_dst_nodes"] == 3
+    assert r["self_loops"] == 1
+    assert r["max_out_degree"] == 1  # distinct edges: 0->1,1->2,2->1,3->3
+    assert r["max_in_degree"] == 2  # dst 1 from {0,2}
+    assert r["reciprocal_pairs"] == 1  # {1,2}
