@@ -434,3 +434,71 @@ def link_graph_stats(spark, sf_dir):
 
     nodes = _docs_table(spark, sf_dir).select("doc_id")
     return graph_stats(build_link_graph(nodes))
+
+
+# ----------------------------------------------------------------------
+# host_collapse_topk — SERP site collapsing: at most H results per host
+# in the final top-k (every production web engine diversifies results
+# this way; in Lucene terms it is grouping.GroupDocs with per-group
+# doc limit — Grouping/TopGroups.cs — applied to the BM25 ranking).
+# One window per host over the scored rows, then the global top-k:
+# rank within host by (score DESC, doc_id ASC), keep rank <= H,
+# re-sort globally. The window partitions by host, so skew = hottest
+# host's matching docs, bounded by the match set, not the corpus.
+# ----------------------------------------------------------------------
+_HC_TERM = "vector"
+_HC_K = 10
+_HC_PER_HOST = 2
+
+
+def _host_collapse_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+    from lucenenet_spark.plans.gate import _SQL_SCORED as _SCORED
+
+    return (
+        _PRE
+        + ","
+        + _SCORED
+        + f""",
+txt AS (
+  SELECT sc.doc_id,
+         CAST(floor(idf * 2.2 * tf / (tf + nrm) * 10000 + 0.5) AS BIGINT)
+           AS score_q
+  FROM sc WHERE term = '{_HC_TERM}'
+),
+hosted AS (
+  SELECT t.doc_id, t.score_q, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY t.score_q DESC, t.doc_id ASC
+         ) AS host_rank
+  FROM txt t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score_q, source,
+       CAST(host_rank AS BIGINT) AS host_rank
+FROM hosted WHERE host_rank <= {_HC_PER_HOST}
+ORDER BY score_q DESC, doc_id ASC LIMIT {_HC_K}
+"""
+    )
+
+
+@gate("host_collapse_topk", _host_collapse_sql())
+def host_collapse_topk(spark, sf_dir):
+    """Site-collapsed BM25 top-k: per-host window keeps the best
+    _HC_PER_HOST docs per source, then the global top-k re-sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.plans.gate import _spark_score_q, get_engine
+    from lucenenet_spark.search.queries import TermQuery
+
+    _, searcher, docs = get_engine(spark, sf_dir)
+    scored = _spark_score_q(searcher.scored(TermQuery(_HC_TERM)))
+    hosted = scored.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        hosted.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= _HC_PER_HOST)
+        .select("doc_id", "score_q", "source", "host_rank")
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(_HC_K)
+    )

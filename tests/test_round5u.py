@@ -263,3 +263,28 @@ def test_graph_stats_hand_built(spark):
     assert r["max_out_degree"] == 1  # distinct edges: 0->1,1->2,2->1,3->3
     assert r["max_in_degree"] == 2  # dst 1 from {0,2}
     assert r["reciprocal_pairs"] == 1  # {1,2}
+
+
+# --------------------------------------------------------- host collapse
+def test_host_collapse_caps_per_host_and_backfills(spark):
+    """One host owning the best scores may place at most 2 results; the
+    rest of the page backfills from other hosts in score order."""
+    from pyspark.sql import Window
+
+    # synthetic scored rows: host A has the 4 best scores
+    rows = [(i, 100 - i, "A" if i < 4 else f"H{i}") for i in range(10)]
+    scored = spark.createDataFrame(rows, "doc_id long, score_q long, source string")
+    w = Window.partitionBy("source").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= 2)
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(5)
+        .collect()
+    )
+    got = [(r["doc_id"], r["source"]) for r in out]
+    # doc 0,1 from A (capped), then docs 4,5,6 from distinct hosts
+    assert got == [(0, "A"), (1, "A"), (4, "H4"), (5, "H5"), (6, "H6")]
+    from collections import Counter
+
+    assert max(Counter(s for _, s in got).values()) <= 2
