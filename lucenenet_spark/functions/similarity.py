@@ -435,3 +435,83 @@ def sq8_ann_topk(
         .orderBy(F.desc("cos_q"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def sparse_cosine_pairs(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    df_cap: int,
+    k: int = 50,
+    field: str | None = None,
+) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity over the inverted index
+    (Bayardo, Ma & Srikant WWW'07 "Scaling Up All Pairs Similarity
+    Search"): candidate pairs come from joining the postings list with
+    itself PER TERM, so two documents meet only where they share a term
+    — never a corpus cross-join.
+
+    Scale levers (the WWW'07 insight, re-expressed Spark-first):
+    - ``df_cap`` prunes hot terms BEFORE the self-join — a term with
+      document frequency df yields df^2 candidate rows, so dropping
+      stopword-scale terms bounds the quadratic blow-up exactly like
+      the paper's prefix filter / the minhash gate's max_bucket_size.
+    - The self-join shuffles on ``term`` (both sides already grouped),
+      then ONE groupBy(a, b) aggregates dot products; norms are a
+      broadcastable per-doc aggregate.
+
+    Determinism (gate oracle): weights are QUANTIZED to bigints first
+    (wq = floor(tf * (ln(n/(df+1)) + 1) * 1000 + 0.5)); dots and
+    squared norms are exact integer sums, and only the final
+    dot/sqrt(na2)/sqrt(nb2) runs in double — identical IEEE ops on
+    identical integers in both engines.
+
+    Returns top-k (doc_a, doc_b, cos_q) by quantized cosine.
+    """
+    fld_post = postings
+    if field is not None:
+        fld_post = postings.filter(F.col("field") == field)
+        term_stats = term_stats.filter(F.col("field") == field)
+    w = (
+        fld_post.select("doc_id", "term", "tf")
+        .join(term_stats.filter(F.col("df") <= df_cap).select("term", "df"), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * (F.log(F.lit(float(n_docs)) / (F.col("df") + 1)) + F.lit(1.0))
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.wq") * F.col("b.wq")).cast("long").alias("dot"))
+    )
+    cos = (
+        dots.join(norms.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n2", "na2"), "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n2", "nb2"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )
+    return cos.orderBy(F.desc("cos_q"), F.asc("doc_a"), F.asc("doc_b")).limit(k)

@@ -502,3 +502,63 @@ def host_collapse_topk(spark, sf_dir):
         .orderBy(F.desc("score_q"), F.asc("doc_id"))
         .limit(_HC_K)
     )
+
+
+# ----------------------------------------------------------------------
+# sparse_cosine_pairs — Bayardo/Ma/Srikant WWW'07 all-pairs similarity
+# over the inverted index: per-term self-join (df-capped), integer-
+# exact dot products and norms, final cosine in double. Oracle builds
+# the identical quantized weights from the shared analyzer prelude.
+# ----------------------------------------------------------------------
+_SCP_DFCAP = 450
+_SCP_K = 50
+
+
+def _sparse_cosine_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+
+    return (
+        _PRE
+        + f""",
+w AS (
+  SELECT p.doc_id, p.term,
+         CAST(floor(p.tf * (ln(cs.n / (ts.df + 1)) + 1) * 1000 + 0.5)
+              AS BIGINT) AS wq
+  FROM post p JOIN ts USING (term), cs
+  WHERE ts.df <= {_SCP_DFCAP}
+),
+norms AS (
+  SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(floor(CAST(d.dot AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS cos_q
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+ORDER BY cos_q DESC, doc_a ASC, doc_b ASC LIMIT {_SCP_K}
+"""
+    )
+
+
+@gate("sparse_cosine_pairs", _sparse_cosine_sql())
+def sparse_cosine_pairs(spark, sf_dir):
+    """All-pairs sparse TF-IDF cosine (Bayardo et al. WWW'07): df-capped
+    per-term self-join, integer-exact dots/norms, top-k pairs."""
+    from lucenenet_spark.functions.similarity import sparse_cosine_pairs as _scp
+    from lucenenet_spark.plans.gate import get_engine
+
+    idx, _, _ = get_engine(spark, sf_dir)
+    fld = idx.default_field
+    return _scp(
+        idx.postings, idx.term_stats, idx.max_doc,
+        df_cap=_SCP_DFCAP, k=_SCP_K, field=fld,
+    )

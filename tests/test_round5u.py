@@ -288,3 +288,39 @@ def test_host_collapse_caps_per_host_and_backfills(spark):
     from collections import Counter
 
     assert max(Counter(s for _, s in got).values()) <= 2
+
+
+# ------------------------------------------------------ sparse cosine pairs
+def test_sparse_cosine_pairs_exact_on_hand_corpus(spark):
+    """Two identical docs must hit cos_q = 1e6; disjoint docs never pair;
+    the df cap drops a ubiquitous term from all vectors."""
+    import math
+
+    from lucenenet_spark.functions.similarity import sparse_cosine_pairs
+
+    texts = [
+        "apple banana cherry stopterm",
+        "apple banana cherry stopterm",   # identical to doc 0
+        "apple banana date stopterm",     # shares 2 of 3 informative terms
+        "elephant fox grape stopterm",    # disjoint informative terms
+    ]
+    docs = _mk_docs(spark, texts)
+    idx = build_index(docs, text_col="text", id_col="doc_id")
+    # df cap 3 excludes 'stopterm' (df 4), keeps everything else
+    out = sparse_cosine_pairs(
+        idx.postings, idx.term_stats, idx.max_doc, df_cap=3, k=10,
+        field=idx.default_field,
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["cos_q"] for r in out}
+    assert got[(0, 1)] == 1_000_000  # identical vectors
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+    # replicate (0,2) by hand: terms apple/banana shared, cherry/date not
+    n = 4
+    wq = {}
+    for t, df in (("apple", 3), ("banana", 3), ("cherry", 2), ("date", 1)):
+        wq[t] = math.floor(1 * (math.log(n / (df + 1)) + 1) * 1000 + 0.5)
+    dot = wq["apple"] ** 2 + wq["banana"] ** 2
+    na2 = wq["apple"] ** 2 + wq["banana"] ** 2 + wq["cherry"] ** 2
+    nb2 = wq["apple"] ** 2 + wq["banana"] ** 2 + wq["date"] ** 2
+    want = math.floor(dot / (math.sqrt(na2) * math.sqrt(nb2)) * 1e6 + 0.5)
+    assert got[(0, 2)] == want
