@@ -133,3 +133,73 @@ def zipf_vocab_stats(term_stats: DataFrame, quantum: float = 1e6) -> DataFrame:
         F.floor(slope * F.lit(quantum) + F.lit(0.5)).cast("long").alias("slope_q"),
         F.floor(intercept + F.lit(0.5)).cast("long").alias("intercept_q"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 20, quantum: float = 1e6
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    adjacent token pairs (Church & Hanks 1990; Manning & Schütze ch. 5)
+    — the standard first pass for multiword-expression/vocab induction
+    in corpus pipelines:
+
+        pmi(a,b) = ln( (c_ab / B) / ((c_a / T) * (c_b / T)) )
+
+    with c_ab bigram count, B total bigrams, c_a/c_b unigram counts,
+    T total tokens; pairs below ``min_count`` are dropped (PMI's
+    low-count instability). Raw whitespace tokens (no stop filter) so
+    function-word collocations are measurable.
+
+    Spark shape: bigrams come from a pure Column transform over the
+    token array (no posexplode self-join); two groupBy counts and two
+    broadcast scalars are the whole job. All counts are exact bigints;
+    the single ln runs on the same integer inputs in any engine, so
+    pmi_q = floor(pmi * quantum + 0.5) is bit-stable.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    td = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = td.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    tot = (
+        uni.agg(F.sum("c").cast("long").alias("T"))
+        .crossJoin(big.agg(F.sum("cb").cast("long").alias("B")))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        big.filter(F.col("cb") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.floor(
+                F.log(
+                    (F.col("cb").cast("double") / F.col("B"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("T"))
+                        * (F.col("c2").cast("double") / F.col("T"))
+                    )
+                )
+                * F.lit(quantum)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_q"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2")).limit(k)

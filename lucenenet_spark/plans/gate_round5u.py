@@ -562,3 +562,102 @@ def sparse_cosine_pairs(spark, sf_dir):
         idx.postings, idx.term_stats, idx.max_doc,
         df_cap=_SCP_DFCAP, k=_SCP_K, field=fld,
     )
+
+
+# ----------------------------------------------------------------------
+# proximity_boost_topk — BM25 + min-pair-distance bonus (Büttcher et
+# al. SIGIR'06; Lucene's SpanNear/sloppy-phrase slop weighting intent,
+# PhraseQuery.cs). The distance is integer-exact from the positional
+# postings; the oracle recomputes it from the prelude's tokf positions.
+# ----------------------------------------------------------------------
+_PBX_A = "vector"
+_PBX_B = "merge"
+_PBX_K = 10
+
+
+def _proximity_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+    from lucenenet_spark.plans.gate import _SQL_SCORED as _SCORED
+    from lucenenet_spark.plans.gate import _tsc
+
+    return (
+        _PRE
+        + ","
+        + _SCORED
+        + f""",
+sa AS ({_tsc(_PBX_A)}),
+sb AS ({_tsc(_PBX_B)}),
+md AS (
+  SELECT t1.doc_id, CAST(min(abs(t1.pos - t2.pos)) AS BIGINT) AS mindist
+  FROM tokf t1 JOIN tokf t2 USING (doc_id)
+  WHERE t1.term = '{_PBX_A}' AND t2.term = '{_PBX_B}'
+  GROUP BY t1.doc_id
+)
+SELECT sa.doc_id,
+       CAST(floor((sa.score + sb.score + 1.0 / (1 + md.mindist)) * 10000 + 0.5)
+            AS BIGINT) AS score_q
+FROM sa JOIN sb USING (doc_id) JOIN md USING (doc_id)
+ORDER BY score_q DESC, doc_id ASC LIMIT {_PBX_K}
+"""
+    )
+
+
+@gate("proximity_boost_topk", _proximity_sql())
+def proximity_boost_topk(spark, sf_dir):
+    """Conjunctive BM25 with additive 1/(1+mindist) proximity bonus."""
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.proximity import proximity_boost_topk as _pbx
+
+    _, searcher, _ = get_engine(spark, sf_dir)
+    return _pbx(searcher, _PBX_A, _PBX_B, k=_PBX_K)
+
+
+# ----------------------------------------------------------------------
+# pmi_collocations — Church & Hanks 1990 PMI over adjacent raw-token
+# pairs, min-count gated, exact-integer counts, single quantized ln.
+# ----------------------------------------------------------------------
+_PMI_MIN = 5
+_PMI_K = 20
+
+_PMI_SQL = f"""
+WITH tt AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM tt) GROUP BY w
+),
+tp AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t FROM tt WHERE len(t) >= 2),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY w1, w2
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS T,
+         (SELECT CAST(sum(cb) AS BIGINT) FROM big) AS B
+)
+SELECT b.w1, b.w2, b.cb,
+       CAST(floor(
+         ln((CAST(b.cb AS DOUBLE) / tot.B)
+            / ((CAST(u1.c AS DOUBLE) / tot.T) * (CAST(u2.c AS DOUBLE) / tot.T)))
+         * 1000000.0 + 0.5) AS BIGINT) AS pmi_q
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot
+WHERE b.cb >= {_PMI_MIN}
+ORDER BY pmi_q DESC, w1 ASC, w2 ASC LIMIT {_PMI_K}
+"""
+
+
+@gate("pmi_collocations", _PMI_SQL)
+def pmi_collocations(spark, sf_dir):
+    """Top-k PMI collocations over adjacent raw-token pairs."""
+    from lucenenet_spark.functions.textstats import pmi_collocations as _pmi
+    from lucenenet_spark.plans.gate import _docs_table
+
+    return _pmi(_docs_table(spark, sf_dir), min_count=_PMI_MIN, k=_PMI_K)

@@ -324,3 +324,68 @@ def test_sparse_cosine_pairs_exact_on_hand_corpus(spark):
     nb2 = wq["apple"] ** 2 + wq["banana"] ** 2 + wq["date"] ** 2
     want = math.floor(dot / (math.sqrt(na2) * math.sqrt(nb2)) * 1e6 + 0.5)
     assert got[(0, 2)] == want
+
+
+# ---------------------------------------------------------- proximity boost
+def test_min_pair_distance_and_bonus_ordering(spark):
+    """Hand corpus: equal BM25 contributions, proximity decides."""
+    from lucenenet_spark.search.proximity import min_pair_distance, proximity_boost_topk
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    texts = [
+        "aa bb x x x x",   # dist 1
+        "aa x x bb x x",   # dist 3
+        "aa x x x x bb",   # dist 5
+        "aa x x x x x",    # no bb -> excluded (conjunctive)
+    ]
+    docs = _mk_docs(spark, texts)
+    idx = build_index(docs, text_col="text", id_col="doc_id")
+    md = {r["doc_id"]: r["mindist"] for r in min_pair_distance(idx, "aa", "bb").collect()}
+    assert md == {0: 1, 1: 3, 2: 5}
+    out = proximity_boost_topk(IndexSearcher(idx, mode="double"), "aa", "bb", k=10).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2]  # same tf/dl => bonus decides
+    assert 3 not in {r["doc_id"] for r in out}
+
+
+def test_min_pair_distance_repeated_positions(spark):
+    # bb appears twice; min over all pairs
+    texts = ["bb x x aa x bb"]
+    idx = build_index(_mk_docs(spark, texts), text_col="text", id_col="doc_id")
+    from lucenenet_spark.search.proximity import min_pair_distance
+
+    md = min_pair_distance(idx, "aa", "bb").collect()
+    assert md[0]["mindist"] == 2  # aa@3 vs bb@5
+
+
+# ------------------------------------------------------------ collocations
+def test_pmi_collocations_hand_counts(spark):
+    """'new york' always adjacent => highest PMI; replica-checked."""
+    import math
+
+    from lucenenet_spark.functions.textstats import pmi_collocations
+
+    texts = ["new york " * 5 + "cat", "dog new york fish new york", "cat dog fish " * 4]
+    docs = _mk_docs(spark, texts)
+    out = pmi_collocations(docs, min_count=2, k=5).collect()
+    # full Python replica: counts, PMI, quantization, ordering
+    toks = [[t for t in x.split(" ") if t] for x in texts]
+    flat = [w for ts in toks for w in ts]
+    bigs = [(ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)]
+    T, B = len(flat), len(bigs)
+    from collections import Counter
+
+    cu, cb2 = Counter(flat), Counter(bigs)
+    want = []
+    for (a, b), cab in cb2.items():
+        if cab >= 2:
+            pmi_q = math.floor(
+                math.log((cab / B) / ((cu[a] / T) * (cu[b] / T))) * 1e6 + 0.5
+            )
+            want.append((a, b, cab, pmi_q))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    got = [(r["w1"], r["w2"], r["cb"], r["pmi_q"]) for r in out]
+    assert got == want[:5]
+    assert ("new", "york") in {(a, b) for a, b, _, _ in want}  # survives the gate
+    # min_count gate: raising it above every bigram count empties the result
+    max_cb = max(cb2.values())
+    assert pmi_collocations(docs, min_count=max_cb + 1, k=5).count() == 0
