@@ -661,3 +661,119 @@ def pmi_collocations(spark, sf_dir):
     from lucenenet_spark.plans.gate import _docs_table
 
     return _pmi(_docs_table(spark, sf_dir), min_count=_PMI_MIN, k=_PMI_K)
+
+
+# ----------------------------------------------------------------------
+# bm25f_topk — true BM25F (Robertson/Zaragoza/Taylor CIKM'04) over
+# body + anchor fields: per-field weighted length-normalized tf
+# combined BEFORE one saturation, document-level idf. Two fields =>
+# the per-doc tfn sum has at most 2 addends (commutative, engine-order
+# independent). Oracle rebuilds both fields' postings in SQL.
+# ----------------------------------------------------------------------
+_B25F_TERM = "vector"
+_B25F_K = 10
+_B25F_WB = 1.0   # body weight
+_B25F_WA = 2.0   # anchor weight
+
+
+def _bm25f_sql() -> str:
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH nodes AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+e AS (
+  SELECT src,
+         CASE WHEN t = src THEN (t + 1) % n ELSE t END AS dst,
+         concat_ws(' ', toks[j + 1], toks[j + 2], toks[j + 3]) AS anchor
+  FROM (
+    SELECT nd.doc_id AS src, nd.toks,
+           ((nd.doc_id % nn.n) * 2654435761 + 40503 * (u.j + 1)) % nn.n AS t,
+           u.j AS j, nn.n AS n
+    FROM nodes nd
+    CROSS JOIN nn
+    CROSS JOIN unnest(generate_series(0, nd.doc_id % 3)) AS u(j)
+  )
+),
+ad AS (
+  SELECT dst AS doc_id, array_to_string(list_sort(list(anchor)), ' ') AS text
+  FROM e GROUP BY dst
+),
+docs2 AS (
+  SELECT d.doc_id, coalesce(ad.text, '') AS text
+  FROM documents d LEFT JOIN ad USING (doc_id)
+),
+bt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> '' AND term NOT IN ({stops})
+),
+at AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2
+  ) WHERE term <> '' AND term NOT IN ({stops})
+),
+bp AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bt GROUP BY doc_id, term),
+ap AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM at GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bt GROUP BY doc_id),
+adl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM at GROUP BY doc_id),
+ns AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT count(*) FROM bt) AS DOUBLE) AS sttf_b,
+         CAST((SELECT count(*) FROM at) AS DOUBLE) AS sttf_a
+),
+tr AS (
+  SELECT bp.doc_id,
+         {_B25F_WB!r} * bp.tf / (0.25 + 0.75 * bdl.dl / (ns.sttf_b / ns.n)) AS tfn_part
+  FROM bp JOIN bdl USING (doc_id), ns WHERE bp.term = '{_B25F_TERM}'
+  UNION ALL
+  SELECT ap.doc_id,
+         {_B25F_WA!r} * ap.tf / (0.25 + 0.75 * adl.dl / (ns.sttf_a / ns.n)) AS tfn_part
+  FROM ap JOIN adl USING (doc_id), ns WHERE ap.term = '{_B25F_TERM}'
+),
+tfn AS (SELECT doc_id, sum(tfn_part) AS tfn FROM tr GROUP BY doc_id),
+dfq AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM (
+    SELECT doc_id FROM bp WHERE term = '{_B25F_TERM}'
+    UNION ALL
+    SELECT doc_id FROM ap WHERE term = '{_B25F_TERM}'
+  )
+)
+SELECT t.doc_id,
+       CAST(floor(
+         ln(1.0 + (ns.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * t.tfn / (1.2 + t.tfn) * 10000 + 0.5) AS BIGINT) AS score_q
+FROM tfn t, dfq, ns
+ORDER BY score_q DESC, doc_id ASC LIMIT {_B25F_K}
+"""
+
+
+@gate("bm25f_topk", _bm25f_sql())
+def bm25f_topk(spark, sf_dir):
+    """True BM25F over body + incoming-anchor fields (weights 1.0/2.0):
+    one multi-field index build, combined-tf saturation, document idf."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.functions.anchors import build_anchor_edges
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.plans.gate import _docs_table
+    from lucenenet_spark.search.bm25f import bm25f_topk as _bm25f
+
+    docs = _docs_table(spark, sf_dir)
+    edges = build_anchor_edges(docs)
+    adoc = edges.groupBy("dst").agg(
+        F.array_join(F.array_sort(F.collect_list("anchor")), " ").alias("anchor")
+    )
+    docs3 = (
+        docs.select("doc_id", "text")
+        .join(adoc, docs["doc_id"] == adoc["dst"], "left")
+        .select("doc_id", "text", F.coalesce(F.col("anchor"), F.lit("")).alias("anchor"))
+    )
+    idx = build_index(docs3, text_col="text", id_col="doc_id", fields=["text", "anchor"])
+    return _bm25f(
+        idx, _B25F_TERM, weights={"text": _B25F_WB, "anchor": _B25F_WA}, k=_B25F_K
+    )

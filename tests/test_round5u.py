@@ -389,3 +389,48 @@ def test_pmi_collocations_hand_counts(spark):
     # min_count gate: raising it above every bigram count empties the result
     max_cb = max(cb2.values())
     assert pmi_collocations(docs, min_count=max_cb + 1, k=5).count() == 0
+
+
+# ------------------------------------------------------------------- BM25F
+def test_bm25f_single_saturation_beats_per_field_sum(spark):
+    """BM25F's defining property: a doc matching BOTH fields weakly is
+    NOT scored like two independent BM25 saturations. Verified on a
+    hand corpus against a pure-Python replica."""
+    import math
+
+    from lucenenet_spark.search.bm25f import bm25f_topk
+
+    texts_body = ["q x x x", "q q q q", "x x x x"]
+    texts_anchor = ["q y", "", "q q y y"]
+    docs = spark.createDataFrame(
+        list(zip(range(3), texts_body, texts_anchor)),
+        "doc_id long, body string, anchor string",
+    )
+    idx = build_index(docs, text_col="body", id_col="doc_id", fields=["body", "anchor"])
+    out = {
+        r["doc_id"]: r["score_q"]
+        for r in bm25f_topk(idx, "q", {"body": 1.0, "anchor": 2.0}, k=10).collect()
+    }
+
+    # replica
+    n = 3.0
+    body_toks = [t.split() for t in texts_body]
+    anc_toks = [t.split() if t else [] for t in texts_anchor]
+    sttf_b = sum(len(t) for t in body_toks)
+    sttf_a = sum(len(t) for t in anc_toks)
+    df = float(len({d for d in range(3) if "q" in body_toks[d] or "q" in anc_toks[d]}))
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want = {}
+    for d in range(3):
+        tfn = 0.0
+        tfb = body_toks[d].count("q")
+        if tfb:
+            tfn += 1.0 * tfb / (0.25 + 0.75 * len(body_toks[d]) / (sttf_b / n))
+        tfa = anc_toks[d].count("q")
+        if tfa:
+            tfn += 2.0 * tfa / (0.25 + 0.75 * len(anc_toks[d]) / (sttf_a / n))
+        if tfn:
+            want[d] = math.floor(idf * tfn / (1.2 + tfn) * 10000 + 0.5)
+    assert out == want
+    # saturation check: doc 1 (tf=4 in one field) must NOT dominate by 4x
+    assert out[1] < 4 * out[0]
