@@ -777,3 +777,129 @@ def bm25f_topk(spark, sf_dir):
     return _bm25f(
         idx, _B25F_TERM, weights={"text": _B25F_WB, "anchor": _B25F_WA}, k=_B25F_K
     )
+
+
+# ----------------------------------------------------------------------
+# ndcg_topk — nDCG@10 (Järvelin & Kekäläinen TOIS'02) of the BM25
+# ranking against corpus-derived graded qrels (grade = min(tf, 4)).
+# Contributions quantized 1e9 -> exact integer DCG/IDCG sums.
+# ----------------------------------------------------------------------
+_NDCG_TERM = "vector"
+_NDCG_K = 10
+_NDCG_G = 4
+
+
+def _ndcg_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+    from lucenenet_spark.plans.gate import _SQL_SCORED as _SCORED
+    from lucenenet_spark.plans.gate import _tsc
+
+    contrib = (
+        "CAST(floor((pow(2.0, grade) - 1.0)"
+        " / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)) * 1000000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    return (
+        _PRE
+        + ","
+        + _SCORED
+        + f""",
+g AS (
+  SELECT doc_id, CAST(least(tf, {_NDCG_G}) AS BIGINT) AS grade
+  FROM post WHERE term = '{_NDCG_TERM}'
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+    FROM ({_tsc(_NDCG_TERM)})
+  )
+),
+run AS (
+  SELECT {contrib} AS cq
+  FROM ranked JOIN g USING (doc_id) WHERE rank <= {_NDCG_K}
+),
+ideal AS (
+  SELECT {contrib} AS cq
+  FROM (
+    SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
+    FROM g
+  ) WHERE rank <= {_NDCG_K}
+),
+dcg AS (SELECT CAST(sum(cq) AS BIGINT) AS dcg_q9 FROM run),
+idcg AS (SELECT CAST(sum(cq) AS BIGINT) AS idcg_q9 FROM ideal)
+SELECT dcg_q9, idcg_q9,
+       CAST(floor(CAST(dcg_q9 AS DOUBLE) / CAST(idcg_q9 AS DOUBLE) * 1000000.0
+                  + 0.5) AS BIGINT) AS ndcg_q
+FROM dcg, idcg
+"""
+    )
+
+
+@gate("ndcg_topk", _ndcg_sql())
+def ndcg_topk(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking vs graded tf-derived qrels."""
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.quality import ndcg_at_k
+
+    _, searcher, _ = get_engine(spark, sf_dir)
+    return ndcg_at_k(searcher, _NDCG_TERM, k=_NDCG_K, max_grade=_NDCG_G)
+
+
+# ----------------------------------------------------------------------
+# query_clarity — Cronen-Townsend/Zhou/Croft SIGIR'02 clarity score:
+# KL(result LM || collection LM) over the top-10 result set, per-word
+# contributions quantized 1e9 then exactly summed.
+# ----------------------------------------------------------------------
+_QC_TERM = "vector"
+_QC_K = 10
+
+
+def _clarity_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+    from lucenenet_spark.plans.gate import _SQL_SCORED as _SCORED
+    from lucenenet_spark.plans.gate import _tsc
+
+    return (
+        _PRE
+        + ","
+        + _SCORED
+        + f""",
+topd AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+      FROM ({_tsc(_QC_TERM)})
+    )
+  ) WHERE rank <= {_QC_K}
+),
+rtf AS (
+  SELECT p.term, CAST(sum(p.tf) AS BIGINT) AS rtf
+  FROM post p JOIN topd USING (doc_id) GROUP BY p.term
+),
+rlen AS (SELECT CAST(sum(rtf) AS BIGINT) AS rlen FROM rtf),
+contrib AS (
+  SELECT CAST(floor(
+           (CAST(r.rtf AS DOUBLE) / rlen.rlen)
+           * ln((CAST(r.rtf AS DOUBLE) / rlen.rlen)
+                / (CAST(ts.ttf AS DOUBLE) / cs.sttf))
+           * 1000000000.0 + 0.5) AS BIGINT) AS cq
+  FROM rtf r JOIN ts USING (term), rlen, cs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(cq) AS BIGINT) AS clarity_q9
+FROM contrib
+"""
+    )
+
+
+@gate("query_clarity", _clarity_sql())
+def query_clarity(spark, sf_dir):
+    """Clarity score of the top-10 result set for one term query."""
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.quality import query_clarity as _qc
+
+    _, searcher, _ = get_engine(spark, sf_dir)
+    return _qc(searcher, _QC_TERM, k=_QC_K)

@@ -167,3 +167,122 @@ def quality_benchmark(
         _q(avp).alias("avp_q"),
         _q(recall).alias("recall_q"),
     )
+
+
+def ndcg_at_k(searcher, term: str, k: int = 10, max_grade: int = 4) -> DataFrame:
+    """nDCG@k (Järvelin & Kekäläinen TOIS'02) for one term query with
+    corpus-derived GRADED relevance: grade(doc) = min(tf(term, doc),
+    max_grade) — deterministic qrels independent of the ranking under
+    test, extending trec_judgments' binary convention.
+
+        DCG@k  = Σ_{r=1..k} (2^grade − 1) / log2(r + 1)   over the BM25
+                 ranking (score_q DESC, doc_id ASC)
+        IDCG@k = same sum over the ideal ordering (grade DESC, doc_id ASC)
+
+    Determinism contract: each rank's contribution is quantized to a
+    bigint (floor(c * 1e9 + 0.5)); DCG/IDCG are exact integer sums, and
+    only the final ratio runs in double. Output one row:
+    (dcg_q9, idcg_q9, ndcg_q) with ndcg_q = floor(dcg/idcg * 1e6 + 0.5).
+    """
+    from pyspark.sql import Window
+
+    idx = searcher.index
+    fld = idx.default_field
+    p = idx.postings.filter((F.col("field") == fld) & (F.col("term") == term)).select(
+        "doc_id", F.least(F.col("tf"), F.lit(max_grade)).cast("long").alias("grade")
+    )
+
+    def _contrib_sum(ranked, alias):
+        c = ranked.select(
+            F.floor(
+                (F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0))
+                / (F.log(F.col("rank") + F.lit(1.0)) / F.log(F.lit(2.0)))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq")
+        )
+        return c.agg(F.sum("cq").cast("long").alias(alias))
+
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w_run = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w_run).cast("double"))
+        .filter(F.col("rank") <= k)
+        .join(p, "doc_id")
+    )
+    w_ideal = Window.orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = p.withColumn("rank", F.row_number().over(w_ideal).cast("double")).filter(
+        F.col("rank") <= k
+    )
+    dcg = _contrib_sum(run, "dcg_q9")
+    idcg = _contrib_sum(ideal, "idcg_q9")
+    return dcg.crossJoin(idcg).select(
+        "dcg_q9",
+        "idcg_q9",
+        F.floor(
+            F.col("dcg_q9").cast("double") / F.col("idcg_q9").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ndcg_q"),
+    )
+
+
+def query_clarity(searcher, term: str, k: int = 10) -> DataFrame:
+    """Query clarity score (Cronen-Townsend, Zhou & Croft SIGIR'02):
+    KL divergence between the language model of the top-k result set R
+    and the collection model — the classic query-performance predictor
+    (high clarity = focused result language = likely good query).
+
+        clarity = Σ_w  p(w|R) · ln( p(w|R) / p(w|C) )
+
+    with p(w|R) = tf_R(w)/|R|, p(w|C) = ttf(w)/sumTotalTermFreq, summed
+    over the words occurring in R. Per-word contributions are quantized
+    to bigints (floor(c * 1e9 + 0.5)) so the sum is exact and engine-
+    order-independent. Output one row: (n_words, clarity_q9).
+    """
+    from pyspark.sql import Window
+
+    idx = searcher.index
+    fld = idx.default_field
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w_run = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w_run))
+        .filter(F.col("rank") <= k)
+        .select("doc_id")
+    )
+    p = idx.postings.filter(F.col("field") == fld).join(top, "doc_id")
+    rtf = p.groupBy("term").agg(F.sum("tf").cast("long").alias("rtf"))
+    rlen = rtf.agg(F.sum("rtf").cast("long").alias("rlen"))
+    ts = idx.term_stats.filter(F.col("field") == fld).select("term", "ttf")
+    sttf = float(idx._sttf(fld))
+    contrib = (
+        rtf.join(ts, "term")
+        .crossJoin(F.broadcast(rlen))
+        .select(
+            F.floor(
+                (F.col("rtf").cast("double") / F.col("rlen"))
+                * F.log(
+                    (F.col("rtf").cast("double") / F.col("rlen"))
+                    / (F.col("ttf").cast("double") / F.lit(sttf))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("cq").cast("long").alias("clarity_q9"),
+    )

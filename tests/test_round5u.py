@@ -434,3 +434,76 @@ def test_bm25f_single_saturation_beats_per_field_sum(spark):
     assert out == want
     # saturation check: doc 1 (tf=4 in one field) must NOT dominate by 4x
     assert out[1] < 4 * out[0]
+
+
+# ----------------------------------------------------------- nDCG / clarity
+def test_ndcg_perfect_ranking_is_one(spark):
+    """If BM25 order coincides with grade order, nDCG@k = 1."""
+    from lucenenet_spark.search.quality import ndcg_at_k
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    # tf gradient: higher tf => higher BM25 (equal dl) => ideal == run
+    texts = [
+        "q q q q x x",
+        "q q q x x x",
+        "q q x x x x",
+        "q x x x x x",
+    ]
+    idx = build_index(_mk_docs(spark, texts), text_col="text", id_col="doc_id")
+    row = ndcg_at_k(IndexSearcher(idx, mode="double"), "q", k=4).collect()[0]
+    assert row["dcg_q9"] == row["idcg_q9"]
+    assert row["ndcg_q"] == 1_000_000
+
+
+def test_ndcg_replica_with_imperfect_ranking(spark):
+    """Longer doc with equal tf ranks lower in BM25 but equal in grade:
+    replica-check the exact quantized DCG/IDCG."""
+    import math
+
+    from lucenenet_spark.search.quality import ndcg_at_k
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    # doc 0: highest grade (tf 3) but diluted in a long doc so BM25
+    # ranks the short tf-2 doc above it -> a GRADED inversion nDCG sees
+    texts = [
+        "q q q " + "x " * 40,
+        "q q x",
+        "q x x",
+    ]
+    idx = build_index(_mk_docs(spark, texts), text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    row = ndcg_at_k(s, "q", k=3, max_grade=4).collect()[0]
+    # replica: compute run/ideal orders from engine scores + grades
+    scores = {
+        r["doc_id"]: math.floor(r["score"] * 10000 + 0.5)
+        for r in s.scored(TermQuery("q")).collect()
+    }
+    grades = {0: 3, 1: 2, 2: 1}
+    assert scores[1] > scores[0]  # the inversion BM25 makes
+    run = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+    ideal = sorted(grades, key=lambda d: (-grades[d], d))[:3]
+
+    def cq(g, r):
+        return math.floor((2.0 ** g - 1.0) / (math.log(r + 1.0) / math.log(2.0)) * 1e9 + 0.5)
+
+    dcg = sum(cq(grades[d], i + 1) for i, d in enumerate(run))
+    idcg = sum(cq(grades[d], i + 1) for i, d in enumerate(ideal))
+    assert (row["dcg_q9"], row["idcg_q9"]) == (dcg, idcg)
+    assert row["ndcg_q"] == math.floor(dcg / idcg * 1e6 + 0.5)
+    assert row["ndcg_q"] < 1_000_000  # ranking is demonstrably imperfect
+
+
+def test_query_clarity_focused_beats_diffuse(spark):
+    """A result set whose language differs from the collection scores
+    higher clarity than one that mirrors the collection."""
+    from lucenenet_spark.search.quality import query_clarity
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    # 'rare' docs share a private vocabulary; 'common' docs mirror the corpus
+    texts = (["rare zeta eta theta"] * 3) + (["common alpha beta gamma"] * 30)
+    idx = build_index(_mk_docs(spark, texts), text_col="text", id_col="doc_id")
+    s = IndexSearcher(idx, mode="double")
+    rare = query_clarity(s, "zeta", k=3).collect()[0]
+    common = query_clarity(s, "alpha", k=30).collect()[0]
+    assert rare["clarity_q9"] > common["clarity_q9"]
+    assert common["clarity_q9"] >= 0  # KL >= 0 up to quantization
