@@ -903,3 +903,96 @@ def query_clarity(spark, sf_dir):
 
     _, searcher, _ = get_engine(spark, sf_dir)
     return _qc(searcher, _QC_TERM, k=_QC_K)
+
+
+# ----------------------------------------------------------------------
+# rbo_rank_overlap — rank-biased overlap (Webber/Moffat/Zobel TOIS'10,
+# p=0.9, depth 10) between the BM25 and ClassicSimilarity rankings of
+# the same query: the standard ranker-similarity diagnostic. Overlaps
+# are exact integers; per-depth contributions quantized 1e9 then
+# exactly summed.
+# ----------------------------------------------------------------------
+_RBO_TERM = "vector"
+_RBO_K = 10
+_RBO_P = 0.9
+
+
+def _rbo_sql() -> str:
+    from lucenenet_spark.plans.gate import SQL_PRELUDE as _PRE
+    from lucenenet_spark.plans.gate import _SQL_SCORED as _SCORED
+    from lucenenet_spark.plans.gate import _tsc
+
+    return (
+        _PRE
+        + ","
+        + _SCORED
+        + f""",
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS ra
+  FROM (
+    SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+    FROM ({_tsc(_RBO_TERM)})
+  ) QUALIFY ra <= {_RBO_K}
+),
+tw AS (
+  SELECT ln(cs.n / (ts.df + 1)) + 1 AS idf FROM ts, cs WHERE term = '{_RBO_TERM}'
+),
+tv AS (
+  SELECT idf * ((1 / sqrt((idf * idf) * (1.0 * 1.0))) * 1.0) * idf AS value FROM tw
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rb
+  FROM (
+    SELECT p.doc_id,
+           CAST(floor((sqrt(p.tf) * tv.value * (1 / sqrt(dl.dl))) * 10000 + 0.5)
+                AS BIGINT) AS score_q
+    FROM post p JOIN dl USING (doc_id), tv
+    WHERE p.term = '{_RBO_TERM}'
+  ) QUALIFY rb <= {_RBO_K}
+),
+bo AS (SELECT ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)),
+ov AS (
+  SELECT d, CAST(count(b.ra) AS BIGINT) AS ov
+  FROM unnest(generate_series(1, {_RBO_K})) AS u(d)
+  LEFT JOIN bo b ON b.ra <= u.d AND b.rb <= u.d
+  GROUP BY d
+),
+contrib AS (
+  SELECT CAST(floor(
+           {1.0 - _RBO_P!r} * pow({_RBO_P!r}, CAST(d AS DOUBLE) - 1.0)
+           * (CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000000.0 + 0.5)
+         AS BIGINT) AS cq
+  FROM ov
+)
+SELECT CAST({_RBO_K} AS BIGINT) AS k,
+       CAST(sum(cq) AS BIGINT) AS rbo_q9
+FROM contrib
+"""
+    )
+
+
+@gate("rbo_rank_overlap", _rbo_sql())
+def rbo_rank_overlap(spark, sf_dir):
+    """RBO@10 (p=0.9) between BM25 and ClassicSimilarity rankings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.plans.gate import get_engine
+    from lucenenet_spark.search.quality import rbo_overlap
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    idx, searcher, _ = get_engine(spark, sf_dir)
+    classic = IndexSearcher(idx, mode="double", similarity="classic")
+
+    def _ranked(s):
+        scored = s.scored(TermQuery(_RBO_TERM)).select(
+            "doc_id",
+            F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("score_q"),
+        )
+        w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+        return scored.withColumn("rank", F.row_number().over(w))
+
+    return rbo_overlap(_ranked(searcher), _ranked(classic), k=_RBO_K, p=_RBO_P)

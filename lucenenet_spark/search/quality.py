@@ -286,3 +286,56 @@ def query_clarity(searcher, term: str, k: int = 10) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("cq").cast("long").alias("clarity_q9"),
     )
+
+
+def rbo_overlap(ranking_a: DataFrame, ranking_b: DataFrame, k: int = 10,
+                p: float = 0.9) -> DataFrame:
+    """Fixed-depth rank-biased overlap (Webber, Moffat & Zobel TOIS'10)
+    between two top-k rankings — the standard indefinite-ranking
+    similarity for comparing rankers (e.g. BM25 vs TFIDF, or a packed
+    vs exploded serving path) without assuming identical result sets:
+
+        RBO@k = (1 - p) * Σ_{d=1..k}  p^(d-1) · |A_d ∩ B_d| / d
+
+    Inputs: DataFrames with (doc_id, rank) where rank is 1-based and
+    dense. Overlaps are exact integers (join on doc_id, count ranks
+    both <= d); each depth's contribution is quantized to a bigint
+    (floor(c * 1e9 + 0.5)) and summed exactly, so the score is engine-
+    order-independent. Output one row: (k, rbo_q9).
+
+    Scale note: the depth loop is a k-row sequence explode joined
+    against the (tiny) rank-pair table — O(k^2) work on k rows, never
+    touching the corpus.
+    """
+    a = ranking_a.select(F.col("doc_id"), F.col("rank").alias("ra")).filter(
+        F.col("ra") <= k
+    )
+    b = ranking_b.select(F.col("doc_id"), F.col("rank").alias("rb")).filter(
+        F.col("rb") <= k
+    )
+    both = a.join(b, "doc_id").select("ra", "rb")
+    from pyspark.sql import DataFrame as _DF  # noqa: F401  (doc only)
+
+    depths = both.sparkSession.range(1, k + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(
+            both, (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), "left"
+        )
+        .groupBy("d")
+        .agg(F.count(F.col("ra")).cast("long").alias("ov"))
+    )
+    contrib = ov.select(
+        F.floor(
+            F.lit(1.0 - p)
+            * F.pow(F.lit(p), F.col("d").cast("double") - F.lit(1.0))
+            * (F.col("ov").cast("double") / F.col("d").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    return contrib.agg(
+        F.max(F.lit(k)).cast("long").alias("k"),
+        F.sum("cq").cast("long").alias("rbo_q9"),
+    )

@@ -507,3 +507,47 @@ def test_query_clarity_focused_beats_diffuse(spark):
     common = query_clarity(s, "alpha", k=30).collect()[0]
     assert rare["clarity_q9"] > common["clarity_q9"]
     assert common["clarity_q9"] >= 0  # KL >= 0 up to quantization
+
+
+# --------------------------------------------------------------------- RBO
+def test_rbo_identical_and_disjoint_rankings(spark):
+    import math
+
+    from lucenenet_spark.search.quality import rbo_overlap
+
+    k, p = 10, 0.9
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(k)], "doc_id long, rank long"
+    )
+    ident = rbo_overlap(a, a, k=k, p=p).collect()[0]
+    # identical rankings: overlap at depth d is d -> contribution (1-p)p^(d-1)
+    want = sum(
+        math.floor((1 - p) * p ** (d - 1) * 1.0 * 1e9 + 0.5) for d in range(1, k + 1)
+    )
+    assert ident["rbo_q9"] == want
+    b = spark.createDataFrame(
+        [(100 + i, i + 1) for i in range(k)], "doc_id long, rank long"
+    )
+    disjoint = rbo_overlap(a, b, k=k, p=p).collect()[0]
+    assert disjoint["rbo_q9"] == 0
+
+
+def test_rbo_partial_overlap_replica(spark):
+    import math
+
+    from lucenenet_spark.search.quality import rbo_overlap
+
+    k, p = 5, 0.9
+    # A: docs 0..4 ; B: docs 2,3,4 at top then 90,91
+    a = spark.createDataFrame([(i, i + 1) for i in range(5)], "doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (90, 4), (91, 5)], "doc_id long, rank long"
+    )
+    got = rbo_overlap(a, b, k=k, p=p).collect()[0]["rbo_q9"]
+    ra = {i: i + 1 for i in range(5)}
+    rb = {2: 1, 3: 2, 4: 3, 90: 4, 91: 5}
+    want = 0
+    for d in range(1, k + 1):
+        ov = sum(1 for x in ra if x in rb and ra[x] <= d and rb[x] <= d)
+        want += math.floor((1 - p) * p ** (d - 1) * (ov / d) * 1e9 + 0.5)
+    assert got == want
