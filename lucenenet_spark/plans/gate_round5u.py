@@ -996,3 +996,60 @@ def rbo_rank_overlap(spark, sf_dir):
         return scored.withColumn("rank", F.row_number().over(w))
 
     return rbo_overlap(_ranked(searcher), _ranked(classic), k=_RBO_K, p=_RBO_P)
+
+
+# ----------------------------------------------------------------------
+# robots_filter — RFC 9309 robots.txt evaluation: longest matching
+# prefix wins, allow beats disallow on equal length, default allow.
+# Deterministic synthetic rules/URLs exercise the allow-override,
+# bare-disallow, host-conditional and no-rule branches. Oracle
+# reproduces the generators and the window tie-break in SQL.
+# ----------------------------------------------------------------------
+_ROBOTS_SQL = """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+rules AS (
+  SELECT host, '/private' AS path_prefix, FALSE AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/private/ok', TRUE FROM hosts
+  WHERE CAST(substr(host, length(host), 1) AS INTEGER) % 2 = 0
+  UNION ALL
+  SELECT host, '/tmp', FALSE FROM hosts
+  WHERE CAST(substr(host, length(host), 1) AS INTEGER) % 3 = 0
+),
+urls AS (
+  SELECT doc_id, source AS host,
+         CASE doc_id % 4
+           WHEN 0 THEN '/private/ok/page' || doc_id
+           WHEN 1 THEN '/private/page' || doc_id
+           WHEN 2 THEN '/tmp/page' || doc_id
+           ELSE '/public/page' || doc_id
+         END AS path
+  FROM documents
+),
+m AS (
+  SELECT u.doc_id, r.allow, r.path_prefix,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.path_prefix) DESC, r.allow DESC
+         ) AS rn
+  FROM urls u JOIN rules r USING (host)
+  WHERE starts_with(u.path, r.path_prefix)
+)
+SELECT u.doc_id, u.host, u.path,
+       coalesce(b.allow, TRUE) AS allowed,
+       coalesce(b.path_prefix, '') AS matched_prefix
+FROM urls u
+LEFT JOIN (SELECT doc_id, allow, path_prefix FROM m WHERE rn = 1) b
+  USING (doc_id)
+"""
+
+
+@gate("robots_filter", _ROBOTS_SQL)
+def robots_filter(spark, sf_dir):
+    """RFC 9309 longest-match robots decision per URL."""
+    from lucenenet_spark.plans.gate import _docs_table
+    from lucenenet_spark.sources.robots import robots_filter as _rf
+    from lucenenet_spark.sources.robots import synth_rules, synth_urls
+
+    docs = _docs_table(spark, sf_dir)
+    return _rf(synth_urls(docs), synth_rules(docs))

@@ -551,3 +551,36 @@ def test_rbo_partial_overlap_replica(spark):
         ov = sum(1 for x in ra if x in rb and ra[x] <= d and rb[x] <= d)
         want += math.floor((1 - p) * p ** (d - 1) * (ov / d) * 1e9 + 0.5)
     assert got == want
+
+
+# ------------------------------------------------------------- robots.txt
+def test_robots_longest_match_and_tie_semantics(spark):
+    """RFC 9309: longest prefix wins; allow beats disallow on equal
+    length; no rule => allowed."""
+    from lucenenet_spark.sources.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (0, "h", "/private/ok/page0"),   # allow overrides /private
+            (1, "h", "/private/page1"),      # disallowed
+            (2, "h", "/public/page2"),       # no rule -> default allow
+            (3, "h", "/dup/page3"),          # equal-length allow+disallow -> allow
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "/private", False),
+            ("h", "/private/ok", True),
+            ("h", "/dup", False),
+            ("h", "/dup", True),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    got = {r["doc_id"]: (r["allowed"], r["matched_prefix"]) for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        0: (True, "/private/ok"),
+        1: (False, "/private"),
+        2: (True, ""),
+        3: (True, "/dup"),
+    }
