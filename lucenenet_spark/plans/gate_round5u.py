@@ -1053,3 +1053,49 @@ def robots_filter(spark, sf_dir):
 
     docs = _docs_table(spark, sf_dir)
     return _rf(synth_urls(docs), synth_rules(docs))
+
+
+# ----------------------------------------------------------------------
+# redirect_resolve — bounded-hop redirect-chain canonicalization (the
+# HTTP client / crawler redirect-loop guard): 3 unrolled left joins
+# against the deterministic redirect map, terminal flag for ids still
+# redirecting after the budget. Oracle unrolls the same 3 hops.
+# ----------------------------------------------------------------------
+_RDR_SQL = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+rd AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id + CAST(floor(nn.n / 3) AS BIGINT)) % nn.n AS target
+  FROM documents d CROSS JOIN nn
+  WHERE d.doc_id % 5 = 0
+),
+h0 AS (SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS hops FROM documents),
+h1 AS (
+  SELECT h.doc_id, coalesce(r.target, h.cur) AS cur,
+         h.hops + CASE WHEN r.target IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM h0 h LEFT JOIN rd r ON r.src = h.cur
+),
+h2 AS (
+  SELECT h.doc_id, coalesce(r.target, h.cur) AS cur,
+         h.hops + CASE WHEN r.target IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM h1 h LEFT JOIN rd r ON r.src = h.cur
+),
+h3 AS (
+  SELECT h.doc_id, coalesce(r.target, h.cur) AS cur,
+         h.hops + CASE WHEN r.target IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM h2 h LEFT JOIN rd r ON r.src = h.cur
+)
+SELECT h.doc_id, h.cur AS final_id, CAST(h.hops AS BIGINT) AS hops,
+       r.src IS NULL AS terminal
+FROM h3 h LEFT JOIN rd r ON r.src = h.cur
+"""
+
+
+@gate("redirect_resolve", _RDR_SQL)
+def redirect_resolve(spark, sf_dir):
+    """Bounded 3-hop redirect resolution with terminal/loop flag."""
+    from lucenenet_spark.plans.gate import _docs_table
+    from lucenenet_spark.sources.robots import resolve_redirects, synth_redirects
+
+    docs = _docs_table(spark, sf_dir)
+    return resolve_redirects(docs, synth_redirects(docs), max_hops=3)

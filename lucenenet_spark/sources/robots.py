@@ -90,3 +90,60 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce(F.col("m_prefix"), F.lit("")).alias("matched_prefix"),
         )
     )
+
+
+def synth_redirects(docs: DataFrame) -> DataFrame:
+    """Deterministic redirect map over doc ids: every doc with
+    doc_id % 5 == 0 redirects to (doc_id + floor(n/3)) % n. Because the
+    target can itself be % 5 == 0, multi-hop chains (and, on small
+    moduli, cycles) occur naturally — exactly what the resolver must
+    bound."""
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("src"))
+        .filter(F.col("src") % 5 == 0)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "src",
+            ((F.col("src") + F.floor(F.col("_n") / 3)) % F.col("_n")).alias("target"),
+        )
+    )
+
+
+def resolve_redirects(urls: DataFrame, redirects: DataFrame, max_hops: int = 3) -> DataFrame:
+    """(doc_id, final_id, hops, terminal): follow the redirect map up to
+    ``max_hops``; terminal=false marks ids still redirecting after the
+    budget (the crawler's redirect-loop guard; HTTP clients cap hops the
+    same way).
+
+    Scale shape: ``max_hops`` broadcast-joins against the redirect map —
+    the map is the SMALL side on a real crawl (a few % of URLs redirect),
+    so each hop is one broadcast hash join; no iteration state beyond the
+    running column pair. Unrolled statically like the PageRank oracle.
+    """
+    out = urls.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for _ in range(max_hops):
+        out = (
+            out.join(
+                redirects.select(F.col("src").alias("cur"), "target"), "cur", "left"
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("target"), F.col("cur")).alias("cur"),
+                (F.col("hops") + F.when(F.col("target").isNotNull(), 1).otherwise(0)).alias("hops"),
+            )
+        )
+    final = (
+        out.join(redirects.select(F.col("src").alias("cur"), F.lit(1).alias("still")), "cur", "left")
+        .select(
+            "doc_id",
+            F.col("cur").alias("final_id"),
+            F.col("hops").cast("long").alias("hops"),
+            F.col("still").isNull().alias("terminal"),
+        )
+    )
+    return final

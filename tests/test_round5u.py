@@ -584,3 +584,25 @@ def test_robots_longest_match_and_tie_semantics(spark):
         2: (True, ""),
         3: (True, "/dup"),
     }
+
+
+# --------------------------------------------------------------- redirects
+def test_redirect_chains_hops_and_loop_guard(spark):
+    from lucenenet_spark.sources.robots import resolve_redirects
+
+    urls = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # 0 -> 1 -> 2 (terminal); 3 -> 4 -> 3 (2-cycle); 5 no redirect
+    redirects = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3)], "src long, target long"
+    )
+    got = {
+        r["doc_id"]: (r["final_id"], r["hops"], r["terminal"])
+        for r in resolve_redirects(urls, redirects, max_hops=3).collect()
+    }
+    assert got[0] == (2, 2, True)
+    assert got[1] == (2, 1, True)
+    assert got[2] == (2, 0, True)
+    # the cycle burns the full budget and is flagged non-terminal
+    assert got[3][1] == 3 and got[3][2] is False and got[3][0] in (3, 4)
+    assert got[4][1] == 3 and got[4][2] is False
+    assert got[5] == (5, 0, True)
