@@ -339,3 +339,203 @@ def rbo_overlap(ranking_a: DataFrame, ranking_b: DataFrame, k: int = 10,
         F.max(F.lit(k)).cast("long").alias("k"),
         F.sum("cq").cast("long").alias("rbo_q9"),
     )
+
+
+def err_at_k(searcher, term: str, k: int = 10, max_grade: int = 4) -> DataFrame:
+    """ERR@k — Expected Reciprocal Rank (Chapelle, Metlzer, Zhang &
+    Grinspan, CIKM 2009), the cascade-model metric: a simulated user
+    scans down the ranking and stops at rank r with probability
+    R_r = (2^g_r - 1) / 2^max_grade, so
+
+        ERR@k = Σ_{r=1..k} (1/r) · R_r · Π_{i<r} (1 - R_i)
+
+    Graded qrels follow ndcg_at_k's convention: g(doc) = min(tf, 4).
+
+    Determinism contract: with gmax=4 every stop probability is a
+    rational with denominator 16, so Π_{i<r}(1 - R_i) = P_r / 16^(r-1)
+    with P_r = Π_{i<r}(16 - (2^g_i - 1)) an EXACT integer <= 16^9 —
+    carried through a single F.aggregate fold over the (tiny, <= k)
+    collected ranking, alongside 16^r itself (ranks are contiguous, so
+    the fold just multiplies by 16 each step). Each rank's contribution
+    (2^g_r - 1) · P_r / (r · 16^r) is one IEEE double division of exact
+    integers, quantized to a bigint (floor(c * 1e9 + 0.5)) and summed
+    exactly. Output one row: (k, err_q9).
+    """
+    idx = searcher.index
+    fld = idx.default_field
+    grades = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select(
+        "doc_id",
+        (F.pow(F.lit(2.0), F.least(F.col("tf"), F.lit(max_grade)).cast("double")) - F.lit(1.0))
+        .cast("long")
+        .alias("n"),
+    )
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(grades, "doc_id")
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("rank").alias("rank"), F.col("n").alias("n")))
+    )
+    # fold state: p = Π(16 - n_i) so far, q = 16^(ranks consumed), s = Σ c_q9
+    init = F.struct(
+        F.lit(1).cast("long").alias("p"),
+        F.lit(1).cast("long").alias("q"),
+        F.lit(0).cast("long").alias("s"),
+    )
+
+    def _step(acc, x):
+        qr = acc["q"] * F.lit(16)
+        contrib = F.floor(
+            x["n"].cast("double")
+            * acc["p"].cast("double")
+            / (x["rank"].cast("double") * qr.cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+        return F.struct(
+            (acc["p"] * (F.lit(16) - x["n"])).alias("p"),
+            qr.alias("q"),
+            (acc["s"] + contrib).alias("s"),
+        )
+
+    folded = run.agg(arr.alias("arr")).select(
+        F.lit(k).cast("long").alias("k"),
+        F.aggregate(F.col("arr"), init, _step)["s"].alias("err_q9"),
+    )
+    return folded
+
+
+def kendall_tau(ranking_a: DataFrame, ranking_b: DataFrame, k: int = 10) -> DataFrame:
+    """Kendall rank correlation (tau-a) between two top-k rankings,
+    computed over the documents BOTH rankers retrieved (the standard
+    restriction for indefinite lists; RBO handles the non-conjoint
+    part).  Concordant/discordant are exact integer pair counts from a
+    self-join over the (<= k-row) intersection; only the final
+    normalization runs in double.  Output one row:
+    (n_common, concordant, discordant, tau_q6) with
+    tau_q6 = floor((C - D) / (m(m-1)/2) * 1e6 + 0.5), 0 when m < 2.
+    """
+    a = ranking_a.select("doc_id", F.col("rank").alias("ra")).filter(F.col("ra") <= k)
+    b = ranking_b.select("doc_id", F.col("rank").alias("rb")).filter(F.col("rb") <= k)
+    both = a.join(b, "doc_id").select("doc_id", "ra", "rb")
+    x = both.select(
+        F.col("doc_id").alias("d1"), F.col("ra").alias("ra1"), F.col("rb").alias("rb1")
+    )
+    y = both.select(
+        F.col("doc_id").alias("d2"), F.col("ra").alias("ra2"), F.col("rb").alias("rb2")
+    )
+    sign = (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2"))
+    pairs = x.join(y, F.col("d1") < F.col("d2")).select(
+        F.when(sign > 0, 1).otherwise(0).alias("c"),
+        F.when(sign < 0, 1).otherwise(0).alias("d"),
+    )
+    agg = pairs.agg(
+        (F.count("*") > 0).alias("_any"),
+        F.sum("c").cast("long").alias("concordant"),
+        F.sum("d").cast("long").alias("discordant"),
+    )
+    m = both.agg(F.count("*").cast("long").alias("n_common"))
+    out = m.crossJoin(agg)
+    denom = F.col("n_common") * (F.col("n_common") - F.lit(1)) / F.lit(2.0)
+    tau = F.when(
+        F.col("n_common") >= 2,
+        F.floor(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / denom
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        "n_common",
+        F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+        tau.alias("tau_q6"),
+    )
+
+
+def bpref_at_k(searcher, term: str, k: int = 10, min_tf: int = 2) -> DataFrame:
+    """bpref (Buckley & Voorhees, SIGIR 2004) — the binary-preference
+    metric for INCOMPLETELY judged pools: unlike AvP it only counts
+    preference violations among judged documents, so it is stable when
+    most of the corpus is unjudged (every web-scale evaluation).
+
+        bpref = (1/R) Σ_{r ∈ retrieved relevant}
+                       (1 - min(nonrel_above_r, R) / min(R, N))
+
+    Judgments follow trec_judgments' convention over this corpus: a doc
+    matching the term is judged; relevant iff tf >= min_tf, judged
+    nonrelevant otherwise.  R/N are the GLOBAL judged-relevant/
+    -nonrelevant counts; nonrel_above_r counts judged nonrelevant docs
+    ranked above r within the top-k run (exact integers via one window
+    over the <= k-row run).  Per-doc contributions are quantized
+    (floor(c * 1e9 + 0.5)) and summed exactly; only the final 1/R scale
+    runs in double.  Output one row: (r_total, n_total, bpref_q9).
+    """
+    idx = searcher.index
+    fld = idx.default_field
+    judged = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    totals = judged.agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("r_total"),
+        F.sum(F.when(F.col("rel"), 0).otherwise(1)).cast("long").alias("n_total"),
+    )
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(judged, "doc_id")
+    )
+    above = (
+        Window.orderBy(F.asc("rank")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = run.withColumn(
+        "nonrel_above",
+        F.coalesce(
+            F.sum(F.when(F.col("rel"), 0).otherwise(1)).over(above), F.lit(0)
+        ).cast("long"),
+    )
+    contrib = run.filter(F.col("rel")).crossJoin(totals).select(
+        "r_total",
+        "n_total",
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.least(F.col("nonrel_above"), F.col("r_total")).cast("double")
+                / F.least(F.col("r_total"), F.col("n_total")).cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cq"),
+    )
+    summed = contrib.groupBy("r_total", "n_total").agg(
+        F.sum("cq").cast("long").alias("sum_q9")
+    )
+    return summed.select(
+        "r_total",
+        "n_total",
+        F.floor(
+            F.col("sum_q9").cast("double") / F.col("r_total").cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bpref_q9"),
+    )
