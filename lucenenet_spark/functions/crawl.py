@@ -108,3 +108,44 @@ def mirror_hosts(docs: DataFrame, top: int = 10, host_col: str = "source") -> Da
         .limit(top)
         .select("host_a", "host_b", "inter", "n_a", "n_b", "jaccard_q6")
     )
+
+
+def recrawl_rates(
+    docs: DataFrame,
+    changes_col=None,
+    obs: int = 8,
+    top: int = 20,
+) -> DataFrame:
+    """Change-rate estimation for freshness-driven recrawl scheduling
+    (Cho & Garcia-Molina, "Estimating frequency of change", TOIT 2003):
+    a crawler that only sees CHANGED/UNCHANGED on each visit estimates
+    the Poisson change rate with their bias-corrected estimator
+
+        lambda_hat = -log((n - c + 0.5) / (n + 0.5))
+
+    (their improved estimator; exact-integer inputs, one log per doc).
+    The recrawl queue then prioritizes by lambda_hat — pages that
+    change hourly get revisited hourly, archival pages yearly; at
+    10^12 pages this IS the recrawl budget allocator.
+
+    ``changes_col`` defaults to a deterministic synthetic history
+    (doc_id % (obs + 1) changes out of ``obs`` visits) so tests and
+    gates need no external crawl log.  Output: top rows by
+    (lambda_q6 DESC, doc_id ASC): (doc_id, changes, obs, lambda_q6).
+    """
+    c = (
+        changes_col
+        if changes_col is not None
+        else (F.col("doc_id") % F.lit(obs + 1)).cast("long")
+    )
+    lam = -F.log(
+        (F.lit(float(obs)) - c.cast("double") + F.lit(0.5))
+        / F.lit(float(obs) + 0.5)
+    )
+    out = docs.select(
+        "doc_id",
+        c.alias("changes"),
+        F.lit(obs).cast("long").alias("obs"),
+        F.floor(lam * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lambda_q6"),
+    )
+    return out.orderBy(F.desc("lambda_q6"), F.asc("doc_id")).limit(top)

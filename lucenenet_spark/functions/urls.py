@@ -159,3 +159,40 @@ def cap_per_host_skewed(
         .drop("_rn", "_host")
     )
     return under_rows.unionByName(capped_rows)
+
+
+def registrable_domain_col(host: Column, suffixes: list[str]) -> Column:
+    """eTLD+1 (registrable domain) extraction against a public-suffix
+    list (publicsuffix.org semantics): the LONGEST matching suffix wins
+    ('sub.x.co.uk' matches 'co.uk', not 'uk'), and the registrable
+    domain is the one label left of it.  Hosts matching no listed
+    suffix fall back to the PSL '*' default (last label is the suffix,
+    so the registrable domain is the last two labels); a host that IS a
+    suffix has no registrable domain (NULL).
+
+    This is the grouping key crawl politeness, host capping, and
+    site-level dedup actually want — 'a.example.co.uk' and
+    'b.example.co.uk' are the same site, 'example.co.uk' and
+    'sample.co.uk' are not, which naive last-two-label grouping gets
+    wrong for every ccTLD.
+
+    All JVM-side: one CASE chain over literal suffixes (the PSL is a
+    few thousand entries — a broadcastable literal table or generated
+    expression, never a shuffle).
+    """
+    import re as _re
+
+    expr = F.when(
+        host.rlike(r"^[^.]+\.[^.]+"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(F.lit(None).cast("string"))
+    # longest suffix first so the generated CASE respects PSL precedence
+    for s in sorted(suffixes, key=lambda x: (x.count("."), len(x))):
+        esc = _re.escape(s)
+        label = F.regexp_extract(host, r"([^.]+)\." + esc + r"$", 1)
+        expr = F.when(host == F.lit(s), F.lit(None).cast("string")).otherwise(expr)
+        expr = F.when(
+            host.rlike(r"\." + esc + r"$"),
+            F.concat(label, F.lit("." + s)),
+        ).otherwise(expr)
+    return expr

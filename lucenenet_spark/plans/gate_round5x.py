@@ -19,7 +19,10 @@ _TDI_TERM = "vector"
 _TDI_K = 10
 
 
-def _tdi_sql() -> str:
+def _tdi_cte_chain() -> str:
+    """Recursive-CTE replay of the deterministic team draft, up to the
+    `fin` CTE holding (docs, teams) — shared with the credit gate in
+    gate_round5y."""
     pre_rec = SQL_PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1)
     return (
         pre_rec
@@ -72,6 +75,14 @@ td(i, picked, docs, teams) AS (
   ) s
 ),
 fin AS (SELECT docs, teams FROM td ORDER BY i DESC LIMIT 1)
+"""
+    )
+
+
+def _tdi_sql() -> str:
+    return (
+        _tdi_cte_chain()
+        + """
 SELECT CAST(generate_subscripts(docs, 1) AS BIGINT) AS pos,
        unnest(docs) AS doc_id,
        teams[generate_subscripts(docs, 1)] AS team

@@ -94,3 +94,37 @@ def team_draft_interleave(
         F.col("e.doc_id").alias("doc_id"),
         F.col("e.team").alias("team"),
     )
+
+
+def interleave_credit(interleaved: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Credit assignment over an interleaved page (the second half of
+    the Radlinski CIKM'08 protocol): clicked documents credit the team
+    that contributed them; the per-impression winner is the team with
+    more credited clicks.
+
+    ``interleaved``: (pos, doc_id, team) as produced by
+    team_draft_interleave.  ``clicks``: (doc_id) — the clicked docs
+    (any extra columns ignored; clicks on docs not on the page don't
+    count, exactly as in the online protocol).
+
+    Output one row: (clicks_a, clicks_b, winner) with winner in
+    {'A','B','tie'} — the paired-preference sample an experiment
+    aggregates over impressions.
+    """
+    credited = interleaved.join(clicks.select("doc_id").distinct(), "doc_id")
+    agg = credited.agg(
+        F.coalesce(F.sum(F.when(F.col("team") == "A", 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("clicks_a"),
+        F.coalesce(F.sum(F.when(F.col("team") == "B", 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("clicks_b"),
+    )
+    return agg.select(
+        "clicks_a",
+        "clicks_b",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), F.lit("A"))
+        .when(F.col("clicks_b") > F.col("clicks_a"), F.lit("B"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
