@@ -279,3 +279,50 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     dd = d.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_edges"))
     out = base.crossJoin(dd).crossJoin(outd).crossJoin(ind).crossJoin(rec)
     return out
+
+
+def spam_mass(
+    docs: DataFrame,
+    trusted_mod: int = 10,
+    damping: float = 0.85,
+    iterations: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Link-spam mass estimation (Gyöngyi, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the
+    fraction of a page's PageRank that does NOT flow from a trusted
+    core.  With p = classic PageRank and p' = PageRank whose teleport
+    vector puts 1/n on each trusted node (and 0 elsewhere), the
+    relative spam mass is  m(x) = (p(x) - p'(x)) / p(x);  pages whose
+    rank is mostly unexplained by the good core are link-spam suspects.
+
+    p' is obtained from the existing seeded pagerank() (teleport 1/|S|
+    per seed) scaled by |S|/n — PageRank is linear in the teleport
+    vector, so this equals the paper's core-based p' exactly while
+    reusing the verified PPR loop.  Trusted core = doc_id %
+    trusted_mod == 0, the same seed set as the personalized_pagerank
+    gate.  Output: (doc_id, pr_q, sm_q5) — top k by relative spam
+    mass (quantized 1e5) with doc-id tie-break.
+    """
+    nodes = docs.select("doc_id")
+    n = nodes.count()
+    edges = build_link_graph(nodes)
+    seeds = nodes.filter(F.col("doc_id") % trusted_mod == 0)
+    s = seeds.count()
+    teleport = seeds.select("doc_id", (F.lit(1.0) / F.lit(float(s))).alias("tp"))
+    pr = pagerank(nodes, edges, damping=damping, iterations=iterations)
+    ppr = pagerank(
+        nodes, edges, damping=damping, iterations=iterations, teleport=teleport
+    ).select(F.col("doc_id"), F.col("pr").alias("ppr"))
+    scale = F.lit(float(s)) / F.lit(float(n))
+    joined = pr.join(ppr, "doc_id").select(
+        "doc_id",
+        F.floor(F.col("pr") * F.lit(1e7) + F.lit(0.5)).cast("long").alias("pr_q"),
+        F.floor(
+            (F.col("pr") - F.col("ppr") * scale) / F.col("pr") * F.lit(1e5)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sm_q5"),
+    )
+    return joined.orderBy(F.desc("sm_q5"), F.asc("doc_id")).limit(k)

@@ -203,3 +203,102 @@ def pmi_collocations(
         )
     )
     return pmi.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def segment_queries(
+    docs: DataFrame, query_mod: int = 7, k: int = 25, quantum: float = 1e6
+) -> DataFrame:
+    """PMI-driven query segmentation (the connexity signal of Risvik et
+    al. 2003; Bergsma & Wang EMNLP'07 use the same association-score
+    decision): a multi-word query is split where adjacent terms are NOT
+    positively associated in the corpus, and kept as a phrase where
+    they are — the decision that turns `new york pizza` into
+    ["new york", "pizza"] before retrieval, upgrading the middle of the
+    query to a PhraseQuery.
+
+    Queries are synthesized deterministically as the first 3 raw tokens
+    of every ``query_mod``-th document (so every query bigram exists in
+    the corpus by construction).  Boundary rule: keep (w_i, w_i+1)
+    joined iff pmi_q(w_i, w_i+1) > 0 (positive association), split
+    otherwise; segmentation rendered with '|' at boundaries.
+
+    Same exact-integer-counts / single-quantized-ln contract as
+    pmi_collocations; the corpus-wide unigram/bigram tables are two
+    groupBy counts shared by every query — at serving scale they are
+    precomputed once and broadcast.  Output: (doc_id, query, pmi12_q,
+    pmi23_q, segmentation), first k by doc_id.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    td = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = td.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    tot = (
+        uni.agg(F.sum("c").cast("long").alias("T"))
+        .crossJoin(big.agg(F.sum("cb").cast("long").alias("B")))
+    )
+
+    q = docs.filter((F.col("doc_id") % query_mod == 0) & (F.size(toks) >= 3)).select(
+        "doc_id",
+        F.element_at(toks, 1).alias("w1"),
+        F.element_at(toks, 2).alias("w2"),
+        F.element_at(toks, 3).alias("w3"),
+    )
+
+    def _pmi_q(cb_col, c1_col, c2_col):
+        return F.floor(
+            F.log(
+                (cb_col.cast("double") / F.col("B"))
+                / ((c1_col.cast("double") / F.col("T")) * (c2_col.cast("double") / F.col("T")))
+            )
+            * F.lit(quantum)
+            + F.lit(0.5)
+        ).cast("long")
+
+    b12 = big.select(
+        F.col("w1"), F.col("w2"), F.col("cb").alias("cb12")
+    )
+    b23 = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("cb23")
+    )
+    u = lambda name, alias: uni.select(F.col("w").alias(name), F.col("c").alias(alias))
+    joined = (
+        q.join(b12, ["w1", "w2"])
+        .join(b23, ["w2", "w3"])
+        .join(u("w1", "c1"), "w1")
+        .join(u("w2", "c2"), "w2")
+        .join(u("w3", "c3"), "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("query"),
+            _pmi_q(F.col("cb12"), F.col("c1"), F.col("c2")).alias("pmi12_q"),
+            _pmi_q(F.col("cb23"), F.col("c2"), F.col("c3")).alias("pmi23_q"),
+            "w1",
+            "w2",
+            "w3",
+        )
+    )
+    seg = F.concat(
+        F.col("w1"),
+        F.when(F.col("pmi12_q") > 0, F.lit(" ")).otherwise(F.lit("|")),
+        F.col("w2"),
+        F.when(F.col("pmi23_q") > 0, F.lit(" ")).otherwise(F.lit("|")),
+        F.col("w3"),
+    )
+    return (
+        joined.select("doc_id", "query", "pmi12_q", "pmi23_q", seg.alias("segmentation"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
