@@ -149,3 +149,60 @@ def recrawl_rates(
         F.floor(lam * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lambda_q6"),
     )
     return out.orderBy(F.desc("lambda_q6"), F.asc("doc_id")).limit(top)
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    host_col: str = "source",
+    k: int = SHINGLE_K,
+    min_docs: int = 3,
+    min_frac: float = 0.1,
+    top: int = 20,
+) -> DataFrame:
+    """Per-host template/boilerplate detection (Gibson, Punera &
+    Tomkins, "The volume and evolution of web page templates", WWW
+    2005): a shingle that recurs across a large fraction of one host's
+    documents is site chrome (nav, footer, legal text), not content —
+    the thing dedup must ignore and extraction must strip.  Production
+    thresholds sit near frac >= 0.4; the gate corpus has no injected
+    templates, so its gate runs at the long-tail end (>= 0.1, >= 3
+    docs) where the same arithmetic is exercised on organic repeats.
+
+    One distinct (host, doc, shingle) pass, two counts; frac compared
+    via exact cross-multiplication (nd * 1000 >= min_frac_ppm * hd
+    style integer test — no float threshold ambiguity).  Output:
+    (host, shingle, n_docs, host_docs) ordered by (n_docs DESC, host,
+    shingle), first `top`.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ds = docs.select(
+        F.col(host_col).alias("host"),
+        F.col("doc_id"),
+        F.explode(grams).alias("shingle"),
+    ).distinct()
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct("doc_id").cast("long").alias("host_docs")
+    )
+    counts = ds.groupBy("host", "shingle").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # integer threshold: n_docs/host_docs >= min_frac  <=>
+    # n_docs * 1_000_000 >= round(min_frac * 1e6) * host_docs
+    frac_ppm = int(round(min_frac * 1_000_000))
+    return (
+        counts.join(host_docs, "host")
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_docs") * F.lit(1_000_000) >= F.lit(frac_ppm) * F.col("host_docs"))
+        )
+        .orderBy(F.desc("n_docs"), F.asc("host"), F.asc("shingle"))
+        .limit(top)
+        .select("host", "shingle", "n_docs", "host_docs")
+    )
