@@ -158,3 +158,100 @@ def weighted_sample(
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "weight", "key_q9")
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_sketch(
+    values: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    stream summary: the count-min sketch and its applications", J.
+    Algorithms 2005) over a value stream: (row, bucket, cnt) with
+    depth x width integer counters.  Like hll_registers, the state is
+    a plain mergeable DataFrame (merge = groupBy sum) built on
+    engine-portable md5 row hashes — the rolling per-shard term/URL
+    frequency summary whose point queries never rescan history.
+
+    hash_j(v) = first 8 md5 hex chars of "<j>#<v>" mod width; every
+    count is an exact bigint, so estimates are bit-identical anywhere.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(j)), F.lit("#"), F.col(col)
+                                ).cast("binary")
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        values.select(F.explode(rows).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates: (value, est) with est = min over the
+    depth counters each probe hashes to — an overestimate by at most
+    the collision noise bound (e/width x stream length, w.p. 1-delta).
+    """
+    hashed = probes.select(
+        F.col(col).alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(str(j)), F.lit("#"), F.col(col)
+                                        ).cast("binary")
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("value", "rb.row", "rb.bucket")
+    return (
+        hashed.join(sketch, ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
