@@ -515,3 +515,120 @@ def sparse_cosine_pairs(
         )
     )
     return cos.orderBy(F.desc("cos_q"), F.asc("doc_a"), F.asc("doc_b")).limit(k)
+
+
+# -------------------------------------------------------------------- JL
+def jl_signs(d_in: int, d_out: int) -> list[tuple[int, int, int]]:
+    """Deterministic Achlioptas sign matrix: s_ij = +-1 from the parity
+    of the first md5 hex digit of "i#j" — the single source of truth
+    both the Spark plan and any oracle replay (minhash_perms
+    convention)."""
+    import hashlib
+
+    out = []
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"{i}#{j}".encode()).hexdigest()
+            out.append((i, j, 1 if int(h[0], 16) % 2 == 0 else -1))
+    return out
+
+
+def jl_project_q(
+    emb: DataFrame, d_out: int = 16, id_col: str = "vec_id", quantum: float = 1024.0
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with Achlioptas ±1 signs
+    (Achlioptas, "Database-friendly random projections", JCSS 2003):
+    y_j = Σ_i x_i·s_ij, preserving pairwise distances within 1±ε at
+    d_out = O(log n / ε²) — the standard dimensionality cut before ANN
+    indexing when 64-1536-d embeddings are too wide to bucket.
+
+    Determinism contract: components are quantized FIRST
+    (xq = floor(x·1024 + 0.5) — ·1024 is a power of two, so the
+    float32→double→quantize path is exact in any engine), then every
+    projection is an exact INTEGER sum — order-independent, no float
+    accumulation anywhere.  Returns (vec_id, j, yq).
+
+    Scale shape: explode to (row, i, xq) + broadcast sign join +
+    groupBy(vec_id, j) integer sum here (exactness over elegance); at
+    10^9 rows the same quantized matrix runs as an Arrow-batched
+    matmul in mapInArrow with identical outputs.
+    """
+    d_in = len(emb.select("embedding").head()[0])
+    signs = emb.sparkSession.createDataFrame(
+        jl_signs(d_in, d_out), "i int, j int, s int"
+    )
+    comps = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * F.lit(quantum) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    return (
+        comps.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xq") * F.col("s")).cast("long").alias("yq"))
+    )
+
+
+def jl_distance_audit(
+    emb: DataFrame, d_out: int = 16, n_pairs: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """JL distance-preservation audit against vec 0: for b = 1..n_pairs,
+    (vec_b, d2_orig, d2_proj, ratio_q4) with ratio =
+    sqrt(d2_proj / d_out) / sqrt(d2_orig) ≈ 1 ± ε — exact integer
+    squared distances, one double formula at the end."""
+    d_in = len(emb.select("embedding").head()[0])
+    proj = jl_project_q(emb, d_out=d_out, id_col=id_col)
+    pa = proj.filter(F.col("vec_id") == 0).select("j", F.col("yq").alias("ya"))
+    pb = proj.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_pairs)
+    ).select(F.col("vec_id").alias("vec_b"), "j", F.col("yq").alias("yb"))
+    d2p = (
+        pb.join(pa, "j")
+        .groupBy("vec_b")
+        .agg(
+            F.sum((F.col("yb") - F.col("ya")) * (F.col("yb") - F.col("ya")))
+            .cast("long")
+            .alias("d2_proj")
+        )
+    )
+    comps = emb.select(
+        F.col(id_col).alias("vec_id"), F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * F.lit(1024.0) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    ca = comps.filter(F.col("vec_id") == 0).select("i", F.col("xq").alias("xa"))
+    cb = comps.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_pairs)
+    ).select(F.col("vec_id").alias("vec_b"), "i", F.col("xq").alias("xb"))
+    d2o = (
+        cb.join(ca, "i")
+        .groupBy("vec_b")
+        .agg(
+            F.sum((F.col("xb") - F.col("xa")) * (F.col("xb") - F.col("xa")))
+            .cast("long")
+            .alias("d2_orig")
+        )
+    )
+    ratio = F.when(
+        F.col("d2_orig") > 0,
+        F.floor(
+            F.sqrt(F.col("d2_proj").cast("double") / F.lit(float(d_out)))
+            / F.sqrt(F.col("d2_orig").cast("double"))
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(10000).cast("long"))  # zero distance preserved exactly
+    return (
+        d2o.join(d2p, "vec_b")
+        .select("vec_b", "d2_orig", "d2_proj", ratio.alias("ratio_q4"))
+        .orderBy("vec_b")
+    )

@@ -101,3 +101,78 @@ def rrf_hybrid_topk(
         k=rrf_k,
         topk=topk,
     )
+
+
+def combmnz_fusion(
+    ranking_a: DataFrame, ranking_b: DataFrame, k: int = 10, quantum: float = 1e6
+) -> DataFrame:
+    """CombMNZ score fusion (Fox & Shaw, "Combination of multiple
+    searches", TREC-2 1994): min-max normalize each system's scores
+    over its own top-k, sum them, and multiply by the number of systems
+    that retrieved the document — the classic unsupervised fusion that
+    RRF later simplified (rank-only); CombMNZ keeps score magnitudes,
+    which helps when one system's margins are informative.
+
+    Inputs: (doc_id, rank, score_q) top-k frames (quantized scores, as
+    the engine's collectors emit).  Normalization runs on the exact
+    integer score_q against integer per-system min/max (single-doc
+    systems normalize to 1.0); the fused value is quantized back to a
+    bigint.  Output: (rank, doc_id, n_systems, fused_q), ordered
+    (fused_q DESC, doc_id ASC).
+    """
+    from pyspark.sql import Window
+
+    def _norm(r: DataFrame, side: str) -> DataFrame:
+        r = r.filter(F.col("rank") <= k).select(
+            "doc_id", F.col("score_q").alias("s")
+        )
+        mm = r.agg(
+            F.min("s").alias("lo"), F.max("s").alias("hi")
+        )
+        return r.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(F.col("hi") == F.col("lo"), F.lit(1.0))
+            .otherwise(
+                (F.col("s") - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo")).cast("double")
+            )
+            .alias(f"n_{side}"),
+        )
+    a = _norm(ranking_a, "a")
+    b = _norm(ranking_b, "b")
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("n_a", F.lit(0.0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0.0)).alias("n_b"),
+    )
+    pres_a = ranking_a.filter(F.col("rank") <= k).select(
+        "doc_id", F.lit(1).alias("in_a")
+    )
+    pres_b = ranking_b.filter(F.col("rank") <= k).select(
+        "doc_id", F.lit(1).alias("in_b")
+    )
+    pres = pres_a.join(pres_b, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce("in_a", F.lit(0)) + F.coalesce("in_b", F.lit(0)))
+        .cast("long")
+        .alias("n_systems"),
+    )
+    out = (
+        fused.join(pres, "doc_id")
+        .select(
+            "doc_id",
+            "n_systems",
+            F.floor(
+                F.col("n_systems").cast("double")
+                * (F.col("n_a") + F.col("n_b"))
+                * F.lit(quantum)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("fused_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("fused_q"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "n_systems", "fused_q"
+    )
