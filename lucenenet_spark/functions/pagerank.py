@@ -326,3 +326,53 @@ def spam_mass(
         .alias("sm_q5"),
     )
     return joined.orderBy(F.desc("sm_q5"), F.asc("doc_id")).limit(k)
+
+
+def salsa(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SALSA authority scores (Lempel & Moran, "The stochastic approach
+    for link-structure analysis", WWW 2000): HITS's mutual
+    reinforcement replaced by a random walk on the bipartite hub/
+    authority graph — step BACK to a uniform in-neighbor, then FORWARD
+    to a uniform out-neighbor.  The walk is stochastic, so no
+    normalization step is needed (mass is conserved exactly — the
+    pytest twin asserts it), and unlike HITS the scores are not
+    dominated by the largest dense community — the TKC effect SALSA
+    was introduced to fix.
+
+    Each iteration is two joins + two map-side-combinable aggregations:
+      b(i)  = Σ_{j : i→j}  a(j) / indeg(j)      (back-step)
+      a'(j) = Σ_{i : i→j}  b(i) / outdeg(i)     (forward-step)
+    with multigraph multiplicity (edges carry deg = outdeg(src);
+    indeg(dst) counted once and broadcast).  Returns (id_col, a).
+    """
+    n = nodes.count()
+    ids = nodes.select(F.col(id_col).cast("long").alias(id_col))
+    indeg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("ind"))
+    edges = edges.join(indeg, "dst").persist()
+    a = ids.select(id_col, (F.lit(1.0) / F.lit(float(n))).alias("a")).persist()
+    for _ in range(iterations):
+        back = (
+            edges.join(a.select(F.col(id_col).alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") / F.col("ind")).alias("b"))
+        )
+        fwd = (
+            edges.join(back, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("b") / F.col("deg")).alias("anew"))
+        )
+        new = (
+            ids.join(fwd, ids[id_col] == fwd["dst"], "left")
+            .select(id_col, F.coalesce(F.col("anew"), F.lit(0.0)).alias("a"))
+            .persist()
+        )
+        new.count()
+        a.unpersist()
+        a = new
+    edges.unpersist()
+    return a

@@ -539,3 +539,42 @@ def bpref_at_k(searcher, term: str, k: int = 10, min_tf: int = 2) -> DataFrame:
         .cast("long")
         .alias("bpref_q9"),
     )
+
+
+def bm25_param_sweep(
+    index,
+    term: str,
+    grid: tuple[tuple[float, float], ...] = (
+        (1.2, 0.75),
+        (0.9, 0.4),
+        (1.6, 0.75),
+        (1.2, 0.2),
+    ),
+    k: int = 10,
+    max_grade: int = 4,
+) -> DataFrame:
+    """Offline BM25 (k1, b) tuning sweep: nDCG@k of each parameter
+    combination against the corpus-derived graded qrels — the
+    relevance-tuning loop every deployment runs before changing
+    similarity constants (the reference exposes the same two knobs on
+    BM25Similarity.cs; SweetSpotSimilarity exists because defaults are
+    rarely optimal).  One row per combo: (k1_q2, b_q2, dcg_q9,
+    idcg_q9, ndcg_q) — IDCG is shared (grades don't depend on the
+    ranking), so differences isolate the ranking change.
+    """
+    from functools import reduce as _reduce
+
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    frames = []
+    for k1, b in grid:
+        s = IndexSearcher(index, mode="double", k1=k1, b=b)
+        row = ndcg_at_k(s, term, k=k, max_grade=max_grade).select(
+            F.lit(int(round(k1 * 100))).cast("long").alias("k1_q2"),
+            F.lit(int(round(b * 100))).cast("long").alias("b_q2"),
+            "dcg_q9",
+            "idcg_q9",
+            "ndcg_q",
+        )
+        frames.append(row)
+    return _reduce(lambda x, y: x.unionByName(y), frames)
