@@ -1,0 +1,98 @@
+"""Index-layout accounting: what the reference's storage decisions
+save, measured on this engine's own tables.
+
+* ``term_dict_prefix_stats`` — front-coding benefit of the sorted term
+  dictionary.  The reference's BlockTree term dict shares prefixes
+  inside 25-48-entry blocks (SURVEY §2.3 "Term dict writer",
+  src/Lucene.Net/Codecs/BlockTreeTermsWriter.cs:57-64); this measures
+  the same quantity on our term table: bytes to store every term raw
+  vs. sorted front-coding (each term stores only its suffix after the
+  longest common prefix with its predecessor).  One window over the
+  sorted dictionary, all exact integers.
+
+* ``index_options_size_audit`` — the FieldInfo.IndexOptions tradeoff
+  (DOCS_ONLY | DOCS_AND_FREQS | ..._AND_POSITIONS,
+  src/Lucene.Net/Index/FieldInfo.cs:316-356) priced on the real
+  postings: how many integers each level persists.  This is the sizing
+  question every schema review asks before enabling phrase queries on
+  a 100 TB field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark.index.builder import InvertedIndex
+
+
+def term_dict_prefix_stats(idx: InvertedIndex, field: str | None = None) -> DataFrame:
+    """One row (n_terms, raw_bytes, front_bytes, savings_ppm).
+
+    front_bytes charges each term len(term) - lcp(term, prev term) in
+    sorted order (the first term is stored whole).  lcp via a
+    char-zip equality array and the position of its first mismatch —
+    pure Column ops, no UDF.
+    """
+    fld = field or idx.default_field
+    terms = idx.term_stats.filter(F.col("field") == fld).select("term")
+    w = Window.orderBy("term")
+    t = terms.withColumn("prev", F.lag("term").over(w))
+    cur_c = F.split(F.col("term"), "")
+    prev_c = F.split(F.col("prev"), "")
+    eq = F.zip_with(
+        cur_c,
+        prev_c,
+        lambda x, y: F.when(
+            x.isNotNull() & y.isNotNull() & (x == y), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    first_zero = F.array_position(eq, 0)  # 1-based; 0 when no mismatch
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.when(
+            first_zero == 0,
+            F.least(F.length("term"), F.length("prev")),
+        ).otherwise(first_zero - F.lit(1))
+    )
+    sized = t.select(
+        F.length("term").cast("long").alias("raw"),
+        (F.length("term") - lcp).cast("long").alias("front"),
+    )
+    agg = sized.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("raw").cast("long").alias("raw_bytes"),
+        F.sum("front").cast("long").alias("front_bytes"),
+    )
+    return agg.select(
+        "n_terms",
+        "raw_bytes",
+        "front_bytes",
+        F.floor(
+            (F.col("raw_bytes") - F.col("front_bytes")).cast("double")
+            / F.col("raw_bytes").cast("double")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("savings_ppm"),
+    )
+
+
+def index_options_size_audit(idx: InvertedIndex, field: str | None = None) -> DataFrame:
+    """One row (n_postings, ints_docs_only, ints_docs_freqs,
+    ints_positions): integers persisted per IndexOptions level —
+    doc deltas alone, + per-posting tf, + one position per occurrence.
+    """
+    fld = field or idx.default_field
+    p = idx.postings.filter(F.col("field") == fld)
+    agg = p.agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.sum(F.size("positions")).cast("long").alias("n_positions"),
+    )
+    return agg.select(
+        "n_postings",
+        F.col("n_postings").alias("ints_docs_only"),
+        (F.col("n_postings") * 2).cast("long").alias("ints_docs_freqs"),
+        (F.col("n_postings") * 2 + F.col("n_positions"))
+        .cast("long")
+        .alias("ints_positions"),
+    )
