@@ -722,3 +722,65 @@ def strip_duplicated_spans(
     return base.join(starts, id_col, "left").select(
         id_col, F.concat_ws(" ", kept).alias("clean_text")
     )
+
+
+def lsh_quality_audit(
+    docs: DataFrame,
+    jaccard_threshold_ppm: int = 500_000,
+    n: int = 3,
+    df_cap: int = DEFAULT_SHINGLE_DF_CAP,
+    n_hashes: int = DEFAULT_MINHASH_N,
+    bands: int = DEFAULT_MINHASH_BANDS,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Precision/recall audit of the MinHash-LSH candidate generator
+    against exact shingle Jaccard — the tuning harness behind every
+    (n_hashes, bands) choice: the banding s-curve (Broder 1997;
+    Leskovec/Rajaraman/Ullman ch.3 analysis) trades recall at the
+    threshold against candidate-set size, and this measures BOTH on the
+    live corpus instead of trusting the formula.
+
+    Ground truth = exact Jaccard >= threshold over the SAME df-capped
+    shingle sets LSH sees (integer cross-multiplication, no float
+    compare); candidates = the production minhash_lsh_pairs call.
+    All-pairs exact truth is O(docs^2) in the worst case — this is an
+    offline audit on a sample, not a pipeline stage (the pipeline's
+    scalable verify is the LSH-candidates-only Jaccard pass).
+
+    Output one row: (n_truth, n_cand, tp, precision_ppm, recall_ppm).
+    """
+    sh = capped_shingles(docs, n=n, df_cap=df_cap)
+    cand = minhash_lsh_pairs(
+        sh.withColumnRenamed("shingle", "term"),
+        n_hashes=n_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    ).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("nsz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsz", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsz", "nb"), "doc_b")
+        .filter(
+            F.col("inter") * F.lit(1_000_000)
+            >= F.lit(jaccard_threshold_ppm) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    tp = truth.join(cand, ["doc_a", "doc_b"]).count()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    spark = docs.sparkSession
+    prec = (tp * 1_000_000) // n_cand if n_cand else 0
+    rec = (tp * 1_000_000) // n_truth if n_truth else 0
+    return spark.createDataFrame(
+        [(n_truth, n_cand, tp, prec, rec)],
+        "n_truth long, n_cand long, tp long, precision_ppm long, recall_ppm long",
+    )

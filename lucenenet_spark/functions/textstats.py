@@ -302,3 +302,86 @@ def segment_queries(
         .orderBy(F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    max_words: int = 4,
+    k: int = 20,
+    quantum: float = 1e6,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley, "Rapid
+    automatic keyword extraction", Text Mining 2010): candidate phrases
+    are maximal stopword-free token runs (the analyzer's 33-word
+    English stop set as delimiters), scored by summing their words'
+    degree/frequency ratios — deg(w) counts co-occurrence inside
+    candidate phrases (including w itself), freq(w) the word's phrase
+    occurrences.  High-degree words in short phrases win: the classic
+    cheap keyphrase pass pipelines run before anything learned.
+
+    Runs longer than ``max_words`` are discarded (RAKE's phrase-length
+    filter).  Phrase scoring is over phrase TYPES corpus-wide.  All
+    counts are exact integers; word scores quantize deg/freq at
+    ``quantum`` and phrase scores are exact integer sums of those —
+    engine-order independent.  The run segmentation is one cumulative
+    sum over positions; no UDF anywhere.
+
+    Output: (phrase, n_words, n_occurrences, score_q), top k by
+    (score_q DESC, phrase ASC).
+    """
+    from pyspark.sql import Window
+
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+
+    stops = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    ).withColumn(
+        "st",
+        F.when(
+            (F.col("w") == "") | F.array_contains(stops, F.col("w")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    run_w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn("run_id", F.sum("st").over(run_w)).filter(
+        F.col("st") == 0
+    )
+    phrases = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"])
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+    )
+    occ = phrases.select("phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w"))
+    word_stats = occ.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    wscore = word_stats.select(
+        "w",
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq").cast("double") * F.lit(quantum)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ws_q"),
+    )
+    ptype = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )
+    pscore = (
+        ptype.select("phrase", "n_words", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wscore, "w")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("ws_q").cast("long").alias("score_q"))
+    )
+    return (
+        pscore.orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(k)
+        .select("phrase", "n_words", "n_occurrences", "score_q")
+    )
