@@ -385,3 +385,71 @@ def rake_keyphrases(
         .limit(k)
         .select("phrase", "n_words", "n_occurrences", "score_q")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph — RAKE's graph-based
+    sibling, robust where deg/freq ratios are noisy because scores
+    propagate through the whole vocabulary graph instead of a single
+    phrase neighborhood.
+
+    Graph: unweighted edges between ADJACENT content words (stop words
+    and empties removed, adjacency in the filtered sequence — the
+    w=2 co-occurrence window of the paper), both directions, self-loop
+    repeats dropped.  Words map to dense ids by sorted-vocabulary rank
+    so the existing distributed pagerank() loop runs unchanged; ranks
+    map back and quantize 1e-7.
+
+    Output: (word, rank_q), top k by (rank_q DESC, word ASC).
+    """
+    from pyspark.sql import Window
+
+    from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+    from lucenenet_spark.functions.pagerank import pagerank
+
+    stops = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"))
+        .filter((F.col("w") != "") & ~F.array_contains(stops, F.col("w")))
+        .withColumn(
+            "seq",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("seq") - 1).alias("seq"), F.col("w").alias("wb")
+    )
+    adj = (
+        toks.join(nxt, ["doc_id", "seq"])
+        .filter(F.col("w") != F.col("wb"))
+        .select(F.col("w").alias("wa"), "wb")
+    )
+    und = adj.union(adj.select(F.col("wb").alias("wa"), F.col("wa").alias("wb"))).distinct()
+    vocab = und.select(F.col("wa").alias("word")).distinct()
+    wid = vocab.withColumn(
+        "wid", (F.row_number().over(Window.orderBy("word")) - 1).cast("long")
+    )
+    e = (
+        und.join(wid.withColumnRenamed("word", "wa").withColumnRenamed("wid", "src"), "wa")
+        .join(wid.withColumnRenamed("word", "wb").withColumnRenamed("wid", "dst"), "wb")
+        .select("src", "dst")
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    edges = e.join(deg, "src").select("src", "dst", "deg")
+    nodes = wid.select(F.col("wid").alias("doc_id"))
+    pr = pagerank(nodes, edges, damping=damping, iterations=iterations)
+    return (
+        pr.join(wid, pr["doc_id"] == wid["wid"])
+        .select(
+            "word",
+            F.floor(F.col("pr") * F.lit(1e7) + F.lit(0.5)).cast("long").alias("rank_q"),
+        )
+        .orderBy(F.desc("rank_q"), F.asc("word"))
+        .limit(k)
+    )

@@ -74,3 +74,44 @@ class ClassicSimilarity:
     def decode_table_f32() -> np.ndarray:
         """DefaultSimilarity NORM_TABLE: raw Byte315ToSingle floats."""
         return byte315_to_float(np.arange(256, dtype=np.uint8)).astype(np.float32)
+
+
+def bm25_plus_scored(index, term: str, k1: float = 1.2, b: float = 0.75,
+                     delta: float = 1.0, field: str | None = None):
+    """BM25+ single-term scoring (Lv & Zhai, "Lower-bounding term
+    frequency normalization", CIKM 2011): classic BM25 systematically
+    UNDER-rewards occurrence in long documents — as dl grows, even the
+    first occurrence's contribution decays toward 0, so a long doc
+    containing the term can score below the no-occurrence baseline of a
+    short one.  BM25+ adds a lower-bound constant delta to the
+    saturated tf component:
+
+        score = idf * ( (k1+1)·tf / (tf + K) + delta ),
+        K = k1·((1-b) + b·dl/avgdl)
+
+    with delta = 1.0 (the paper's recommended default).  Joins the
+    similarity seam beside BM25/Classic/LM/DFR/IB/SweetSpot; same
+    double-mode idf and norm arithmetic as the engine's other kernels,
+    one whole-stage-codegen expression over the postings scan.
+    Returns (doc_id, score).
+    """
+    from pyspark.sql import functions as F
+
+    fld = field or index.default_field
+    stats = index.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("df")
+    n = float(index.max_doc)
+    avgdl = index.avgdl_double_for(fld)
+    p = index.postings.filter((F.col("field") == fld) & (F.col("term") == term))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    kk = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    score = idf * (F.lit(k1 + 1.0) * tf / (tf + kk) + F.lit(delta))
+    return p.crossJoin(F.broadcast(stats)).select("doc_id", score.alias("score"))
