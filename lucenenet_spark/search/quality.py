@@ -578,3 +578,107 @@ def bm25_param_sweep(
         )
         frames.append(row)
     return _reduce(lambda x, y: x.unionByName(y), frames)
+
+
+def alpha_dcg_at_k(searcher, docs: DataFrame, term: str, k: int = 10) -> DataFrame:
+    """alpha-DCG@k (Clarke et al., "Novelty and diversity in
+    information retrieval evaluation", SIGIR 2008) with alpha = 0.5:
+    the diversity-aware gain that pays (1-alpha)^c for the (c+1)-th
+    document of the same intent aspect — repeated aspects decay
+    geometrically, so a ranking covering many intents early wins.
+    Aspects come from the corpus ``lang`` column (the language IS the
+    intent split a multilingual SERP diversifies over; any categorical
+    DocValues column slots in the same way).
+
+    alpha = 0.5 keeps every novelty factor an exact power of two
+    (1 / 2^c via an integer shift — no pow()), the rank discount is
+    the shared ndcg log2(r+1), and per-rank contributions quantize to
+    bigints before the exact sum.  The normalized variant needs the
+    NP-hard ideal ordering; like most production dashboards this
+    reports the raw alpha-DCG plus the aspect coverage count.
+
+    Output one row: (k, n_aspects_covered, alpha_dcg_q9).
+    """
+    from pyspark.sql import Window
+
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(docs.select("doc_id", F.col("lang").alias("aspect")), "doc_id")
+    )
+    wa = Window.partitionBy("aspect").orderBy("rank")
+    run = run.withColumn("c", (F.row_number().over(wa) - F.lit(1)).cast("long"))
+    novelty = F.lit(1.0) / F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(c AS INT))"
+    ).cast("double")
+    contrib = F.floor(
+        novelty
+        / (F.log(F.col("rank").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0)))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return run.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.countDistinct("aspect").cast("long").alias("n_aspects_covered"),
+        F.sum(contrib).cast("long").alias("alpha_dcg_q9"),
+    )
+
+
+def intent_aware_precision(
+    searcher, docs: DataFrame, term: str, k: int = 10, min_tf: int = 2
+) -> DataFrame:
+    """Intent-aware precision@k (Agrawal, Gollapudi, Halverson & Ieong,
+    "Diversifying search results", WSDM 2009): IA-P@k = sum_a P(a|q) *
+    P@k restricted to aspect a — a ranking only scores well if it is
+    precise for EVERY likely intent, weighted by intent probability.
+    Aspects = ``lang``; P(a|q) = aspect share among all docs matching
+    the query; relevance = the tf >= min_tf judged convention.
+
+    Fully exact: IA-P@k = sum_a cnt_a * relk_a / (total * k) computed
+    as one integer numerator and one floor division.  Output one row:
+    (k, total_matching, ia_p_q6).
+    """
+    from pyspark.sql import Window
+
+    idx = searcher.index
+    fld = idx.default_field
+    matched = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    aspects = matched.join(
+        docs.select("doc_id", F.col("lang").alias("aspect")), "doc_id"
+    )
+    prior = aspects.groupBy("aspect").agg(F.count("*").cast("long").alias("cnt"))
+    total = aspects.count()
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(aspects, "doc_id")
+    )
+    relk = topk.filter(F.col("rel")).groupBy("aspect").agg(
+        F.count("*").cast("long").alias("relk")
+    )
+    num = (
+        prior.join(relk, "aspect", "left")
+        .select((F.col("cnt") * F.coalesce(F.col("relk"), F.lit(0))).alias("x"))
+        .agg(F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("num"))
+    )
+    return num.select(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(total).cast("long").alias("total_matching"),
+        F.floor(
+            F.col("num").cast("double") * F.lit(1e6) / F.lit(float(total * k))
+        )
+        .cast("long")
+        .alias("ia_p_q6"),
+    )
