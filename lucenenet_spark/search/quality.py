@@ -34,6 +34,7 @@ searcher's single-job plans.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -681,4 +682,68 @@ def intent_aware_precision(
         )
         .cast("long")
         .alias("ia_p_q6"),
+    )
+
+
+def map_mrr_at_k(searcher, term: str, k: int = 10, min_tf: int = 2) -> DataFrame:
+    """MAP / MRR / P@k over the tf-convention judged pool — the three
+    classic TREC set metrics (Harman, TREC overview; the trec_eval
+    `map`, `recip_rank`, `P.10` rows), computed as EXACT integers.
+
+    Every rank-position precision P@i = relcnt@i / i is a rational with
+    denominator <= k, so scaling by S = lcm(1..k) makes each AP and RR
+    contribution an exact integer: ap_num_s = Σ_{i: rel} relcnt@i·(S/i)
+    (AP = ap_num_s / (S·R)) and rr_num_s = S / first_rel_rank
+    (RR = rr_num_s / S).  No double arithmetic anywhere, so any SQL
+    engine reproduces the integers bit-for-bit — the same integer-first
+    discipline as bpref_at_k / err_at_k.
+
+    Judgments follow trec_judgments' convention: docs matching the term
+    are judged, relevant iff tf >= min_tf; run docs outside the pool
+    count nonrelevant (the standard unjudged-as-nonrel assumption).
+    Output one row: (r_total, scale_s, p_at_k, rr_num_s, ap_num_s).
+    """
+    idx = searcher.index
+    fld = idx.default_field
+    scale = 1
+    for i in range(2, k + 1):
+        scale = scale * i // math.gcd(scale, i)
+    judged = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    totals = judged.agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("r_total")
+    )
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(judged, "doc_id", "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(False)))
+    )
+    cum = Window.orderBy(F.asc("rank")).rowsBetween(Window.unboundedPreceding, 0)
+    run = run.withColumn(
+        "relcnt",
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(cum).cast("long"),
+    )
+    return run.crossJoin(totals).groupBy("r_total").agg(
+        F.lit(scale).cast("long").alias("scale_s"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("p_at_k"),
+        F.coalesce(
+            F.lit(scale) / F.min(F.when(F.col("rel"), F.col("rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rr_num_s"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("rel"), F.col("relcnt") * F.lit(scale) / F.col("rank"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ap_num_s"),
     )

@@ -137,3 +137,105 @@ def prune_index_topm(
         .select(*target.columns)
     )
     return dataclasses.replace(idx, postings=pruned.unionByName(rest))
+
+
+def cori_shard_ranking(
+    index: InvertedIndex,
+    terms,
+    n_shards: int = 4,
+    field: str | None = None,
+    b_belief: float = 0.4,
+    c_df: float = 50.0,
+    c_cw: float = 150.0,
+) -> DataFrame:
+    """CORI collection selection (Callan, Lu & Croft, "Searching
+    Distributed Collections with Inference Networks", SIGIR 1995) — the
+    resource-ranking step of federated search: score each shard by how
+    likely it is to hold answers for the query, BEFORE fanning out, so a
+    broker can route to the most promising shards only.  The third leg
+    of the serving story beside shard_merge_topk (merge) and
+    prune_index_topm (per-shard store).
+
+    Per term t and shard s with df = df_{t,s}, cw = token count of s,
+    acw = mean shard token count, ns = n_shards, cf = #shards with t:
+
+        T = df / (df + c_df + c_cw * cw / acw)
+        I = ln((ns + 0.5) / cf) / ln(ns + 1.0)
+        belief(t|s) = b + (1 - b) * T * I          (b = 0.4)
+
+    Query score = sum of per-term beliefs (absent term => df=0 => T=0
+    => belief b, the CORI default-belief floor).  Shards are the hash
+    slices doc_id % n_shards — the routing a broker actually uses.  All
+    inputs (df, cw, cf) are exact integers aggregated globally; each
+    per-term belief is quantized to an integer BEFORE the cross-term
+    sum, so the total never depends on double summation order.
+    Output: (rank, shard_id, belief_sum_q6), belief DESC / shard ASC.
+
+    Scale shape: df/cw/cf are tiny per-shard aggregates (shards x terms
+    rows), the ranking itself is shards-sized — the broker decision
+    costs O(metadata), never a corpus scan at query time.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    fld = field or index.default_field
+    spark = index.postings.sparkSession
+    shard = (F.col("doc_id") % n_shards).cast("long").alias("shard_id")
+    # per-shard collection word counts (exact integers)
+    cw = (
+        index.doclens.filter(F.col("field") == fld)
+        .select(shard, "dl")
+        .groupBy("shard_id")
+        .agg(F.sum("dl").cast("long").alias("cw"))
+    )
+    # per-(term, shard) document frequencies
+    dfs = (
+        index.postings.filter(
+            (F.col("field") == fld) & (F.col("term").isin(terms))
+        )
+        .select("term", shard)
+        .groupBy("term", "shard_id")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    cf = dfs.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    grid = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .crossJoin(spark.range(n_shards).select(F.col("id").cast("long").alias("shard_id")))
+        .join(dfs, ["term", "shard_id"], "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cf), "term", "left")
+        # cf=0 (term in no shard) would make I = ln(inf); T is 0 there, so
+        # pin cf to 1 — belief collapses to the floor b either way
+        .withColumn("cf", F.greatest(F.coalesce(F.col("cf"), F.lit(0)), F.lit(1)).cast("long"))
+        .join(F.broadcast(cw), "shard_id", "left")
+        .withColumn("cw", F.coalesce(F.col("cw"), F.lit(0)).cast("long"))
+    )
+    acw = cw.agg(F.sum("cw").cast("long").alias("tot")).select(
+        (F.col("tot").cast("double") / F.lit(float(n_shards))).alias("acw")
+    )
+    t_frac = F.col("df").cast("double") / (
+        F.col("df").cast("double")
+        + F.lit(c_df)
+        + F.lit(c_cw) * F.col("cw").cast("double") / F.col("acw")
+    )
+    i_frac = F.log(
+        (F.lit(float(n_shards)) + F.lit(0.5)) / F.col("cf").cast("double")
+    ) / F.log(F.lit(float(n_shards) + 1.0))
+    belief = F.lit(b_belief) + F.lit(1.0 - b_belief) * t_frac * i_frac
+    per_shard = (
+        grid.crossJoin(F.broadcast(acw))
+        .select(
+            "shard_id",
+            F.floor(belief * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("belief_q6"),
+        )
+        .groupBy("shard_id")
+        .agg(F.sum("belief_q6").cast("long").alias("belief_sum_q6"))
+    )
+    w = Window.orderBy(F.desc("belief_sum_q6"), F.asc("shard_id"))
+    return per_shard.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "shard_id", "belief_sum_q6")
