@@ -189,3 +189,100 @@ def lm_quality_filter(
         F.col("avg_logprob_q") >= math.floor(min_avg_logprob * 10000)
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def kneser_ney_bigram_logprob(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney, ICASSP
+    1995; the interpolated form of Chen & Goodman, "An Empirical Study
+    of Smoothing Techniques for Language Modeling", 1998 §2.7) — the
+    strongest classical n-gram smoother, and the quality filter CCNet's
+    "wikipedia-perplexity" buckets approximate:
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1·)
+                      + (D · N1+(w1 ·) / c(w1·)) · (N1+(· w2) / N1+(· ·))
+
+    where c(w1·) = Σ_w2 c(w1 w2) is the CONTEXT count, N1+(w1 ·) the
+    distinct continuations of w1, N1+(· w2) the distinct contexts of w2
+    (the continuation probability — "how novel is w2", the KN insight
+    that 'francisco' follows many tokens badly), and N1+(· ·) the total
+    bigram type count.  D = 0.75 is the standard absolute discount.
+
+    All five count tables come from TWO aggregations over the exploded
+    adjacent-pair stream (raw whitespace tokens, bigram_logprob's
+    convention); per-pair ln P is quantized to a q6 integer BEFORE the
+    per-document sum, so results are bit-stable across engines and
+    partitionings.  Pairs whose context w1 never occurs as a context in
+    ``train`` are unscorable (division by c=0) and are dropped (as are pairs scoring exactly 0);
+    n_bigrams counts scored pairs only.  Output:
+    (id_col, n_bigrams, sum_lp_q6).
+
+    Scale: explode + two groupBys (map-side combinable) + hash joins on
+    token keys; the type-count scalars ride broadcast.  No driver state,
+    no per-row Python.
+    """
+    if train is None:
+        train = df
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            id_col,
+            F.array_remove(F.split(F.col(text_col), " "), "").alias("t"),
+        ).filter(F.size("t") >= 2)
+        return toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 2, size(t) - 1),"
+                    " (w, i) -> struct(t[i] AS w1, w AS w2))"
+                )
+            ).alias("p"),
+        ).select(id_col, "p.w1", "p.w2")
+
+    big = (
+        _pairs(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .persist()
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),  # N1+(w1 ·)
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1b")  # N1+(· w2)
+    )
+    ntypes = big.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    d = float(discount)
+    p_kn = (
+        F.greatest(F.col("cb").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(d) * F.col("n1f").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("nt").cast("double"))
+    )
+    scored = (
+        _pairs(df)
+        .join(big.withColumnRenamed("cb", "cb_s"), ["w1", "w2"], "left")
+        .withColumn("cb", F.coalesce(F.col("cb_s"), F.lit(0)).cast("long"))
+        .join(ctx, "w1")  # inner: unseen contexts are unscorable
+        .join(cont, "w2", "left")
+        .withColumn("n1b", F.coalesce(F.col("n1b"), F.lit(0)).cast("long"))
+        # cb=0 AND n1b=0 => P_KN = 0 exactly (ln undefined): unscorable
+        .filter((F.col("cb") > 0) | (F.col("n1b") > 0))
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            id_col,
+            F.floor(F.log(p_kn) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("lp_q6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_q6").cast("long").alias("sum_lp_q6"),
+    )

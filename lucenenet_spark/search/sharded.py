@@ -239,3 +239,108 @@ def cori_shard_ranking(
     return per_shard.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("rank", "shard_id", "belief_sum_q6")
+
+
+def _hash_ring(n_shards: int, vnodes: int) -> list[tuple[int, int]]:
+    """Sorted (position, shard) ring: 32-bit md5 points for each of the
+    n_shards x vnodes virtual nodes.  Driver-side constants — the ring
+    is O(shards) metadata, never data."""
+    import hashlib
+
+    nodes = []
+    for s in range(n_shards):
+        for v in range(vnodes):
+            h = int(hashlib.md5(f"shard-{s}-vn-{v}".encode()).hexdigest()[:8], 16)
+            nodes.append((h, s))
+    nodes.sort()
+    if len({p for p, _ in nodes}) != len(nodes):  # pragma: no cover
+        raise ValueError("virtual-node position collision; raise vnodes bits")
+    return nodes
+
+
+def consistent_hash_route(
+    docs: DataFrame,
+    n_shards: int,
+    vnodes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, shard_id) under consistent hashing (Karger et al.,
+    "Consistent Hashing and Random Trees", STOC 1997) — the router an
+    elastic serving tier uses so that resharding from N to N+1 nodes
+    moves only ~1/(N+1) of the corpus instead of rehashing everything
+    (mod-N routing moves almost all of it).
+
+    Each shard owns ``vnodes`` virtual points on a 32-bit md5 ring; a
+    doc routes to the first point at or after md5(doc_id), wrapping to
+    the smallest point.  The ring is a sorted LITERAL array (shards x
+    vnodes entries), so assignment is a map-only Column expression —
+    no join, no shuffle, whole-stage codegen at any corpus size.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if vnodes < 1:
+        raise ValueError(f"vnodes must be >= 1, got {vnodes}")
+    ring = _hash_ring(n_shards, vnodes)
+    positions = F.lit([p for p, _ in ring])  # sorted ascending
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    succ = F.coalesce(
+        F.try_element_at(F.filter(positions, lambda x: x >= F.col("h")), F.lit(1)),
+        F.lit(ring[0][0]),
+    )
+    pos2shard = F.create_map(
+        *[F.lit(v) for pair in ring for v in pair]
+    )
+    return (
+        docs.select(F.col(id_col), h.alias("h"))
+        .select(F.col(id_col), succ.alias("pos"))
+        .select(
+            F.col(id_col),
+            F.try_element_at(pos2shard, F.col("pos")).cast("long").alias("shard_id"),
+        )
+    )
+
+
+def consistent_hash_rebalance(
+    docs: DataFrame,
+    n_shards: int,
+    vnodes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard audit of growing the ring from n_shards to n_shards+1:
+    (shard_id, docs_before, docs_after, moved_out), all exact integers.
+
+    The consistent-hashing contract — a doc moves ONLY if one of the
+    new shard's virtual points landed between the doc and its old
+    successor, so every moved doc lands on the NEW shard:
+    sum(moved_out) == docs_after of shard n_shards.  That invariant is
+    what makes incremental resharding cheap at 10^12 docs: N->N+1
+    touches ~corpus/(N+1) postings, not the whole index.
+    """
+    before = consistent_hash_route(docs, n_shards, vnodes, id_col).withColumnRenamed(
+        "shard_id", "s_before"
+    )
+    after = consistent_hash_route(docs, n_shards + 1, vnodes, id_col).withColumnRenamed(
+        "shard_id", "s_after"
+    )
+    joined = before.join(after, id_col)
+    from_side = joined.groupBy(F.col("s_before").alias("shard_id")).agg(
+        F.count("*").cast("long").alias("docs_before"),
+        F.sum(F.when(F.col("s_before") != F.col("s_after"), 1).otherwise(0))
+        .cast("long")
+        .alias("moved_out"),
+    )
+    to_side = joined.groupBy(F.col("s_after").alias("shard_id")).agg(
+        F.count("*").cast("long").alias("docs_after")
+    )
+    return (
+        from_side.join(to_side, "shard_id", "full_outer")
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            F.coalesce(F.col("docs_before"), F.lit(0)).cast("long").alias("docs_before"),
+            F.coalesce(F.col("docs_after"), F.lit(0)).cast("long").alias("docs_after"),
+            F.coalesce(F.col("moved_out"), F.lit(0)).cast("long").alias("moved_out"),
+        )
+        .orderBy("shard_id")
+    )
