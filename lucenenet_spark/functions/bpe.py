@@ -60,11 +60,8 @@ def _adjacent_pairs(syms: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn_merges(
-    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
-) -> DataFrame:
-    """(round, w1, w2, pair_count): the first n_merges BPE merges learned
-    from the corpus' word-frequency table, 1-indexed in merge order."""
+def _train(docs: DataFrame, n_merges: int, text_col: str):
+    """(winner frames, final symbol table after ALL merges applied)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = (
@@ -92,17 +89,53 @@ def bpe_learn_merges(
                 F.lit(rnd).cast("long").alias("round"), "w1", "w2", "pair_count"
             )
         )
-        if rnd < n_merges:
-            syms = (
-                syms.crossJoin(F.broadcast(winner.select("w1", "w2")))
-                .select(
-                    F.expr(
-                        "replace(sym,"
-                        " concat(' ', w1, '  ', w2, ' '),"
-                        " concat(' ', w1, w2, ' '))"
-                    ).alias("sym"),
-                    "cnt",
-                )
-                .persist()
+        syms = (
+            syms.crossJoin(F.broadcast(winner.select("w1", "w2")))
+            .select(
+                F.expr(
+                    "replace(sym,"
+                    " concat(' ', w1, '  ', w2, ' '),"
+                    " concat(' ', w1, w2, ' '))"
+                ).alias("sym"),
+                "cnt",
             )
+            .persist()
+        )
+    return winners, syms
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(round, w1, w2, pair_count): the first n_merges BPE merges learned
+    from the corpus' word-frequency table, 1-indexed in merge order."""
+    winners, _ = _train(docs, n_merges, text_col)
     return reduce(DataFrame.unionByName, winners)
+
+
+def bpe_token_stats(
+    docs: DataFrame, n_merges: int = 3, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Apply the learned merges and report the resulting vocabulary's
+    head: (rank, token, token_count) for the k most frequent subword
+    tokens, weighted by word frequency — the segmentation a trained
+    ``n_merges``-rule BPE tokenizer actually produces on this corpus
+    (Sennrich ACL'16 §3.2's apply step).  Order (count DESC, token ASC);
+    exact integers throughout."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _, syms = _train(docs, n_merges, text_col)
+    toks = syms.select(
+        F.explode(F.split(F.trim(F.col("sym")), "  ")).alias("token"), "cnt"
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum("cnt").cast("long").alias("token_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("token_count"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "token_count")
+    )

@@ -286,3 +286,114 @@ def kneser_ney_bigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("lp_q6").cast("long").alias("sum_lp_q6"),
     )
+
+
+def context_spell_correct(
+    docs: DataFrame,
+    prev_word: str,
+    misspelled: str,
+    k: int = 5,
+    max_edits: int = 2,
+    edit_penalty_q6: int = 5000000,
+    discount: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-sensitive "did you mean" correction via the noisy-channel
+    decomposition (Kernighan, Church & Gale, COLING 1990; Brill & Moore
+    ACL 2000): rank replacement candidates c for ``misspelled`` by
+
+        score = ln P_KN(c | prev_word)  -  penalty * edits(c, misspelled)
+
+    i.e. a channel model (uniform per-edit cost) times the interpolated
+    Kneser-Ney bigram source model — the context step DirectSpellChecker
+    lacks (reference: Lucene.Net.Suggest/Spell/DirectSpellChecker.cs
+    ranks by isolated-term edit distance + docFreq only; this adds the
+    left-context language model).
+
+    Candidate generation follows the scale discipline of the fuzzy-query
+    rework: a LENGTH-BAND prefilter (abs(len(w) - len(q)) <= max_edits)
+    pushes down BEFORE the O(|w|*|q|) levenshtein compute, so the term
+    dictionary is pruned by the cheap predicate first.  All scoring is
+    integer (lp quantized q6, integer edit distances, integer penalty);
+    ties break on candidate ASC.
+
+    Output: (rank, candidate, dist, lp_q6, score_q6), top-k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.array_remove(F.split(F.col(text_col), " "), "").alias("t")
+        ).filter(F.size("t") >= 2)
+        return toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 2, size(t) - 1),"
+                    " (w, i) -> struct(t[i] AS w1, w AS w2))"
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+
+    big = (
+        _pairs(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .persist()
+    )
+    ctx = big.filter(F.col("w1") == prev_word).groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    ntypes = big.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    vocab = (
+        docs.select(
+            F.explode(F.array_remove(F.split(F.col(text_col), " "), "")).alias("w")
+        )
+        .distinct()
+        # length band FIRST: the pushdown-friendly prefilter
+        .filter(
+            F.abs(F.length("w") - F.lit(len(misspelled))) <= max_edits
+        )
+        .withColumn("dist", F.levenshtein(F.col("w"), F.lit(misspelled)).cast("long"))
+        .filter(F.col("dist") <= max_edits)
+    )
+    d = float(discount)
+    cand = (
+        vocab.join(
+            big.filter(F.col("w1") == prev_word).select(
+                F.col("w2").alias("w"), "cb"
+            ),
+            "w",
+            "left",
+        )
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(ctx))
+        .join(cont.withColumnRenamed("w2", "w"), "w", "left")
+        .withColumn("n1b", F.coalesce(F.col("n1b"), F.lit(0)).cast("long"))
+        .filter((F.col("cb") > 0) | (F.col("n1b") > 0))
+        .crossJoin(F.broadcast(ntypes))
+    )
+    p_kn = (
+        F.greatest(F.col("cb").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(d) * F.col("n1f").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("nt").cast("double"))
+    )
+    scored = cand.select(
+        F.col("w").alias("candidate"),
+        "dist",
+        F.floor(F.log(p_kn) * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("lp_q6"),
+    ).withColumn(
+        "score_q6",
+        (F.col("lp_q6") - F.lit(int(edit_penalty_q6)) * F.col("dist")).cast("long"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_q6"), F.asc("candidate"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "candidate", "dist", "lp_q6", "score_q6")
+    )
