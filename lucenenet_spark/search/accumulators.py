@@ -1,0 +1,110 @@
+"""Accumulator-limited ranking — Moffat & Zobel, "Self-Indexing
+Inverted Files for Fast Text Retrieval", ACM TOIS 1996 (the quit/
+continue strategies): bound query-evaluation memory by capping the
+number of document accumulators at L, processing query terms rarest
+first so the cap is spent on the most selective evidence.
+
+Semantics implemented (the *continue* strategy):
+
+* terms are processed in (df ASC, term ASC) order — rarest first,
+  exactly the Moffat-Zobel schedule;
+* a document may only OPEN an accumulator while fewer than L are open;
+  when a term's new documents would overflow the cap, the remaining
+  slots go to the highest-impact new documents (contribution DESC,
+  doc_id ASC);
+* once the cap is reached no new accumulators open, but every OPEN
+  accumulator keeps receiving contributions from later terms (continue,
+  not quit) — so admitted documents carry their EXACT full OR score.
+
+The sequential admission loop is re-expressed as one declarative
+ranking: a doc's admission key is (rank of its FIRST matching term ASC,
+contribution from that first term DESC, doc_id ASC), and the first L
+docs under that order are exactly the set the sequential algorithm
+admits — round r's admissions all sort before round r+1's, and within
+a round the tie-break matches the per-round top-up.  That turns a
+stateful scan into two windowed aggregations: no iteration, no driver
+state, and the accumulator table is bounded at L rows per query — the
+original paper's memory guarantee, which at 10^12 docs is the
+difference between a bounded heap and an unbounded hash of every
+matching doc.
+
+Contributions are the searcher's quantized per-term BM25 partials
+(bigint), so admission and final scores are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark.search.queries import TermQuery
+
+__all__ = ["accumulator_limited_topk"]
+
+
+def accumulator_limited_topk(
+    searcher,
+    terms,
+    limit: int = 50,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """(rank, doc_id, first_term_rank, score_q): top-k of the OR query
+    over ``terms`` under an L-accumulator budget (continue strategy)."""
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idx = searcher.index
+    fld = field or idx.default_field
+    # rarest-first schedule: (df ASC, term ASC)
+    order = idx.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term").isin(terms))
+    ).select("term", "df")
+    tw = Window.orderBy(F.asc("df"), F.asc("term"))
+    sched = order.withColumn("term_rank", F.row_number().over(tw).cast("long")).drop(
+        "df"
+    )
+    # per-(doc, term) quantized contributions, one scored pass per term
+    # riding the searcher's shared scored() plan
+    contribs = None
+    for t in terms:
+        c = searcher.scored(TermQuery(t, field=field)).select(
+            "doc_id",
+            F.lit(t).alias("term"),
+            F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c_q"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    contribs = contribs.join(F.broadcast(sched), "term")
+    # admission key: first matching term's (rank, contribution)
+    first = contribs.groupBy("doc_id").agg(
+        F.min(F.struct(F.col("term_rank"), (-F.col("c_q")).alias("neg_c"))).alias("f")
+    ).select(
+        "doc_id",
+        F.col("f.term_rank").alias("first_term_rank"),
+        (-F.col("f.neg_c")).cast("long").alias("first_c_q"),
+    )
+    aw = Window.orderBy(
+        F.asc("first_term_rank"), F.desc("first_c_q"), F.asc("doc_id")
+    )
+    admitted = (
+        first.withColumn("_adm", F.row_number().over(aw))
+        .filter(F.col("_adm") <= limit)
+        .select("doc_id", "first_term_rank")
+    )
+    totals = (
+        contribs.join(admitted, "doc_id")
+        .groupBy("doc_id", "first_term_rank")
+        .agg(F.sum("c_q").cast("long").alias("score_q"))
+    )
+    fw = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(fw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "first_term_rank", "score_q")
+    )

@@ -747,3 +747,77 @@ def map_mrr_at_k(searcher, term: str, k: int = 10, min_tf: int = 2) -> DataFrame
         .cast("long")
         .alias("ap_num_s"),
     )
+
+
+def wig_nqc_qpp(searcher, term: str, k: int = 10) -> DataFrame:
+    """Post-retrieval query-performance prediction: WIG (Zhou & Croft,
+    "Query Performance Prediction in Web Search Environments", SIGIR
+    2007) and NQC (Shtok, Kurland & Carmel, "Predicting Query
+    Performance by Query-Drift Estimation", ICTIR 2009) for a
+    single-term query — the broker-side signals that decide whether a
+    query needs expansion, more shards, or a human.
+
+        WIG = (1/k) Σ_{d∈top-k} (score(d) - score(q, Corpus))
+        NQC = sqrt( (1/k) Σ (score(d) - mean)^2 ) / score(q, Corpus)
+
+    score(q, Corpus) is the BM25 kernel evaluated on the collection
+    pseudo-document (tf = ttf, dl = collection length — so dl/avgdl =
+    max_doc), the standard corpus normalizer.  Top-k scores are the
+    searcher's q4 integers, so Σ and Σ² are exact; NQC's k²·variance =
+    k·Σs² − (Σs)² is an exact integer and only the final sqrt/divide
+    runs in double.  Output one row:
+    (k_eff, s_corpus_q4, wig_sum_q4, nqc_q6) where
+    WIG = wig_sum_q4 / (k_eff · 1e4).
+    """
+    idx = searcher.index
+    fld = idx.default_field
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("s_q"),
+    )
+    w = Window.orderBy(F.desc("s_q"), F.asc("doc_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    n = float(idx.max_doc)
+    stats = idx.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("df", "ttf")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    from lucenenet_spark.search.searcher import B, K1
+
+    ctf = F.col("ttf").cast("double")
+    corpus_score = idf * F.lit(K1 + 1.0) * ctf / (
+        ctf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.lit(n))
+    )
+    corpus = stats.select(
+        F.floor(corpus_score * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s_corpus_q4")
+    )
+    agg = top.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.sum("s_q").cast("long").alias("sum_s"),
+        F.sum(F.col("s_q") * F.col("s_q")).cast("long").alias("sum_s2"),
+    )
+    return agg.crossJoin(F.broadcast(corpus)).select(
+        "k_eff",
+        "s_corpus_q4",
+        (F.col("sum_s") - F.col("k_eff") * F.col("s_corpus_q4"))
+        .cast("long")
+        .alias("wig_sum_q4"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("k_eff") * F.col("sum_s2") - F.col("sum_s") * F.col("sum_s")
+                ).cast("double")
+            )
+            / (F.col("k_eff").cast("double") * F.col("s_corpus_q4").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nqc_q6"),
+    )
