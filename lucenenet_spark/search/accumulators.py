@@ -108,3 +108,98 @@ def accumulator_limited_topk(
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "first_term_rank", "score_q")
     )
+
+
+def maxscore_topk(
+    searcher,
+    terms,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """MaxScore pruning (Turtle & Flood, "Query Evaluation: Strategies
+    and Optimizations", Information Processing & Management 1995) for a
+    disjunctive query, as a declarative exact-top-k plan:
+
+    1. per-term max impact  m_t = max over docs of the quantized BM25
+       partial (exact bigint);
+    2. a PROVABLE threshold lower bound: theta = max over terms of the
+       k-th best single-term score (every doc's OR score >= its
+       single-term score, so the true k-th best OR score >= theta);
+    3. sort terms by m_t ASC and prefix-sum: terms whose cumulative
+       max-impact stays BELOW theta are NON-ESSENTIAL — a doc matching
+       only those terms scores at most that cumulative sum and can
+       never enter the top k;
+    4. candidates = docs matching >= 1 ESSENTIAL term; their full OR
+       scores (all terms' contributions) are summed and the top k
+       returned.
+
+    The result is rank- and score-identical to the unpruned OR — the
+    MaxScore guarantee — while the candidate set skips every
+    only-non-essential doc (for a web query with one rare and several
+    stopword-scale terms, that is most of the corpus).  This is the
+    TERM-level pruning complement to the BLOCK-level pruning in
+    block_searcher.py (Ding & Suel's BMW builds on exactly this).
+    All pruning arithmetic is integer: quantized impacts, integer
+    prefix sums, integer theta.
+
+    Output: (rank, doc_id, score_q) + audit columns (n_essential,
+    n_terms) constant per row.
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    contribs = None
+    for t in terms:
+        c = searcher.scored(TermQuery(t, field=field)).select(
+            "doc_id",
+            F.lit(t).alias("term"),
+            F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c_q"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    contribs = contribs.persist()
+    # per-term kth-best single score (0 when the term has < k docs: no
+    # bound can be claimed from it)
+    pw = Window.partitionBy("term").orderBy(F.desc("c_q"), F.asc("doc_id"))
+    kth = (
+        contribs.withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") == k)
+        .groupBy()
+        .agg(F.coalesce(F.max("c_q"), F.lit(0)).cast("long").alias("theta"))
+    )
+    maxi = contribs.groupBy("term").agg(F.max("c_q").cast("long").alias("m"))
+    cw = Window.orderBy(F.asc("m"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flags = (
+        maxi.crossJoin(F.broadcast(kth))
+        .withColumn("cum", F.sum("m").over(cw).cast("long"))
+        .withColumn("essential", F.col("cum") >= F.col("theta"))
+    )
+    ess = flags.filter(F.col("essential")).select("term")
+    n_ess = flags.agg(
+        F.sum(F.when(F.col("essential"), 1).otherwise(0)).cast("long").alias("n_essential")
+    )
+    cand = (
+        contribs.join(F.broadcast(ess), "term")
+        .select("doc_id")
+        .distinct()
+    )
+    totals = (
+        contribs.join(cand, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("c_q").cast("long").alias("score_q"))
+    )
+    fw = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(fw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(n_ess))
+        .select(
+            "rank", "doc_id", "score_q", "n_essential",
+            F.lit(len(terms)).cast("long").alias("n_terms"),
+        )
+    )
