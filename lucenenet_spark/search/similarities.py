@@ -115,3 +115,74 @@ def bm25_plus_scored(index, term: str, k1: float = 1.2, b: float = 0.75,
     )
     score = idf * (F.lit(k1 + 1.0) * tf / (tf + kk) + F.lit(delta))
     return p.crossJoin(F.broadcast(stats)).select("doc_id", score.alias("score"))
+
+
+def pivoted_norm_scored(index, term: str, slope: float = 0.2,
+                        field: str | None = None):
+    """Pivoted-normalization VSM (Singhal, Buckley & Mitra, "Pivoted
+    Document Length Normalization", SIGIR 1996) for a single-term
+    query with qtf = 1 — the Lnu.ltu weighting that preceded BM25 as
+    the SMART default:
+
+        score = (1 + ln(1 + ln(tf)))
+                / ((1 - s) + s * dl / avgdl)
+                * ln((N + 1) / df)
+
+    The double-log tf dampening and the pivoted (slope-s) length
+    normalizer are the paper's equations 2-4; s = 0.2 is the published
+    default.  Same exact-stats seam as every similarity here: df/tf/dl
+    integers, one double formula.
+    """
+    from pyspark.sql import functions as F
+
+    fld = field or index.default_field
+    stats = index.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("df")
+    n = float(index.max_doc)
+    avgdl = index.avgdl_double_for(fld)
+    p = index.postings.filter((F.col("field") == fld) & (F.col("term") == term))
+    tf = F.col("tf").cast("double")
+    w_tf = F.lit(1.0) + F.log(F.lit(1.0) + F.log(tf))
+    norm = F.lit(1.0 - slope) + F.lit(slope) * F.col("dl").cast("double") / F.lit(avgdl)
+    idf = F.log((F.lit(n) + F.lit(1.0)) / F.col("df").cast("double"))
+    score = w_tf / norm * idf
+    return p.crossJoin(F.broadcast(stats)).select("doc_id", score.alias("score"))
+
+
+def dfi_scored(index, term: str, field: str | None = None):
+    """Divergence-from-independence ranking (Kocabaş, Dinçer &
+    Karaoğlan, "A nonparametric term weighting approach to information
+    retrieval: divergence from independence", Information Retrieval
+    17(2), 2014 — the standardized measure), the DFISimilarity model:
+
+        E     = (ttf + 1) * dl / (sttf + 1)     expected tf under
+                                                 term-document independence
+        score = log2( (tf - E) / sqrt(E) + 1 )   when tf > E, else 0
+
+    Documents at or below their expected frequency score zero and are
+    dropped (the model's own stopword resistance: a term occurring at
+    chance rate carries no evidence).  log2 is written ln(x)/ln(2) so
+    both engines share one primitive.
+    """
+    from pyspark.sql import functions as F
+
+    fld = field or index.default_field
+    stats = index.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("ttf")
+    sttf = float(index._sttf(fld))
+    p = index.postings.filter((F.col("field") == fld) & (F.col("term") == term))
+    tf = F.col("tf").cast("double")
+    e = (
+        (F.col("ttf").cast("double") + F.lit(1.0))
+        * F.col("dl").cast("double")
+        / F.lit(sttf + 1.0)
+    )
+    measure = (tf - e) / F.sqrt(e)
+    score = F.log(measure + F.lit(1.0)) / F.log(F.lit(2.0))
+    return (
+        p.crossJoin(F.broadcast(stats))
+        .filter(tf > e)
+        .select("doc_id", score.alias("score"))
+    )
