@@ -1,0 +1,57 @@
+"""Query-log analysis over the events table.
+
+``click_entropy`` — click-entropy intent classification (Dou, Song &
+Wen, "A Large-scale Evaluation and Analysis of Personalized Search
+Strategies", WWW 2007 §4.2): the Shannon entropy of a query's click
+distribution separates NAVIGATIONAL queries (everyone clicks the same
+result, entropy ~ 0 — personalization and diversification are wasted)
+from INFORMATIONAL ones (clicks spread wide, entropy high).  Here the
+events table plays the role of the click log: ``event_type`` is the
+query class and the integer in ``props`` is the clicked item.
+
+Determinism: per-class -p·ln(p) contributions are quantized to q9
+integers BEFORE the per-query sum (the bpref discipline), so the
+entropy total never depends on double summation order.  Output per
+query: (event_type, n_clicks, n_distinct, entropy_q9).
+
+Scale shape: one groupBy(query, item) + one groupBy(query) — map-side
+combinable counts over the raw log, no state beyond the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["click_entropy"]
+
+
+def click_entropy(events: DataFrame) -> DataFrame:
+    """(event_type, n_clicks, n_distinct, entropy_q9) per query class."""
+    clicks = events.select(
+        "event_type",
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long").alias("item"),
+    )
+    per_item = clicks.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = per_item.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_clicks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    contrib = per_item.join(totals, "event_type").select(
+        "event_type",
+        "n_clicks",
+        "n_distinct",
+        F.floor(
+            -(F.col("c").cast("double") / F.col("n_clicks").cast("double"))
+            * F.log(F.col("c").cast("double") / F.col("n_clicks").cast("double"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("h_q9"),
+    )
+    return contrib.groupBy("event_type", "n_clicks", "n_distinct").agg(
+        F.sum("h_q9").cast("long").alias("entropy_q9")
+    )
