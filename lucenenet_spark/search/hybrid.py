@@ -176,3 +176,54 @@ def combmnz_fusion(
     return out.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "n_systems", "fused_q"
     )
+
+
+def borda_fuse(
+    rankings: list[DataFrame], k: int = 10, topk: int = 10
+) -> DataFrame:
+    """Borda-count rank fusion (Aslam & Montague, "Models for
+    Metasearch", SIGIR 2001 — the positional-voting baseline every
+    fusion paper compares against): each list awards a document
+    ``k - rank + 1`` points (its Borda score as a voter with k
+    preferences); unranked documents get 0 from that list.  Total
+    points DESC, doc_id ASC.  Pure integers — no normalization step,
+    which is exactly why Borda is the robust default when the input
+    scores are incomparable (BM25 vs embedding distances vs clicks).
+
+    Input frames carry (doc_id, rank<=k); output (rank, doc_id,
+    points, rank_0, rank_1, ...).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1 or topk < 1:
+        raise ValueError(f"need k >= 1 and topk >= 1, got k={k} topk={topk}")
+    fused = None
+    for i, r in enumerate(rankings):
+        r = r.filter(F.col("rank") <= k).select(
+            "doc_id", F.col("rank").alias(f"rank_{i}")
+        )
+        fused = r if fused is None else fused.join(r, "doc_id", "full_outer")
+    points = None
+    for i in range(len(rankings)):
+        c = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(k + 1) - F.col(f"rank_{i}"),
+        ).otherwise(F.lit(0))
+        points = c if points is None else points + c
+    out = fused.select(
+        "doc_id",
+        points.cast("long").alias("points"),
+        *[
+            F.coalesce(F.col(f"rank_{i}"), F.lit(0)).cast("long").alias(f"rank_{i}")
+            for i in range(len(rankings))
+        ],
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("points"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("rank", "doc_id", "points",
+                *[f"rank_{i}" for i in range(len(rankings))])
+    )

@@ -344,3 +344,64 @@ def consistent_hash_rebalance(
         )
         .orderBy("shard_id")
     )
+
+
+def cori_routed_topk(
+    searcher: IndexSearcher,
+    term: str,
+    n_shards: int = 4,
+    n_probe: int = 2,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """End-to-end federated query: CORI picks the ``n_probe`` most
+    promising shards (cori_shard_ranking), ONLY those shards are
+    searched, and their results merge into one page — the full broker
+    path of Callan's federated-search architecture (resource ranking ->
+    selective fan-out -> merge), composed from this module's verified
+    pieces.  Scoring uses GLOBAL collection statistics (the engine's
+    normal scored() path), i.e. the global-IDF exchange a production
+    broker performs, so selected shards score identically to a
+    single-searcher run over their union.
+
+    The page also audits what selective routing cost: global_overlap =
+    |federated top-k ∩ unrestricted global top-k| (an exact integer),
+    the broker's recall-at-probe dial — probing all shards makes it k,
+    probing fewer trades recall for fan-out.
+
+    Output: (rank, doc_id, shard_id, score_q, global_overlap).
+    """
+    if not (1 <= n_probe <= n_shards):
+        raise ValueError(f"need 1 <= n_probe <= n_shards, got {n_probe}/{n_shards}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from lucenenet_spark.search.queries import TermQuery
+
+    idx = searcher.index
+    chosen = (
+        cori_shard_ranking(idx, [term], n_shards=n_shards, field=field)
+        .filter(F.col("rank") <= n_probe)
+        .select("shard_id")
+    )
+    scored = searcher.scored(TermQuery(term, field=field)).select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("long").alias("shard_id"),
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    fed = scored.join(F.broadcast(chosen), "shard_id")
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    page = fed.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+    global_top = (
+        scored.withColumn("grank", F.row_number().over(w))
+        .filter(F.col("grank") <= k)
+        .select(F.col("doc_id").alias("gdoc"))
+    )
+    overlap = (
+        page.join(global_top, page.doc_id == global_top.gdoc)
+        .agg(F.count(F.lit(1)).cast("long").alias("global_overlap"))
+    )
+    return page.crossJoin(F.broadcast(overlap)).select(
+        "rank", "doc_id", "shard_id", "score_q", "global_overlap"
+    )
