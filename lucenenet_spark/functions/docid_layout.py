@@ -79,3 +79,68 @@ def docid_gap_stats(idx: InvertedIndex, field: str | None = None) -> DataFrame:
     return _gap_bits(url_order, "url_order").unionByName(
         _gap_bits(scrambled, "scrambled")
     )
+
+
+def elias_fano_audit(
+    idx, top_terms: int = 10, field: str | None = None
+):
+    """Quasi-succinct (Elias-Fano) posting-list size audit — Vigna,
+    "Quasi-Succinct Indices", WSDM 2013 (the encoding behind modern
+    freshness-critical posting formats), against the delta-bit cost the
+    engine's layout actually produces (docid_gap_stats' measure).
+
+    For a term with df = n monotone doc ids in universe U = max_doc:
+
+        l        = max(0, floor(log2(U / n)))   lower-bit width
+        ef_bits  = n·l + n + ceil(U / 2^l)      lower arrays + upper unary
+
+    computed with INTEGER arithmetic only: floor(log2(U/n)) =
+    bit_length(U div n) - 1 (valid since n <= U), 2^l via shiftleft,
+    ceilings via (a + b - 1) div b — no pow/log doubles (the 1-ulp trap
+    the determinism notes flag).  gap_bits = Σ bit_length(gap) over the
+    doc-id deltas (first gap = doc_id + 1) is the corresponding
+    information-content measure of the engine's URL-sorted layout.
+
+    Output: (term, df, ef_bits, gap_bits) for the ``top_terms`` highest
+    df terms (df DESC, term ASC) — the lists where encoding choice
+    moves real bytes at 10^12 docs.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fld = field or idx.default_field
+    u = int(idx.max_doc)
+    stats = idx.term_stats.filter(F.col("field") == fld).select("term", "df")
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = stats.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= top_terms
+    ).select("term", F.col("df").cast("long").alias("df"))
+    # l = bit_length(U div n) - 1 ; bit_length(x) = length(bin(x));
+    # all divisions are integer `div` (no double rounding anywhere)
+    l_col = (
+        F.length(F.conv(F.expr(f"{u} div df").cast("string"), 10, 2)) - F.lit(1)
+    ).cast("long")
+    l_col = F.greatest(l_col, F.lit(0))
+    ef = top.withColumn("l", l_col).withColumn(
+        "ef_bits",
+        (
+            F.col("df") * F.col("l")
+            + F.col("df")
+            + F.expr(f"({u} + shiftleft(CAST(1 AS BIGINT), CAST(l AS INT)) - 1)"
+                     " div shiftleft(CAST(1 AS BIGINT), CAST(l AS INT))")
+        ).cast("long"),
+    )
+    p = idx.postings.filter(F.col("field") == fld).join(
+        F.broadcast(top.select("term")), "term"
+    )
+    gw = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    gaps = p.select("term", "doc_id").withColumn(
+        "gap",
+        F.col("doc_id")
+        - F.coalesce(F.lag("doc_id").over(gw), F.lit(-1)),
+    )
+    gbits = gaps.select(
+        "term",
+        F.length(F.conv(F.col("gap").cast("string"), 10, 2)).cast("long").alias("b"),
+    ).groupBy("term").agg(F.sum("b").cast("long").alias("gap_bits"))
+    return ef.join(gbits, "term").select("term", "df", "ef_bits", "gap_bits")

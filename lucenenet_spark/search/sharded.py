@@ -405,3 +405,72 @@ def cori_routed_topk(
     return page.crossJoin(F.broadcast(overlap)).select(
         "rank", "doc_id", "shard_id", "score_q", "global_overlap"
     )
+
+
+def tiered_serving_certificate(
+    idx: InvertedIndex,
+    term: str,
+    m: int = 20,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Two-tier serving with an EXACTNESS CERTIFICATE — the
+    champion-list architecture (Manning, Raghavan & Schütze, IIR §7.1.3
+    tiered indexes; Carmel SIGIR'01 pruning): tier 1 holds each term's
+    top-m postings by quantized impact (prune_index_topm's selection),
+    tier 2 the rest on cold storage.  A query is served from tier 1
+    alone, and the page carries a machine-checkable certificate:
+
+        certified = (k-th tier-1 score) >= (max impact left in tier 2)
+
+    When it holds, no tier-2 posting could displace any served result,
+    so the tier-1 page IS the full-index page — the broker skips the
+    cold tier with proof, not hope.  When it fails, the broker knows to
+    fall back.  All quantities are the same quantized-impact bigints
+    the pruning uses, so the certificate is exact.
+
+    Output: (rank, doc_id, score_q, tier2_max_q, certified) with
+    certified as 0/1.  Terms with <= m postings have an empty tier 2
+    (tier2_max_q = 0, certified = 1).
+    """
+    if m < 1 or k < 1 or k > m:
+        raise ValueError(f"need 1 <= k <= m, got k={k} m={m}")
+    fld = field or idx.default_field
+    avgdl = idx.avgdl_double_for(fld)
+    stats = idx.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("df")
+    p = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).crossJoin(F.broadcast(stats))
+    impact = posting_impact_q(
+        F.col("df"), F.col("tf"), F.col("dl"), idx.max_doc, avgdl
+    )
+    w = Window.orderBy(F.desc("impact_q"), F.asc("doc_id"))
+    ranked = p.withColumn("impact_q", impact).withColumn(
+        "_tier_rk", F.row_number().over(w)
+    )
+    tier1 = ranked.filter(F.col("_tier_rk") <= m)
+    tier2_max = ranked.filter(F.col("_tier_rk") > m).agg(
+        F.coalesce(F.max("impact_q"), F.lit(0)).cast("long").alias("tier2_max_q")
+    )
+    pw = Window.orderBy(F.desc("impact_q"), F.asc("doc_id"))
+    page = tier1.withColumn("rank", F.row_number().over(pw).cast("long")).filter(
+        F.col("rank") <= k
+    )
+    kth = page.agg(F.min("impact_q").cast("long").alias("kth_q"))
+    return (
+        page.select("rank", "doc_id", F.col("impact_q").alias("score_q"))
+        .crossJoin(F.broadcast(tier2_max))
+        .crossJoin(F.broadcast(kth))
+        .select(
+            "rank",
+            "doc_id",
+            "score_q",
+            "tier2_max_q",
+            F.when(F.col("kth_q") >= F.col("tier2_max_q"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("certified"),
+        )
+    )
