@@ -203,3 +203,69 @@ def maxscore_topk(
             F.lit(len(terms)).cast("long").alias("n_terms"),
         )
     )
+
+
+def impact_budget_topk(
+    searcher,
+    terms,
+    budget: int = 200,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Anytime impact-ordered evaluation (Anh & Moffat, "Pruned Query
+    Evaluation Using Pre-Computed Impacts", SIGIR 2006): process
+    postings in GLOBAL descending-impact order across all query terms
+    and stop after ``budget`` postings — the fixed-latency serving mode
+    where the index layout (impact-ordered lists) guarantees the most
+    score mass lands inside any prefix of the work.
+
+    Declarative form: rank the per-(doc, term) quantized contributions
+    by (impact DESC, doc ASC, term ASC), keep the first ``budget``
+    rows, sum per doc, take the top k.  The page carries
+    exact_overlap = |budget page ∩ exact OR page| so the caller sees
+    what the latency cap cost — at full budget it is k by construction.
+    All integers; the prefix rule is a total order, so any engine
+    replays the identical prefix.
+
+    Output: (rank, doc_id, score_q, exact_overlap).
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if budget < 1 or k < 1:
+        raise ValueError(f"need budget >= 1 and k >= 1, got {budget}/{k}")
+    contribs = None
+    for t in terms:
+        c = searcher.scored(TermQuery(t, field=field)).select(
+            "doc_id",
+            F.lit(t).alias("term"),
+            F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c_q"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    contribs = contribs.persist()
+    pw = Window.orderBy(F.desc("c_q"), F.asc("doc_id"), F.asc("term"))
+    taken = contribs.withColumn("_p", F.row_number().over(pw)).filter(
+        F.col("_p") <= budget
+    )
+    page_w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    page = (
+        taken.groupBy("doc_id")
+        .agg(F.sum("c_q").cast("long").alias("score_q"))
+        .withColumn("rank", F.row_number().over(page_w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    exact = (
+        contribs.groupBy("doc_id")
+        .agg(F.sum("c_q").cast("long").alias("sq"))
+        .withColumn("g", F.row_number().over(Window.orderBy(F.desc("sq"), F.asc("doc_id"))))
+        .filter(F.col("g") <= k)
+        .select(F.col("doc_id").alias("gdoc"))
+    )
+    ov = page.join(exact, page.doc_id == exact.gdoc).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_overlap")
+    )
+    return page.crossJoin(F.broadcast(ov)).select(
+        "rank", "doc_id", "score_q", "exact_overlap"
+    )

@@ -186,3 +186,34 @@ def dfi_scored(index, term: str, field: str | None = None):
         .filter(tf > e)
         .select("doc_id", score.alias("score"))
     )
+
+
+def two_stage_lm_scored(index, term: str, mu: float = 2000.0,
+                        lam: float = 0.1, field: str | None = None):
+    """Two-stage language-model smoothing (Zhai & Lafferty, "Two-Stage
+    Language Models for Information Retrieval", SIGIR 2002): Dirichlet
+    smoothing explains the DOCUMENT estimation problem, Jelinek-Mercer
+    the QUERY noise — composing both fixes the single-λ sensitivity
+    their SIGIR'01 study exposed:
+
+        P(w|d)  = (tf + μ · P(w|C)) / (dl + μ)
+        score   = ln( (1 - λ) · P(w|d) + λ · P(w|C) )
+
+    with P(w|C) = ttf / sttf.  Complements the LMDirichlet and LMJM
+    gates (the reference's Similarities/LMDirichletSimilarity.cs and
+    LMJelinekMercerSimilarity.cs are each ONE stage of this).
+    """
+    from pyspark.sql import functions as F
+
+    fld = field or index.default_field
+    sttf = float(index._sttf(fld))
+    stats = index.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("ttf")
+    p = index.postings.filter((F.col("field") == fld) & (F.col("term") == term))
+    pc = F.col("ttf").cast("double") / F.lit(sttf)
+    pwd = (F.col("tf").cast("double") + F.lit(mu) * pc) / (
+        F.col("dl").cast("double") + F.lit(mu)
+    )
+    score = F.log(F.lit(1.0 - lam) * pwd + F.lit(lam) * pc)
+    return p.crossJoin(F.broadcast(stats)).select("doc_id", score.alias("score"))
