@@ -453,3 +453,179 @@ def textrank_keywords(
         .orderBy(F.desc("rank_q"), F.asc("word"))
         .limit(k)
     )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    checkpoints: int = 10,
+    quantum: float = 1e6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps, "Information Retrieval:
+    Computational and Theoretical Aspects", 1978: V(T) = k·T^β, natural
+    text β ≈ 0.4-0.6) — the capacity-planning curve for a term
+    dictionary: it says how the vocab (and so the term-dict tier of the
+    index) grows as the crawl grows from 10^9 to 10^12 tokens.
+
+    Method: scan documents in doc_id order, record (tokens-so-far,
+    distinct-terms-so-far) at ``checkpoints`` evenly spaced document
+    ranks, and least-squares fit ln V = ln k + β·ln T over the
+    checkpoints, with the zipf_vocab_stats determinism discipline —
+    ln values quantized to bigints, integer regression sums, one double
+    slope/intercept formula at the end.
+
+    V-so-far needs no distinct-scan per checkpoint: a term contributes
+    to V at every rank >= its FIRST document's rank, so V(rank) is the
+    running sum of per-document NEW-term counts — two windows total.
+
+    Output one row: (n_checkpoints, total_tokens, vocab, slope_q,
+    intercept_q) with slope_q = floor(β·quantum + 0.5).
+    """
+    from pyspark.sql import Window
+
+    if checkpoints < 2:
+        raise ValueError(f"checkpoints must be >= 2, got {checkpoints}")
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.array_remove(F.split(F.col(text_col), " "), "")).alias("term"),
+    )
+    sizes = toks.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("ntok"))
+    first = toks.groupBy("term").agg(F.min("d").alias("d"))
+    news = first.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    rw = Window.orderBy(F.asc("d"))
+    cum = (
+        sizes.join(news, "d", "left")
+        .withColumn("new_terms", F.coalesce(F.col("new_terms"), F.lit(0)))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .withColumn(
+            "t_cum",
+            F.sum("ntok").over(rw.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .withColumn(
+            "v_cum",
+            F.sum("new_terms")
+            .over(rw.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    n_docs = cum.agg(F.max("rank").cast("long").alias("nd"))
+    bounds = (
+        docs.sparkSession.range(1, checkpoints + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(F.ceil(F.col("nd") * F.col("i") / F.lit(checkpoints)).cast("long").alias("rank"))
+        .distinct()
+    )
+    pts = cum.join(bounds, "rank").select(
+        F.floor(F.log(F.col("t_cum").cast("double")) * F.lit(quantum) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("v_cum").cast("double")) * F.lit(quantum) + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+        "t_cum",
+        "v_cum",
+        "rank",
+    )
+    ag = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.max("t_cum").cast("long").alias("total_tokens"),
+        F.max("v_cum").cast("long").alias("vocab"),
+    )
+    nd_ = F.col("n").cast("double")
+    num = nd_ * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd_ * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd_
+    return ag.select(
+        F.col("n").alias("n_checkpoints"),
+        "total_tokens",
+        "vocab",
+        F.floor(slope * F.lit(quantum) + F.lit(0.5)).cast("long").alias("slope_q"),
+        F.floor(intercept + F.lit(0.5)).cast("long").alias("intercept_q"),
+    )
+
+
+def good_turing_counts(
+    docs: DataFrame,
+    max_r: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies smoothing table (Good,
+    "The Population Frequencies of Species and the Estimation of
+    Population Parameters", Biometrika 1953; the Gale & Sampson 1995
+    presentation): from the term-frequency histogram N_r = |{terms
+    with count r}|,
+
+        r*  = (r + 1) · N_{r+1} / N_r       smoothed count for small r
+        p0  = N_1 / T                        total unseen-event mass
+
+    — the estimator Katz backoff and (via its marginals) Kneser-Ney
+    discounting are built on; the companion of kneser_ney_bigram's
+    fixed-D discount.  All counts are exact integers; r* and p0 are
+    single divisions quantized q6/q9.
+
+    Events are adjacent-token BIGRAMS (the raw-whitespace convention of
+    kneser_ney_bigram_logprob): n-gram models are where the N_r head
+    actually has mass — a web-scale unigram table has almost no
+    singletons, the bigram/trigram tables are dominated by them, and
+    it is exactly those tables Katz/KN smooth.
+
+    Output rows r = 1..max_r:
+    (r, n_r, n_r1, r_star_q6, total_tokens, p0_q9).
+    """
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    toks = docs.select(
+        F.array_remove(F.split(F.col(text_col), " "), "").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 2, size(t) - 1),"
+                " (w, i) -> concat(t[i], ' ', w))"
+            )
+        ).alias("w")
+    )
+    freqs = pairs.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nr = freqs.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = freqs.agg(
+        F.sum("r").cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.when(F.col("r") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    base = nr.filter(F.col("r") <= max_r)
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        base.join(nxt, "r", "left")
+        .withColumn("n_r1", F.coalesce(F.col("n_r1"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            "n_r1",
+            F.floor(
+                (F.col("r") + F.lit(1)).cast("double")
+                * F.col("n_r1").cast("double")
+                / F.col("n_r").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("r_star_q6"),
+            "total_tokens",
+            F.floor(
+                F.col("n1").cast("double") / F.col("total_tokens").cast("double")
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p0_q9"),
+        )
+    )
