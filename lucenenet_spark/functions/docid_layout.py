@@ -144,3 +144,98 @@ def elias_fano_audit(
         F.length(F.conv(F.col("gap").cast("string"), 10, 2)).cast("long").alias("b"),
     ).groupBy("term").agg(F.sum("b").cast("long").alias("gap_bits"))
     return ef.join(gbits, "term").select("term", "df", "ef_bits", "gap_bits")
+
+
+def impact_quantization_audit(
+    idx, term: str, levels: int = 8, field: str | None = None
+):
+    """Stored-impact quantization audit (Anh & Moffat, "Simplified
+    Similarity Scoring Using Term Ranks"/"Pruned Query Evaluation Using
+    Pre-Computed Impacts", SIGIR 2005/2006): their index stores each
+    posting's contribution as a SMALL integer impact level (3 bits
+    here) instead of tf+norm — this op measures what that lossy storage
+    does to one term's ranking.
+
+    level = floor((impact - min) · L / (max - min + 1)) over the term's
+    exact quantized BM25 impacts — equi-width, all-integer.  The audit
+    compares the level-ordering (level DESC, doc ASC) with the exact
+    ordering (impact DESC, doc ASC) by Kendall tau-a over all matching
+    docs: C/D are exact pair counts, tau quantized q6.
+
+    The pair count is O(df^2) — an AUDIT over one term, not a serving
+    path; at web scale you run it on a sampled posting subset.
+
+    Output one row: (n, levels, distinct_levels, concordant,
+    discordant, tau_q6).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.search.sharded import posting_impact_q
+
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    fld = field or idx.default_field
+    avgdl = idx.avgdl_double_for(fld)
+    stats = idx.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("df")
+    p = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).crossJoin(F.broadcast(stats))
+    imp = p.select(
+        "doc_id",
+        posting_impact_q(
+            F.col("df"), F.col("tf"), F.col("dl"), idx.max_doc, avgdl
+        ).alias("imp"),
+    )
+    rng = imp.agg(
+        F.min("imp").alias("lo"), F.max("imp").alias("hi")
+    )
+    lv = imp.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        "imp",
+        F.floor(
+            (F.col("imp") - F.col("lo")) * F.lit(levels)
+            / (F.col("hi") - F.col("lo") + F.lit(1))
+        )
+        .cast("long")
+        .alias("lvl"),
+    )
+    a = lv.select(
+        F.col("doc_id").alias("da"), F.col("imp").alias("ia"), F.col("lvl").alias("la")
+    )
+    b = lv.select(
+        F.col("doc_id").alias("db"), F.col("imp").alias("ib"), F.col("lvl").alias("lb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    # exact order: (imp DESC, doc ASC); level order: (lvl DESC, doc ASC)
+    exact_ab = (F.col("ia") > F.col("ib")) | (
+        (F.col("ia") == F.col("ib")) & (F.col("da") < F.col("db"))
+    )
+    lvl_ab = (F.col("la") > F.col("lb")) | (
+        (F.col("la") == F.col("lb")) & (F.col("da") < F.col("db"))
+    )
+    agg = pairs.agg(
+        F.sum(F.when(exact_ab == lvl_ab, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(exact_ab != lvl_ab, 1).otherwise(0)).cast("long").alias("discordant"),
+    )
+    n = lv.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("lvl").cast("long").alias("distinct_levels"),
+    )
+    return n.crossJoin(agg).select(
+        "n",
+        F.lit(levels).cast("long").alias("levels"),
+        "distinct_levels",
+        "concordant",
+        "discordant",
+        F.floor(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / ((F.col("n") * (F.col("n") - 1)).cast("double") / F.lit(2.0))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tau_q6"),
+    )

@@ -821,3 +821,55 @@ def wig_nqc_qpp(searcher, term: str, k: int = 10) -> DataFrame:
         .cast("long")
         .alias("nqc_q6"),
     )
+
+
+def rbp_at_k(searcher, term: str, k: int = 10, min_tf: int = 2,
+             p_num: int = 4, p_den: int = 5) -> DataFrame:
+    """Rank-biased precision (Moffat & Zobel, "Rank-Biased Precision
+    for Measurement of Retrieval Effectiveness", ACM TOIS 2008): the
+    user-model metric where a reader inspects rank i+1 with persistence
+    probability p after rank i,
+
+        RBP = (1 - p) · Σ_i rel_i · p^(i-1)
+
+    Computed as an EXACT integer for rational p = p_num/p_den:
+
+        rbp_num_s = Σ_{i in run, rel} p_num^(i-1) · p_den^(k-i)
+        RBP       = (1 - p) · rbp_num_s / p_den^(k-1)
+
+    (multiply each term by p_den^(k-1); powers are integers for
+    k <= 20 at the default p = 0.8).  Judgments follow the
+    trec_judgments tf >= min_tf convention.  Output one row:
+    (k_eff, rel_in_run, rbp_num_s, denom_s).
+    """
+    if not (0 < p_num < p_den):
+        raise ValueError(f"need 0 < p_num < p_den, got {p_num}/{p_den}")
+    if k < 1 or p_den ** (k - 1) > 2 ** 62:
+        raise ValueError(f"k={k} overflows the exact power scaling")
+    idx = searcher.index
+    fld = idx.default_field
+    judged = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(judged, "doc_id", "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(False)))
+    )
+    # weight(i) = p_num^(i-1) * p_den^(k-i), exact via a literal array
+    weights = F.lit([p_num ** (i - 1) * p_den ** (k - i) for i in range(1, k + 1)])
+    run = run.withColumn("wgt", F.try_element_at(weights, F.col("rank").cast("int")))
+    return run.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("rel_in_run"),
+        F.coalesce(F.sum(F.when(F.col("rel"), F.col("wgt"))), F.lit(0))
+        .cast("long")
+        .alias("rbp_num_s"),
+        F.lit(p_den ** (k - 1)).cast("long").alias("denom_s"),
+    )
