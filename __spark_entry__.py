@@ -77,6 +77,7 @@ from lucenenet_spark.plans import gate_round5zu as _gate_round5zu  # noqa: E402 
 from lucenenet_spark.plans import gate_round5zv as _gate_round5zv  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zw as _gate_round5zw  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zx as _gate_round5zx  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5zy as _gate_round5zy  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

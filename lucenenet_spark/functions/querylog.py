@@ -55,3 +55,61 @@ def click_entropy(events: DataFrame) -> DataFrame:
     return contrib.groupBy("event_type", "n_clicks", "n_distinct").agg(
         F.sum("h_q9").cast("long").alias("entropy_q9")
     )
+
+
+def static_cache_hit_rate(
+    events: DataFrame, capacities=(1, 2, 4, 8, 16, 32)
+) -> DataFrame:
+    """Static result-cache planning curve (Markatos, "On Caching Search
+    Engine Query Results", Computer Communications 2001; Baeza-Yates et
+    al., "The Impact of Caching on Search Engines", SIGIR 2007): fill a
+    cache of capacity C with the C most frequent queries of the log and
+    report the hit rate — the capacity/hit-rate curve that sizes a
+    result-cache tier (web query logs are Zipfian, so small C captures
+    a large hit share; the curve makes that concrete for THIS log).
+
+    Queries are the integer ids in ``props`` (the click_entropy
+    convention); admission order (freq DESC, id ASC).  All counts
+    exact; hit_rate quantized q6.  Output per capacity:
+    (capacity, cached, hits, total, hit_rate_q6).
+    """
+    from pyspark.sql import Window
+
+    caps = sorted(set(int(c) for c in capacities))
+    if not caps or caps[0] < 1:
+        raise ValueError(f"capacities must be positive, got {capacities}")
+    q = events.select(
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long").alias("qid")
+    )
+    freq = q.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("qid"))
+    cum = freq.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
+        "cum_f",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    total = freq.agg(
+        F.sum("f").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )
+    caps_df = events.sparkSession.createDataFrame(
+        [(c,) for c in caps], "capacity long"
+    )
+    # hits(C) = cum_f at rank min(C, n_queries)
+    picked = (
+        caps_df.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.least(F.col("capacity"), F.col("n_queries")))
+        .join(cum.select("rank", "cum_f"), "rank")
+    )
+    return picked.select(
+        "capacity",
+        F.col("rank").alias("cached"),
+        F.col("cum_f").alias("hits"),
+        "total",
+        F.floor(
+            F.col("cum_f").cast("double") / F.col("total").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hit_rate_q6"),
+    )

@@ -474,3 +474,72 @@ def tiered_serving_certificate(
             .alias("certified"),
         )
     )
+
+
+def partitioning_cost_model(
+    idx: InvertedIndex,
+    terms,
+    n_shards: int = 4,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Document- vs term-partitioned index network cost for one query
+    (Moffat, Webber, Zobel & Baeza-Yates, "A Pipelined Architecture for
+    Distributed Text Query Evaluation", Information Retrieval 2007; the
+    Tomasic & Garcia-Molina trade-off): the capacity-planning decision
+    every distributed engine makes once, from catalog statistics alone.
+
+    * doc_partitioned — every shard holds a corpus slice and evaluates
+      the whole query: query_messages = S (broadcast), network_rows =
+      S·k (each shard returns its local top-k for the merge;
+      shard_merge_topk is this plan's execution).
+    * term_partitioned — each term's whole posting list lives on
+      hash(term) % S; the shard owning the RAREST query term (min df,
+      term ASC — the cheapest pipeline head) coordinates, and every
+      other involved shard ships its term's full posting list:
+      network_rows = Σ df(t) over terms NOT resident on the
+      coordinator, query_messages = |involved shards|.
+
+    All quantities come from term_stats — O(|q|) catalog rows, no data
+    scan; term->shard uses the engine's 32-bit md5 convention.  Output:
+    (strategy, query_messages, network_rows).
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if n_shards < 1 or k < 1:
+        raise ValueError(f"need n_shards >= 1 and k >= 1, got {n_shards}/{k}")
+    fld = field or idx.default_field
+    spark = idx.postings.sparkSession
+    st = idx.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term").isin(terms))
+    ).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        (
+            F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % n_shards
+        ).alias("shard"),
+    )
+    coord = (
+        st.orderBy(F.asc("df"), F.asc("term"))
+        .limit(1)
+        .select(F.col("shard").alias("cshard"))
+    )
+    tp = st.crossJoin(F.broadcast(coord)).agg(
+        F.count_distinct("shard").cast("long").alias("query_messages"),
+        F.sum(F.when(F.col("shard") != F.col("cshard"), F.col("df")).otherwise(0))
+        .cast("long")
+        .alias("network_rows"),
+    ).select(
+        F.lit("term_partitioned").alias("strategy"),
+        "query_messages",
+        "network_rows",
+    )
+    dp = spark.range(1).select(
+        F.lit("doc_partitioned").alias("strategy"),
+        F.lit(n_shards).cast("long").alias("query_messages"),
+        F.lit(n_shards * k).cast("long").alias("network_rows"),
+    )
+    return dp.unionByName(tp)
