@@ -331,3 +331,48 @@ def group_distinct_values(matches: DataFrame, group_col: str, value_col: str) ->
         F.size(vals).cast("long").alias("n_distinct"),
         F.array_join(vals, ",").alias("values"),
     )
+
+
+def sort_search_after(
+    searcher: IndexSearcher,
+    query: Query,
+    meta: DataFrame,
+    sort_col: str,
+    after: tuple | None,
+    k: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """Field-sorted deep pagination — IndexSearcher.SearchAfter with a
+    Sort (reference: Search/IndexSearcher.cs SearchAfter(..., Sort) +
+    TopFieldCollector's PagingFieldCollector keyset: a hit qualifies
+    iff its sort key strictly follows ``after`` = (field_value, doc_id)
+    of the previous page's last hit).  The score-sorted variant is
+    IndexSearcher.search_after; this adds the field-sort axis with the
+    same no-deepening property: page N filters with a keyset predicate
+    and never re-collects pages 1..N-1 (no limit(N*k) blow-up).
+
+    Output: (rank, doc_id, <sort_col>) for the page, rank local to it.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = searcher.docset(query).join(meta.select("doc_id", sort_col), "doc_id")
+    if after is not None:
+        a_val, a_doc = after
+        if ascending:
+            keyset = (F.col(sort_col) > F.lit(a_val)) | (
+                (F.col(sort_col) == F.lit(a_val)) & (F.col("doc_id") > F.lit(int(a_doc)))
+            )
+        else:
+            keyset = (F.col(sort_col) < F.lit(a_val)) | (
+                (F.col(sort_col) == F.lit(a_val)) & (F.col("doc_id") > F.lit(int(a_doc)))
+            )
+        m = m.filter(keyset)
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col), F.asc("doc_id")]
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", sort_col)
+    )

@@ -21,6 +21,7 @@ XOR is the union of the two anti-joins (symmetric difference).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -166,3 +167,39 @@ def field_value_filter(docs, field_col: str, *, negate: bool = False):
 
     cond = F.col(field_col).isNotNull()
     return docs.filter(~cond if negate else cond)
+
+
+class CachingWrapperFilter:
+    """Docset cache around a filter — CachingWrapperFilter semantics
+    (reference: src/Lucene.Net/Search/CachingWrapperFilter.cs: the
+    filter's DocIdSet is computed once per reader and reused; here the
+    unit is the searcher's immutable index snapshot, so one entry per
+    filter key).  The Spark realization caches the PERSISTED docset
+    DataFrame keyed by the filter's plan string — the second use of a
+    hot filter costs a cache scan, not a postings recomputation — with
+    hit/miss counters and an LRU bound (the dedup-registry discipline:
+    bounded driver state, evict oldest).
+    """
+
+    def __init__(self, searcher: IndexSearcher, max_entries: int = 64):
+        if max_entries < 1:
+            raise ValueError(f"max_entries must be >= 1, got {max_entries}")
+        self._searcher = searcher
+        self._max = max_entries
+        self._cache: OrderedDict[str, DataFrame] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def docset(self, query: Query) -> DataFrame:
+        key = repr(query)
+        if key in self._cache:
+            self.hits += 1
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        self.misses += 1
+        ds = self._searcher.docset(query).persist()
+        self._cache[key] = ds
+        if len(self._cache) > self._max:
+            _, old = self._cache.popitem(last=False)
+            old.unpersist()
+        return ds
