@@ -239,3 +239,89 @@ def impact_quantization_audit(
         .cast("long")
         .alias("tau_q6"),
     )
+
+
+def pfordelta_size_audit(
+    idx, top_terms: int = 3, block: int = 128, pct_num: int = 9,
+    pct_den: int = 10, exception_bits: int = 32, field: str | None = None
+):
+    """PForDelta posting-block size audit (Zukowski, Héman, Nes &
+    Boncz, "Super-Scalar RAM-CPU Cache Compression", ICDE 2006; the
+    web-search tuning of Zhang, Long & Suel, WWW 2008): each 128-gap
+    block encodes at the bit width b that fits the 90th-percentile gap;
+    larger gaps become exceptions at full width.
+
+        block bits = n_b · b + exceptions · 32
+
+    b is the bit_length of the ceil(0.9·n_b)-th SMALLEST gap in the
+    block — an integer order statistic (one window per block), no
+    doubles anywhere; bit_length via the bin-string-length idiom.
+    The audit complements elias_fano_audit (global closed form) and
+    docid_gap_stats (information content) with the format real engines
+    shipped.
+
+    Output per term (the ``top_terms`` highest-df lists):
+    (term, df, n_blocks, total_bits, exceptions).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if block < 1 or not (0 < pct_num < pct_den):
+        raise ValueError("need block >= 1 and 0 < pct_num < pct_den")
+    fld = field or idx.default_field
+    stats = idx.term_stats.filter(F.col("field") == fld).select("term", "df")
+    tw = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = stats.withColumn("_r", F.row_number().over(tw)).filter(
+        F.col("_r") <= top_terms
+    ).select("term", F.col("df").cast("long").alias("df"))
+    p = idx.postings.filter(F.col("field") == fld).join(
+        F.broadcast(top.select("term")), "term"
+    )
+    ow = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    gaps = (
+        p.select("term", "doc_id")
+        .withColumn("gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(ow), F.lit(-1)))
+        .withColumn("rn", F.row_number().over(ow).cast("long"))
+        .withColumn("blk", F.floor((F.col("rn") - 1) / F.lit(block)).cast("long"))
+        .withColumn(
+            "gbits",
+            F.length(F.conv(F.col("gap").cast("string"), 10, 2)).cast("long"),
+        )
+    )
+    bw = Window.partitionBy("term", "blk").orderBy(F.asc("gap"), F.asc("doc_id"))
+    sized = gaps.withColumn("grank", F.row_number().over(bw).cast("long"))
+    per_blk_n = gaps.groupBy("term", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    # b = gbits of the ceil(pct * n_b)-th smallest gap
+    bsel = (
+        sized.join(per_blk_n, ["term", "blk"])
+        .filter(
+            F.col("grank")
+            == F.ceil(F.col("n_b") * F.lit(pct_num) / F.lit(pct_den)).cast("long")
+        )
+        .select("term", "blk", F.col("gbits").alias("b"), "n_b")
+    )
+    blocks = (
+        gaps.join(bsel, ["term", "blk"])
+        .groupBy("term", "blk", "b", "n_b")
+        .agg(
+            F.sum(F.when(F.col("gbits") > F.col("b"), 1).otherwise(0))
+            .cast("long")
+            .alias("exc")
+        )
+        .withColumn(
+            "bits",
+            (F.col("n_b") * F.col("b") + F.col("exc") * F.lit(exception_bits)).cast("long"),
+        )
+    )
+    return (
+        blocks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("bits").cast("long").alias("total_bits"),
+            F.sum("exc").cast("long").alias("exceptions"),
+        )
+        .join(top, "term")
+        .select("term", "df", "n_blocks", "total_bits", "exceptions")
+    )

@@ -543,3 +543,60 @@ def partitioning_cost_model(
         F.lit(n_shards * k).cast("long").alias("network_rows"),
     )
     return dp.unionByName(tp)
+
+
+def redde_shard_selection(
+    searcher: IndexSearcher,
+    docs: DataFrame,
+    term: str,
+    shard_col: str = "source",
+    sample_mod: int = 5,
+    n_sample_top: int = 50,
+    field: str | None = None,
+) -> DataFrame:
+    """ReDDE resource selection (Si & Callan, "Relevant Document
+    Distribution Estimation Method for Resource Selection", SIGIR
+    2003) — the SAMPLE-based alternative to CORI's statistics-based
+    ranking, and the shard picker of selective search (Kulkarni &
+    Callan): run the query against a small centralized sample of all
+    shards, and estimate each shard's relevant-document count as
+
+        est_docs(shard) = |sample top-n ∩ shard| · (1 / sample_rate)
+
+    Shards here are the ``shard_col`` groups (topical shards — the
+    selective-search layout); the sample is the deterministic 1-in-
+    ``sample_mod`` slice doc_id % sample_mod == 0, scored by the
+    engine's normal global-stats BM25 (the centralized sample index).
+    Where CORI needs per-shard df/cw exchanges, ReDDE needs only ONE
+    query over a sample a thousandth the corpus size — which is why it
+    scales to thousands of topical shards.
+
+    Output: (rank, shard, sample_hits, est_docs), ranked
+    (est_docs DESC, shard ASC); exact integers (est = hits ·
+    sample_mod).
+    """
+    if sample_mod < 1 or n_sample_top < 1:
+        raise ValueError(f"need sample_mod >= 1 and n_sample_top >= 1")
+    from lucenenet_spark.search.queries import TermQuery
+
+    scored = searcher.scored(TermQuery(term, field=field)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    sample = scored.filter(F.col("doc_id") % sample_mod == 0)
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    top = sample.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= n_sample_top
+    )
+    hits = (
+        top.join(docs.select("doc_id", F.col(shard_col).alias("shard")), "doc_id")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("sample_hits"))
+        .withColumn(
+            "est_docs", (F.col("sample_hits") * F.lit(sample_mod)).cast("long")
+        )
+    )
+    rw = Window.orderBy(F.desc("est_docs"), F.asc("shard"))
+    return hits.withColumn("rank", F.row_number().over(rw).cast("long")).select(
+        "rank", "shard", "sample_hits", "est_docs"
+    )
