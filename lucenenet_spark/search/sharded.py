@@ -600,3 +600,145 @@ def redde_shard_selection(
     return hits.withColumn("rank", F.row_number().over(rw).cast("long")).select(
         "rank", "shard", "sample_hits", "est_docs"
     )
+
+
+def selective_search_topk(
+    searcher: IndexSearcher,
+    docs: DataFrame,
+    term: str,
+    shard_col: str = "source",
+    n_probe: int = 3,
+    k: int = 10,
+    sample_mod: int = 5,
+    n_sample_top: int = 50,
+    field: str | None = None,
+) -> DataFrame:
+    """Selective search end-to-end (Kulkarni & Callan, "Selective
+    Search: Efficient and Effective Search of Large Textual
+    Collections", ACM TOIS 2015): the corpus lives in TOPICAL shards
+    (here the ``shard_col`` groups), ReDDE ranks them from a
+    centralized sample, and only the top ``n_probe`` shards are
+    searched — the architecture that serves a 10^12-doc corpus by
+    touching a few percent of it per query.  The sibling of
+    cori_routed_topk with sample-based (not statistics-based) routing
+    and topical (not hash) shards; scoring stays global-stats exact on
+    the probed subset.
+
+    Output: (rank, doc_id, shard, score_q, global_overlap) — the page
+    plus the exact recall-at-probe audit.
+    """
+    if not (1 <= n_probe) or k < 1:
+        raise ValueError(f"need n_probe >= 1 and k >= 1, got {n_probe}/{k}")
+    from lucenenet_spark.search.queries import TermQuery
+
+    chosen = (
+        redde_shard_selection(
+            searcher, docs, term, shard_col=shard_col,
+            sample_mod=sample_mod, n_sample_top=n_sample_top, field=field,
+        )
+        .filter(F.col("rank") <= n_probe)
+        .select("shard")
+    )
+    scored = searcher.scored(TermQuery(term, field=field)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    ).join(docs.select("doc_id", F.col(shard_col).alias("shard")), "doc_id")
+    fed = scored.join(F.broadcast(chosen), "shard")
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    page = fed.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+    gtop = (
+        scored.withColumn("g", F.row_number().over(w))
+        .filter(F.col("g") <= k)
+        .select(F.col("doc_id").alias("gdoc"))
+    )
+    ov = page.join(gtop, page.doc_id == gtop.gdoc).agg(
+        F.count(F.lit(1)).cast("long").alias("global_overlap")
+    )
+    return page.crossJoin(F.broadcast(ov)).select(
+        "rank", "doc_id", "shard", "score_q", "global_overlap"
+    )
+
+
+def local_idf_divergence(
+    idx: InvertedIndex,
+    terms,
+    n_shards: int = 4,
+    field: str | None = None,
+) -> DataFrame:
+    """Local-vs-global IDF divergence audit — the quantified version of
+    federated search's oldest correctness problem (de Kretser, Moffat,
+    Shimmin & Zobel, "Methodologies for Distributed Information
+    Retrieval", ICDCS 1998; why cori_routed_topk exchanges GLOBAL
+    stats): a shard scoring with its LOCAL df produces idf values that
+    diverge from the global ones, so identical documents rank
+    differently on different shards.
+
+    Per term and hash shard (doc_id % n_shards):
+
+        idf_local  = ln(1 + (n_s - df_s + 0.5) / (df_s + 0.5))
+        idf_global = same with global N, df
+
+    Output per term: (term, df, idf_global_q6, max_abs_dev_q6,
+    n_shards_present) where the deviation is max over shards of
+    |idf_local_q6 - idf_global_q6| — both quantized BEFORE the
+    difference, so the row is integer-exact.  The number every
+    global-stats exchange design doc should quote.
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    fld = field or idx.default_field
+    n = float(idx.max_doc)
+
+    def _idf_q6(df_col, n_col):
+        return F.floor(
+            F.log(
+                F.lit(1.0)
+                + (n_col - df_col.cast("double") + F.lit(0.5))
+                / (df_col.cast("double") + F.lit(0.5))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    shard = (F.col("doc_id") % n_shards).cast("long").alias("shard")
+    ns = (
+        idx.doclens.filter(F.col("field") == fld)
+        .select(shard, "doc_id")
+        .distinct()
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    )
+    dfs = (
+        idx.postings.filter(
+            (F.col("field") == fld) & (F.col("term").isin(terms))
+        )
+        .select("term", shard)
+        .groupBy("term", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_s"))
+    )
+    g = idx.term_stats.filter(
+        (F.col("field") == fld) & (F.col("term").isin(terms))
+    ).select("term", F.col("df").cast("long").alias("df"))
+    local = dfs.join(ns, "shard").select(
+        "term",
+        "shard",
+        _idf_q6(F.col("df_s"), F.col("n_s").cast("double")).alias("idf_local_q6"),
+    )
+    glob = g.select(
+        "term", "df", _idf_q6(F.col("df"), F.lit(n)).alias("idf_global_q6")
+    )
+    return (
+        local.join(glob, "term")
+        .groupBy("term", "df", "idf_global_q6")
+        .agg(
+            F.max(F.abs(F.col("idf_local_q6") - F.col("idf_global_q6")))
+            .cast("long")
+            .alias("max_abs_dev_q6"),
+            F.count(F.lit(1)).cast("long").alias("n_shards_present"),
+        )
+    )
