@@ -397,3 +397,227 @@ def context_spell_correct(
         .filter(F.col("rank") <= k)
         .select("rank", "candidate", "dist", "lp_q6", "score_q6")
     )
+
+
+def katz_backoff_bigram_logprob(
+    df: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_cut: int = 5,
+) -> DataFrame:
+    """Katz back-off bigram scoring (Katz, "Estimation of
+    Probabilities from Sparse Data for the Language Model Component of
+    a Speech Recognizer", IEEE TASSP 1987), the Good-Turing-discounted
+    back-off that completes this module's smoothing family (stupid
+    backoff -> interpolated KN -> Katz):
+
+        P(w2|w1) = d(c12) · c12 / c1                  if c12 > 0
+                 = alpha(w1) · cnt(w2) / T            otherwise
+
+        d(r)     = r*/r = (r+1)·N_{r+1} / (N_r · r)   for r < k_cut and
+                   N_{r+1} > 0, else 1 (reliable / inestimable counts
+                   undiscounted — the Gale & Sampson simple-GT choice)
+        alpha(w1) = (1 - Σ_seen d·c12/c1) / (1 - Σ_seen cnt(w2)/T)
+
+    Determinism: every per-continuation probability is quantized to a
+    q12 integer BEFORE the per-context sums that feed alpha, so alpha
+    is a ratio of exact integers; per-pair ln P is quantized q6 before
+    the per-doc sum.  Pairs whose w1 is not a training context or (for
+    the back-off path) whose w2 is outside the training vocabulary are
+    unscorable and dropped.
+
+    Output: (id_col, n_bigrams, sum_lp_q6).  Score a HELD-OUT split
+    against a training split to exercise the back-off path.
+    """
+    if k_cut < 2:
+        raise ValueError(f"k_cut must be >= 2, got {k_cut}")
+    Q12 = 1000000000000.0
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            id_col,
+            F.array_remove(F.split(F.col(text_col), " "), "").alias("t"),
+        ).filter(F.size("t") >= 2)
+        return toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 2, size(t) - 1),"
+                    " (w, i) -> struct(t[i] AS w1, w AS w2))"
+                )
+            ).alias("p"),
+        ).select(id_col, "p.w1", "p.w2")
+
+    big = (
+        _pairs(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .persist()
+    )
+    ctx = big.groupBy("w1").agg(F.sum("cb").cast("long").alias("c1"))
+    uni = (
+        train.select(
+            F.explode(F.array_remove(F.split(F.col(text_col), " "), "")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("cnt").cast("long").alias("t_tok"))
+    nr = big.groupBy("cb").agg(F.count(F.lit(1)).cast("long").alias("n_r")).select(
+        F.col("cb").alias("r"), "n_r"
+    )
+    # discount per observed r: d(r) = (r+1) N_{r+1} / (N_r r), gated
+    disc = (
+        nr.join(nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")), "r", "left")
+        .select(
+            "r",
+            F.when(
+                (F.col("r") < k_cut) & F.col("n_r1").isNotNull(),
+                (F.col("r") + F.lit(1)).cast("double")
+                * F.col("n_r1").cast("double")
+                / (F.col("n_r").cast("double") * F.col("r").cast("double")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("d"),
+        )
+    )
+    seen = (
+        big.join(disc, big.cb == disc.r)
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            "c1",
+            F.floor(
+                F.col("d") * F.col("cb").cast("double") / F.col("c1").cast("double")
+                * F.lit(Q12)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pseen_q12"),
+            F.floor(
+                F.col("cnt").cast("double") / F.col("t_tok").cast("double") * F.lit(Q12)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pml_q12"),
+        )
+        .persist()
+    )
+    alpha = seen.groupBy("w1").agg(
+        (F.lit(int(Q12)) - F.sum("pseen_q12")).cast("long").alias("left_q12"),
+        (F.lit(int(Q12)) - F.sum("pml_q12")).cast("long").alias("den_q12"),
+    )
+    test = _pairs(df)
+    scored = (
+        test.join(seen.select("w1", "w2", "pseen_q12"), ["w1", "w2"], "left")
+        .join(alpha, "w1")  # inner: unseen contexts unscorable
+        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        # back-off path needs freed mass: contexts with no discounting
+        # (left <= 0) or saturated unigram cover (den <= 0) give the
+        # unseen pair P = 0 -> unscorable, dropped like the KN zeros
+        .filter(
+            F.col("pseen_q12").isNotNull()
+            | (
+                F.col("cnt").isNotNull()
+                & (F.col("left_q12") > 0)
+                & (F.col("den_q12") > 0)
+            )
+        )
+        .select(
+            id_col,
+            F.floor(
+                F.log(
+                    F.when(
+                        F.col("pseen_q12").isNotNull(),
+                        F.col("pseen_q12").cast("double") / F.lit(Q12),
+                    ).otherwise(
+                        (F.col("left_q12").cast("double") / F.col("den_q12").cast("double"))
+                        * (F.col("cnt").cast("double") / F.col("t_tok").cast("double"))
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_q6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_q6").cast("long").alias("sum_lp_q6"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "token",
+) -> DataFrame:
+    """Out-of-vocabulary rate per held-out document against the
+    training split's vocabulary — the tokenizer/LM coverage metric
+    every vocabulary decision is judged by (the <unk>-rate of Chen &
+    Goodman's perplexity setups; BPE exists to drive this to zero).
+    ``unit="bigram"`` counts unseen adjacent PAIRS instead — the
+    back-off rate a Katz/KN bigram model pays on this held-out split.
+
+    Output: (id_col, n_tokens, n_oov, oov_q6) with oov_q6 =
+    floor(n_oov / n_tokens * 1e6 + 0.5) — one integer division.
+    """
+    if unit not in ("token", "bigram"):
+        raise ValueError(f"unit must be 'token' or 'bigram', got {unit!r}")
+
+    def _units(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [id_col] if with_id else []
+        if unit == "token":
+            return frame.select(
+                *cols,
+                F.explode(
+                    F.array_remove(F.split(F.col(text_col), " "), "")
+                ).alias("w"),
+            )
+        toks = frame.select(
+            *cols, F.array_remove(F.split(F.col(text_col), " "), "").alias("t")
+        ).filter(F.size("t") >= 2)
+        return toks.select(
+            *cols,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 2, size(t) - 1),"
+                    " (w, i) -> concat(t[i], ' ', w))"
+                )
+            ).alias("w"),
+        )
+
+    vocab = _units(train, with_id=False).distinct().withColumn("_known", F.lit(1))
+    toks = _units(df, with_id=True)
+    return (
+        toks.join(vocab, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.floor(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("oov_q6"),
+        )
+    )
