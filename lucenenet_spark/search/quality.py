@@ -873,3 +873,108 @@ def rbp_at_k(searcher, term: str, k: int = 10, min_tf: int = 2,
         .alias("rbp_num_s"),
         F.lit(p_den ** (k - 1)).cast("long").alias("denom_s"),
     )
+
+
+def interp_precision_11pt(searcher, term: str, k: int = 20, min_tf: int = 2) -> DataFrame:
+    """The 11-point interpolated precision-recall curve (TREC's
+    standard summary since TREC-1; Manning, Raghavan & Schütze IIR
+    §8.4): at each recall level r ∈ {0.0, 0.1, ..., 1.0},
+
+        p_interp(r) = max over ranks i with recall(i) >= r of P@i
+
+    over the top-k run against the tf >= min_tf judged pool.
+    Determinism: each P@i = relcnt/i is ONE IEEE division of small
+    integers (bit-identical in any engine) quantized to a q9 integer
+    BEFORE the max, and the recall qualifier is the cross-multiplied
+    integer test relcnt@i · 10 >= level10 · R — so the max runs over
+    identical integers everywhere.  Levels with no qualifying rank
+    report 0 (recall never reached; pick k deep enough to cover R for
+    a full curve).  Output 11 rows: (level10, p_interp_q9, r_total).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idx = searcher.index
+    fld = idx.default_field
+    judged = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    totals = judged.agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("r_total")
+    )
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(judged, "doc_id", "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(False)))
+        .withColumn(
+            "relcnt",
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .over(Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .withColumn(
+            "p_q9",
+            F.floor(
+                F.col("relcnt").cast("double") / F.col("rank").cast("double")
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    levels = searcher.index.postings.sparkSession.range(0, 11).select(
+        F.col("id").cast("long").alias("level10")
+    )
+    pts = (
+        levels.crossJoin(run.crossJoin(totals))
+        .filter(F.col("relcnt") * F.lit(10) >= F.col("level10") * F.col("r_total"))
+        .groupBy("level10")
+        .agg(F.max("p_q9").cast("long").alias("p_interp_q9"))
+    )
+    return (
+        levels.join(pts, "level10", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "level10",
+            F.coalesce(F.col("p_interp_q9"), F.lit(0)).cast("long").alias("p_interp_q9"),
+            "r_total",
+        )
+    )
+
+
+def r_precision(searcher, term: str, min_tf: int = 2) -> DataFrame:
+    """R-precision (TREC; IIR §8.4): precision at rank R where R is
+    the number of relevant documents — the break-even point of the PR
+    curve, the single-number summary least sensitive to k.  Exact:
+    one row (r_total, rel_at_r) with R-prec = rel_at_r / r_total.
+    """
+    idx = searcher.index
+    fld = idx.default_field
+    judged = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    totals = judged.agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("r_total")
+    )
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long")).join(
+        judged, "doc_id", "left"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(F.col("rank") <= F.col("r_total"))
+        .agg(
+            F.max("r_total").cast("long").alias("r_total"),
+            F.sum(F.when(F.coalesce(F.col("rel"), F.lit(False)), 1).otherwise(0))
+            .cast("long")
+            .alias("rel_at_r"),
+        )
+    )
