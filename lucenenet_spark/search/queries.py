@@ -81,6 +81,20 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Synonym set scored as ONE pseudo-term (the successor engine's
+    SynonymQuery, the query-side dual of index-time SynonymFilter,
+    Analysis/Synonym/SynonymFilter.cs): per-doc freq = SUM of the
+    members' tfs, document frequency = MAX over the members' dfs — so
+    a document mentioning any spelling is scored as if one conflated
+    term existed, instead of the OR-of-TermQuery score inflation where
+    every variant contributes its own idf."""
+
+    terms: tuple[str, ...] = ()
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: Query
     occur: Occur = Occur.SHOULD

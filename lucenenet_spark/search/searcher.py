@@ -55,6 +55,7 @@ from lucenenet_spark.search.queries import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SynonymQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -332,6 +333,8 @@ class IndexSearcher:
             return self._scored_payload_term(q, tlb)
         if isinstance(q, TermQuery):
             return self._scored_term(q, tlb)
+        if isinstance(q, SynonymQuery):
+            return self._scored_synonym(q, tlb)
         if isinstance(q, PhraseQuery):
             return self._scored_phrase(q, tlb)
         if isinstance(q, MultiPhraseQuery):
@@ -364,6 +367,28 @@ class IndexSearcher:
         wv = self._weight_value(self._idf(df_), q.boost, tlb)
         p = self._postings(fld).filter(F.col("term") == q.term)
         return p.select("doc_id", self._score_col(wv, F.col("tf"), fld).alias("score"))
+
+    def _scored_synonym(self, q: SynonymQuery, tlb: float) -> DataFrame:
+        """SynonymQuery: one blended pseudo-term (see queries.SynonymQuery).
+
+        freq = sum of the members' tfs in the doc (one groupBy over the
+        members' postings — norm fields are per-doc constants, so max()
+        re-attaches them without a second scan); weight idf uses the MAX
+        member df, the blended document frequency."""
+        if not q.terms:
+            raise ValueError("SynonymQuery needs at least one term")
+        if len(set(q.terms)) != len(q.terms):
+            raise ValueError("SynonymQuery terms must be distinct")
+        fld = self._fld(q)
+        stats = self._term_stats([(fld, t) for t in q.terms])
+        df_blend = max(stats.get((fld, t), (0, 0))[0] for t in q.terms)
+        wv = self._weight_value(self._idf(df_blend), q.boost, tlb)
+        p = self._postings(fld).filter(F.col("term").isin(list(q.terms)))
+        norm_src = "norm_byte" if self.mode == "lucene" else "dl"
+        agg = p.groupBy("doc_id").agg(
+            F.sum("tf").alias("tf"), F.max(norm_src).alias(norm_src)
+        )
+        return agg.select("doc_id", self._score_col(wv, F.col("tf"), fld).alias("score"))
 
     def _scored_payload_term(self, q: PayloadTermQuery, tlb: float) -> DataFrame:
         """PayloadTermQuery: BM25 term kernel x payload function over the
