@@ -96,3 +96,47 @@ def index_options_size_audit(idx: InvertedIndex, field: str | None = None) -> Da
         .cast("long")
         .alias("ints_positions"),
     )
+
+
+def roaring_docidset_audit(
+    docset: DataFrame, block_bits: int = 16
+) -> DataFrame:
+    """Per-block array/bitmap/inverse encoding choice for a doc-id set —
+    the successor engine's RoaringDocIdSet (its filter-cache format;
+    Chambi, Lemire et al., "Better bitmap performance with Roaring
+    bitmaps", SPE 2016).
+
+    The doc space splits into 2^block_bits-doc blocks; a block holding
+    ``card`` docs is stored as
+
+    - a sorted short array (2 bytes/doc) when card < block_size/16,
+    - the COMPLEMENT as a short array when the block is nearly full
+      (card > block_size - block_size/16) — the engine's dense trick,
+    - an 8-bits-per-doc-slot fixed bitmap (block_size/8 bytes) between.
+
+    Output: one row per non-empty block (block_id, card, encoding,
+    bytes) — exact integers, so the audit doubles as a driver gate.
+    The thresholds keep the engine's 4096/65536 proportions at any
+    block_bits, letting tests exercise all three encodings on small
+    corpora.
+    """
+    if block_bits < 4:
+        raise ValueError("block_bits must be >= 4 so the array threshold is nonzero")
+    block_size = 1 << block_bits
+    thr = block_size >> 4
+    per = docset.select(
+        (F.col("doc_id") / F.lit(block_size)).cast("long").alias("block_id")
+    ).groupBy("block_id").agg(F.count(F.lit(1)).cast("long").alias("card"))
+    enc = (
+        F.when(F.col("card") < thr, F.lit("array"))
+        .when(F.col("card") > block_size - thr, F.lit("inverse"))
+        .otherwise(F.lit("bitmap"))
+    )
+    nbytes = (
+        F.when(F.col("card") < thr, 2 * F.col("card"))
+        .when(F.col("card") > block_size - thr, 2 * (F.lit(block_size) - F.col("card")))
+        .otherwise(F.lit(block_size // 8))
+    )
+    return per.select(
+        "block_id", "card", enc.alias("encoding"), nbytes.cast("long").alias("n_bytes")
+    )
