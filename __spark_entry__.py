@@ -87,6 +87,7 @@ from lucenenet_spark.plans import gate_round5zze as _gate_round5zze  # noqa: E40
 from lucenenet_spark.plans import gate_round5zzf as _gate_round5zzf  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzg as _gate_round5zzg  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzh as _gate_round5zzh  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5zzi as _gate_round5zzi  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

@@ -978,3 +978,67 @@ def r_precision(searcher, term: str, min_tf: int = 2) -> DataFrame:
             .alias("rel_at_r"),
         )
     )
+
+
+def preretrieval_qpp(index, terms: list[str], field: str | None = None) -> DataFrame:
+    """Pre-retrieval query-performance predictors — one row per query
+    term, no retrieval run needed (He & Ounis, "Inferring query
+    performance using pre-retrieval predictors", SPIRE 2004; SCQ from
+    Zhao, Scholer & Tsegay, ECIR 2008).
+
+    Per term t with document frequency df and collection frequency cf
+    over a collection of N docs / |C| tokens:
+
+    - idf_q9   = floor(ln(N / df) * 1e9 + 0.5)            (inverse doc freq)
+    - ictf_q9  = floor(ln(|C| / cf) * 1e9 + 0.5)          (inv. coll. tf)
+    - scq_q9   = floor((1 + ln(cf)) * ln(1 + N / df) * 1e9 + 0.5)
+    - scope_q9 = floor(-ln(n_any / N) * 1e9 + 0.5), n_any = docs holding
+      at least one query term (query scope, same value on every row)
+
+    Terms absent from the collection surface with df = cf = 0 and NULL
+    predictors — the honest signal a router needs (an OOV term predicts
+    poor performance).  All math stays in Column expressions; the stats
+    lookup reads O(|terms|) rows of the term dictionary and the scope
+    count is one semi-join on the query terms' postings.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct terms")
+    fld = field or index.default_field
+    n = float(index.max_doc)
+    c_tokens = float((index.sum_ttf_by_field or {index.default_field: index.sum_ttf})[fld])
+    qdf = index.postings.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+    stats = (
+        index.term_stats.filter((F.col("field") == fld) & F.col("term").isin(terms))
+        .select("term", "df", "ttf")
+    )
+    n_any = (
+        index.postings.filter((F.col("field") == fld) & F.col("term").isin(terms))
+        .select("doc_id").distinct().count()
+    )
+    scope = float(-math.log(n_any / n)) if n_any else None
+
+    def _q9(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    j = qdf.join(stats, "term", "left").select(
+        "term",
+        F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+        F.coalesce(F.col("ttf"), F.lit(0)).cast("long").alias("cf"),
+    )
+    has = F.col("df") > 0
+    idf = F.log(F.lit(n) / F.col("df").cast("double"))
+    ictf = F.log(F.lit(c_tokens) / F.col("cf").cast("double"))
+    scq = (F.lit(1.0) + F.log(F.col("cf").cast("double"))) * F.log(
+        F.lit(1.0) + F.lit(n) / F.col("df").cast("double")
+    )
+    return j.select(
+        "term", "df", "cf",
+        F.when(has, _q9(idf)).alias("idf_q9"),
+        F.when(has, _q9(ictf)).alias("ictf_q9"),
+        F.when(has, _q9(scq)).alias("scq_q9"),
+        (F.lit(_q9_py(scope)) if scope is not None else F.lit(None).cast("long")).alias("scope_q9"),
+    )
+
+
+def _q9_py(x: float) -> int:
+    return int(math.floor(x * 1e9 + 0.5))
