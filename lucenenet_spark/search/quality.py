@@ -1042,3 +1042,126 @@ def preretrieval_qpp(index, terms: list[str], field: str | None = None) -> DataF
 
 def _q9_py(x: float) -> int:
     return int(math.floor(x * 1e9 + 0.5))
+
+
+def gmap_eval(searcher, terms: list[str], k: int = 20, min_tf: int = 2) -> DataFrame:
+    """Geometric MAP over a multi-query set (the TREC Robust track's
+    headline metric — Voorhees, "Overview of the TREC 2004 Robust
+    Retrieval Track": GMAP rewards improving the WORST queries, where
+    arithmetic MAP is dominated by the easy ones).
+
+    Per query term the exact-integer AP machinery of map_mrr_at_k runs
+    unchanged (AP_i = ap_num_s / (S * R_i), all integers); the summary
+    row then combines the queries IN SORTED TERM ORDER with an explicit
+    left-associated expression, so the double fold is bit-reproducible
+    in any engine:
+
+        map_q9  = floor(((a1 + a2) + ... + an) / n * 1e9 + 0.5)
+        gmap_q9 = floor(exp(((ln a1 + ln a2) + ... ) / n) * 1e9 + 0.5)
+
+    A query with AP = 0 sends GMAP to 0 (the geometric mean's point);
+    the standard epsilon floor is the caller's policy, not applied here.
+    Output one row: per-query (ap{i}_num_s, r{i}_total) columns in
+    sorted term order, scale_s, n_queries, map_q9, gmap_q9.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct terms")
+    ts = sorted(terms)
+    scale = 1
+    for i in range(2, k + 1):
+        scale = scale * i // math.gcd(scale, i)
+    out = None
+    for i, t in enumerate(ts, start=1):
+        one = map_mrr_at_k(searcher, t, k=k, min_tf=min_tf).select(
+            F.col("ap_num_s").alias(f"ap{i}_num_s"),
+            F.col("r_total").alias(f"r{i}_total"),
+        )
+        out = one if out is None else out.crossJoin(one)
+    n = len(ts)
+    # r_total = 0 (no relevant docs) means AP = 0 by convention; the
+    # guard also keeps ANSI mode from raising on the 0-denominator.
+    aps = [
+        F.when(
+            F.col(f"r{i}_total") > 0,
+            F.col(f"ap{i}_num_s").cast("double")
+            / (F.lit(float(scale)) * F.col(f"r{i}_total").cast("double")),
+        ).otherwise(F.lit(0.0))
+        for i in range(1, n + 1)
+    ]
+    map_sum = aps[0]
+    for a in aps[1:]:
+        map_sum = map_sum + a
+    ln_sum = F.log(aps[0])
+    for a in aps[1:]:
+        ln_sum = ln_sum + F.log(a)
+    any_zero = None
+    for i in range(1, n + 1):
+        z = F.col(f"ap{i}_num_s") == 0
+        any_zero = z if any_zero is None else (any_zero | z)
+
+    def _q9c(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    return out.select(
+        *[c for i in range(1, n + 1) for c in (f"ap{i}_num_s", f"r{i}_total")],
+        F.lit(scale).cast("long").alias("scale_s"),
+        F.lit(n).cast("long").alias("n_queries"),
+        _q9c(map_sum / F.lit(float(n))).alias("map_q9"),
+        F.when(any_zero, F.lit(0).cast("long"))
+        .otherwise(_q9c(F.exp(ln_sum / F.lit(float(n)))))
+        .alias("gmap_q9"),
+    )
+
+
+def q_measure(searcher, term: str, k: int = 20, min_tf: int = 2) -> DataFrame:
+    """Sakai's Q-measure (Sakai, "New performance metrics based on
+    multigrade relevance" NTCIR-4, 2004): a blended-ratio refinement of
+    AP that stays sensitive below rank R.  With the repo's binary
+    tf-convention gains, the blended ratio at a relevant rank r is
+
+        BR(r) = (cg(r) + relcnt(r)) / (cg*(r) + r)
+              = 2 * relcnt(r) / (min(r, R) + r)
+
+    (cumulative gain == relevant count for binary gain 1; the ideal
+    cg*(r) = min(r, R)).  Q = (1/R) * Σ BR(r) over relevant retrieved
+    ranks — this function emits the per-hit curve rows (rank, relcnt,
+    br_q9, r_total), each BR one IEEE division then q9-quantized, so
+    the summary is a trivially reproducible integer sum downstream.
+    """
+    idx = searcher.index
+    fld = idx.default_field
+    judged = idx.postings.filter(
+        (F.col("field") == fld) & (F.col("term") == term)
+    ).select("doc_id", (F.col("tf") >= min_tf).alias("rel"))
+    totals = judged.agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("r_total")
+    )
+    scored = searcher.scored(TermQuery(term)).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    run = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(judged, "doc_id", "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(False)))
+    )
+    cum = Window.orderBy(F.asc("rank")).rowsBetween(Window.unboundedPreceding, 0)
+    run = run.withColumn(
+        "relcnt",
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(cum).cast("long"),
+    )
+    br = (F.col("relcnt") * F.lit(2)).cast("double") / (
+        F.least(F.col("rank"), F.col("r_total")) + F.col("rank")
+    ).cast("double")
+    return (
+        run.crossJoin(totals)
+        .filter(F.col("rel"))
+        .select(
+            "rank",
+            "relcnt",
+            F.floor(br * F.lit(1e9) + F.lit(0.5)).cast("long").alias("br_q9"),
+            "r_total",
+        )
+    )
