@@ -632,3 +632,39 @@ def jl_distance_audit(
         .select("vec_b", "d2_orig", "d2_proj", ratio.alias("ratio_q4"))
         .orderBy("vec_b")
     )
+
+
+def dim_prefix_overlap(
+    emb: DataFrame,
+    query: list[float],
+    prefix_dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval audit (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022): how much of
+    the exact top-k survives when ranking uses only the first
+    ``prefix_dim`` dimensions — the coarse-to-fine trick that lets a
+    100 TB ANN tier scan short prefixes and rerank the survivors with
+    full vectors.
+
+    One row: (k, prefix_dim, overlap) with overlap = |top-k(full) ∩
+    top-k(prefix)| on the quantized-cosine total order.  Both rankings
+    are the narrow zip_with/aggregate scan of cosine_topk_arrays_q;
+    the prefix side slices the stored array in the scan itself, so no
+    second materialized copy of the vectors exists.
+    """
+    if not 0 < prefix_dim <= len(query):
+        raise ValueError("prefix_dim must be in (0, len(query)]")
+    full = cosine_topk_arrays_q(emb, query, k, id_col=id_col, vec_col=vec_col)
+    sliced = emb.select(
+        F.col(id_col).alias(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
+    )
+    pre = cosine_topk_arrays_q(sliced, query[:prefix_dim], k, id_col=id_col, vec_col=vec_col)
+    ov = full.select("vec_id").join(pre.select("vec_id"), "vec_id", "left_semi")
+    return ov.agg(F.count(F.lit(1)).cast("long").alias("overlap")).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.lit(int(prefix_dim)).cast("long").alias("prefix_dim"),
+        "overlap",
+    )
