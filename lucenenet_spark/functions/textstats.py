@@ -629,3 +629,52 @@ def good_turing_counts(
             .alias("p0_q9"),
         )
     )
+
+
+def unigram_entropy(index, field: str | None = None) -> DataFrame:
+    """Per-doc unigram (Shannon) entropy of the token distribution —
+    the token-diversity quality signal (low entropy = repetitive
+    boilerplate/keyword-stuffed pages; the Gopher rules' repetition
+    filters are threshold versions of the same quantity).
+
+    Determinism: per (doc, term) the contribution -(c/L)·ln(c/L) is
+    quantized to a q9 BIGINT FIRST, then summed — integer addition is
+    associative, so the aggregate is hash-stable under any partial-agg
+    order (the same discipline as the covering/ERR gates).  Output
+    (doc_id, dl, n_distinct, entropy_q9_sum); natural log.
+    """
+    fld = field or index.default_field
+    p = index.postings.filter(F.col("field") == fld).select("doc_id", "tf")
+    dl = p.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    j = p.join(dl.select("doc_id", "dl"), "doc_id")
+    frac = F.col("tf").cast("double") / F.col("dl").cast("double")
+    contrib_q9 = F.floor(-frac * F.log(frac) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per = j.select("doc_id", contrib_q9.alias("c_q9")).groupBy("doc_id").agg(
+        F.sum("c_q9").cast("long").alias("entropy_q9_sum")
+    )
+    return dl.join(per, "doc_id").select("doc_id", "dl", "n_distinct", "entropy_q9_sum")
+
+
+def term_burstiness(index, min_df: int = 5, field: str | None = None) -> DataFrame:
+    """Church–Gale burstiness per term: B = ttf / df, the expected
+    within-document frequency given the term occurs at all (Church &
+    Gale, "Poisson mixtures", Natural Language Engineering 1995).
+    Content words are bursty (B >> 1 relative to their rate); function
+    words are Poisson-like.  Output per term with df >= min_df:
+    (term, df, ttf, burst_q6) with burst_q6 = floor(ttf/df·1e6 + 0.5)
+    — a single IEEE division, bit-stable in any engine.
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    fld = field or index.default_field
+    ts = index.term_stats.filter((F.col("field") == fld) & (F.col("df") >= min_df))
+    burst = F.col("ttf").cast("double") / F.col("df").cast("double")
+    return ts.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("ttf").cast("long").alias("ttf"),
+        F.floor(burst * F.lit(1e6) + F.lit(0.5)).cast("long").alias("burst_q6"),
+    )
