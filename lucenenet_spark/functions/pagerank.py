@@ -491,3 +491,113 @@ def webgraph_locality(
         .cast("long")
         .alias("mean_gap_bits_q6"),
     )
+
+
+def undirected_simple(edges: DataFrame) -> DataFrame:
+    """Directed multigraph -> undirected simple edge list (a < b),
+    self-loops dropped — the canonical form triangle counting needs."""
+    return (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph —
+    the node-iterator/wedge-closure join (Suri & Vassilvitskii,
+    "Counting triangles and the curse of the last reducer", WWW 2011:
+    the MapReduce formulation this DataFrame plan is the declarative
+    twin of).  Wedges are enumerated once per ordered pair (b < c both
+    adjacent to a) and closed against the edge list, so every triangle
+    is produced exactly once and then credited to its three corners.
+    Returns (node, tri); nodes in no triangle are absent.
+
+    Skew note (the paper's 'last reducer'): wedge count per node is
+    C(deg,2) — on power-law crawl graphs cap or sample hub wedges; the
+    synthetic gate graph has max degree ~6 so the plain join is exact
+    AND cheap here.
+    """
+    und = undirected_simple(edges).persist()
+    e1 = und.select(F.col("a").alias("apex"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a").alias("apex"), F.col("b").alias("y"))
+    lo = und.select(F.col("b").alias("apex"), F.col("a").alias("x"))
+    lo2 = und.select(F.col("b").alias("apex"), F.col("a").alias("y"))
+    nbr1 = e1.unionByName(lo)
+    nbr2 = e2.unionByName(lo2)
+    # apex < x < y: every triangle is enumerated exactly once, at its
+    # smallest vertex (without the apex bound each closes 3x, once per
+    # corner — caught by the brute-force twin)
+    wedges = nbr1.join(nbr2, "apex").filter(
+        (F.col("apex") < F.col("x")) & (F.col("x") < F.col("y"))
+    )
+    tri = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    ).select(F.col("apex").alias("v1"), F.col("x").alias("v2"), F.col("y").alias("v3"))
+    per = (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return per
+
+
+def triangle_summary(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges_und, n_wedges, n_triangles,
+    global_cc_q9) with the transitivity ratio 3T / #wedges (#wedges =
+    Σ C(deg, 2)), q9-quantized — the clustering-coefficient audit a
+    crawl graph gets before link-analysis runs."""
+    und = undirected_simple(edges).persist()
+    deg = (
+        und.select(F.col("a").alias("node")).unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2)).cast("long").alias("n_wedges"),
+    )
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges_und"))
+    nt = triangle_counts(edges).agg(
+        F.coalesce(F.sum("tri") / F.lit(3), F.lit(0)).cast("long").alias("n_triangles")
+    )
+    out = base.crossJoin(ne).crossJoin(nt)
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(
+            (F.lit(3.0) * F.col("n_triangles").cast("double"))
+            / F.col("n_wedges").cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select("n_nodes", "n_edges_und", "n_wedges", "n_triangles", cc.alias("global_cc_q9"))
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node (node, deg, tri, cc_q9): local clustering coefficient
+    2·tri / (deg·(deg-1)) (Watts & Strogatz 1998), q9-quantized; nodes
+    of degree < 2 score 0."""
+    und = undirected_simple(edges)
+    deg = (
+        und.select(F.col("a").alias("node")).unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    per = triangle_counts(edges)
+    j = deg.join(per, "node", "left").select(
+        "node", "deg", F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri")
+    )
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.floor(
+            (F.lit(2.0) * F.col("tri").cast("double"))
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select("node", "deg", "tri", cc.alias("cc_q9"))
