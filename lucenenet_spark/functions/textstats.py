@@ -678,3 +678,82 @@ def term_burstiness(index, min_df: int = 5, field: str | None = None) -> DataFra
         F.col("ttf").cast("long").alias("ttf"),
         F.floor(burst * F.lit(1e6) + F.lit(0.5)).cast("long").alias("burst_q6"),
     )
+
+
+def significant_terms_g2(
+    index, seed_term: str, k: int = 15, min_fg_df: int = 2,
+    field: str | None = None,
+) -> DataFrame:
+    """Significant co-occurring terms by Dunning's log-likelihood ratio
+    (Dunning, "Accurate methods for the statistics of surprise and
+    coincidence", Computational Linguistics 1993) — the statistically
+    grounded version of "interesting terms": which terms appear in the
+    seed term's documents far more than chance predicts.
+
+    Foreground = docs containing ``seed_term``.  Per candidate term the
+    2x2 doc-count contingency table (k11 fg-with, k12 fg-without, k21
+    bg-with, k22 bg-without) is built from exact integers, and
+
+        G2 = 2 * [ c(k11) + c(k12) + c(k21) + c(k22) ],
+        c(k) = k * ln( k*N / (rowsum*colsum) ),  c(0) = 0
+
+    is ONE fixed left-associated expression per row — no double
+    aggregation anywhere, so the q6-quantized score is engine-stable.
+    Output top-k by (g2_q6 DESC, term ASC), seed term excluded,
+    candidates need k11 >= min_fg_df.
+    """
+    if min_fg_df < 1 or k < 1:
+        raise ValueError("k and min_fg_df must be >= 1")
+    fld = field or index.default_field
+    n = index.max_doc
+    p = index.postings.filter(F.col("field") == fld)
+    fg_docs = p.filter(F.col("term") == seed_term).select("doc_id")
+    n_fg = fg_docs.count()
+    if n_fg == 0:
+        raise ValueError(f"seed term {seed_term!r} matches no documents")
+    k11 = (
+        p.join(fg_docs, "doc_id", "left_semi")
+        .filter(F.col("term") != seed_term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+        .filter(F.col("k11") >= min_fg_df)
+    )
+    stats = index.term_stats.filter(F.col("field") == fld).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    t = k11.join(stats, "term").select(
+        "term",
+        "k11",
+        (F.col("df") - F.col("k11")).cast("long").alias("k21"),
+        (F.lit(n_fg) - F.col("k11")).cast("long").alias("k12"),
+        (F.lit(int(n)) - F.col("df") - F.lit(n_fg) + F.col("k11")).cast("long").alias("k22"),
+        "df",
+    )
+    nn = float(n)
+
+    def _cell(kc, row, col):
+        kd = kc.cast("double")
+        return F.when(
+            kc > 0,
+            kd * F.log(kd * F.lit(nn) / (row.cast("double") * col.cast("double"))),
+        ).otherwise(F.lit(0.0))
+
+    fgr = F.lit(n_fg)           # row sum for k11/k12
+    bgr = F.lit(int(n) - n_fg)  # row sum for k21/k22
+    with_c = F.col("df")        # col sum for k11/k21
+    wo_c = F.lit(int(n)) - F.col("df")
+    g2 = F.lit(2.0) * (
+        (
+            (_cell(F.col("k11"), fgr, with_c) + _cell(F.col("k12"), fgr, wo_c))
+            + _cell(F.col("k21"), bgr, with_c)
+        )
+        + _cell(F.col("k22"), bgr, wo_c)
+    )
+    return (
+        t.select(
+            "term", "k11", "df",
+            F.floor(g2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("g2_q6"),
+        )
+        .orderBy(F.desc("g2_q6"), F.asc("term"))
+        .limit(k)
+    )

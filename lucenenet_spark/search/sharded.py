@@ -742,3 +742,64 @@ def local_idf_divergence(
             F.count(F.lit(1)).cast("long").alias("n_shards_present"),
         )
     )
+
+
+def distributed_topk_terms(
+    index, n_shards: int = 4, shard_k: int = 20, k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """Approximate distributed top-k terms with exact error bounds —
+    the Threshold-Algorithm family (Fagin, Lotem & Naor, "Optimal
+    aggregation algorithms for middleware", PODS 2001; TPUT, Cao &
+    Wang PODC 2004): each shard ships only its local top ``shard_k``
+    (term, count) rows; the broker sums what arrived and bounds what
+    it cannot see by each non-reporting shard's k-th local count.
+
+    Per result term: (term, est_count, true_count, err_bound,
+    is_exact) — est_count <= true_count <= est_count + err_bound holds
+    by construction and the gate's oracle re-proves it.  Shards are
+    doc_id % n_shards; all counts exact integers.  This is the
+    shard_size/doc_count_error story of every distributed terms
+    aggregation: only shards×shard_k rows cross the network instead of
+    the full dictionary.
+    """
+    if n_shards < 1 or shard_k < 1 or k < 1:
+        raise ValueError("n_shards, shard_k and k must be >= 1")
+    fld = field or index.default_field
+    p = index.postings.filter(F.col("field") == fld).select(
+        "term", (F.col("doc_id") % n_shards).alias("shard")
+    )
+    local = p.groupBy("shard", "term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = local.withColumn("rn", F.row_number().over(w))
+    reported = ranked.filter(F.col("rn") <= shard_k)
+    # each shard's admission threshold: its shard_k-th local count
+    # (0 if the shard holds fewer than shard_k distinct terms)
+    thr = (
+        ranked.filter(F.col("rn") == shard_k)
+        .select("shard", F.col("cnt").alias("thr"))
+    )
+    total_thr = thr.agg(F.coalesce(F.sum("thr"), F.lit(0)).cast("long").alias("sum_thr"))
+    est = reported.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("est_count")
+    )
+    # threshold mass of the shards that DID report the term
+    seen_thr = (
+        reported.join(thr, "shard", "left")
+        .groupBy("term")
+        .agg(F.coalesce(F.sum("thr"), F.lit(0)).cast("long").alias("seen_thr"))
+    )
+    truth = local.groupBy("term").agg(F.sum("cnt").cast("long").alias("true_count"))
+    out = (
+        est.join(seen_thr, "term")
+        .crossJoin(total_thr)
+        .join(truth, "term")
+        .select(
+            "term",
+            "est_count",
+            "true_count",
+            (F.col("sum_thr") - F.col("seen_thr")).cast("long").alias("err_bound"),
+            (F.col("est_count") == F.col("true_count")).alias("is_exact"),
+        )
+    )
+    return out.orderBy(F.desc("est_count"), F.asc("term")).limit(k)
