@@ -94,6 +94,7 @@ from lucenenet_spark.plans import gate_round5zzl as _gate_round5zzl  # noqa: E40
 from lucenenet_spark.plans import gate_round5zzm as _gate_round5zzm  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzn as _gate_round5zzn  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzo as _gate_round5zzo  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5zzp as _gate_round5zzp  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 
