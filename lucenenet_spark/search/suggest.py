@@ -582,3 +582,62 @@ def file_dictionary(
         ).alias("weight"),
         F.try_element_at(parts, F.lit(3)).alias("payload"),
     ).filter(F.col("surface") != "")
+
+
+def mpc_prefix_ranks(
+    index, n_targets: int = 20, max_prefix: int = 4, field: str | None = None
+) -> DataFrame:
+    """Most-Popular-Completion evaluation ranks (the MRR-over-prefixes
+    methodology of Bar-Yossef & Kraus, "Context-sensitive query
+    auto-completion", WWW 2011 §6: replay each target query one
+    keystroke at a time and record where MPC ranks it).
+
+    The term dictionary plays the query log: the ``n_targets`` most
+    frequent terms (df DESC, term ASC) are the true queries, popularity
+    is df.  For each target t and prefix length L in 1..max_prefix
+    (capped at len(t)): candidates = terms sharing substr(t, 1, L),
+    rank of t = 1 + |{c : df_c > df_t or (df_c = df_t and c < t)}| —
+    a counting aggregate, no window, all integers.  Output one row per
+    (term, prefix_len): (term, df, prefix_len, n_candidates, rank).
+
+    Scale shape: targets are a driver-bounded n_targets-row broadcast;
+    the dictionary is scanned once per prefix length with an equi-join
+    on the computed prefix column.
+    """
+    if n_targets < 1 or max_prefix < 1:
+        raise ValueError("n_targets and max_prefix must be >= 1")
+    fld = field or index.default_field
+    ts = index.term_stats.filter(F.col("field") == fld).select("term", "df")
+    targets = ts.orderBy(F.desc("df"), F.asc("term")).limit(n_targets)
+    lens = index.postings.sparkSession.range(1, max_prefix + 1).select(
+        F.col("id").cast("int").alias("prefix_len")
+    )
+    tl = (
+        targets.crossJoin(F.broadcast(lens))
+        .filter(F.length("term") >= F.col("prefix_len"))
+        .select(
+            F.col("term").alias("t"), F.col("df").alias("t_df"), "prefix_len",
+            F.col("term").substr(F.lit(1), F.col("prefix_len")).alias("_px"),
+        )
+    )
+    cand = ts.select("term", "df")
+    j = F.broadcast(tl).join(
+        cand, F.col("term").substr(F.lit(1), F.col("prefix_len")) == F.col("_px")
+    )
+    better = F.when(
+        (F.col("df") > F.col("t_df"))
+        | ((F.col("df") == F.col("t_df")) & (F.col("term") < F.col("t"))),
+        1,
+    ).otherwise(0)
+    return (
+        j.groupBy("t", "t_df", "prefix_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            (F.sum(better) + F.lit(1)).cast("long").alias("rank"),
+        )
+        .select(
+            F.col("t").alias("term"), F.col("t_df").cast("long").alias("df"),
+            F.col("prefix_len").cast("long").alias("prefix_len"),
+            "n_candidates", "rank",
+        )
+    )
