@@ -601,3 +601,47 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     return j.select("node", "deg", "tri", cc.alias("cc_q9"))
+
+
+def cocitation_pairs(edges: DataFrame, min_count: int = 1) -> DataFrame:
+    """Co-citation similarity (Small, "Co-citation in the scientific
+    literature", JASIS 1973): pages (a < b) are related when the same
+    sources link to both — cocite(a,b) = |{s : s->a and s->b}|.
+    Self-join of the deduped edge list on src; the classic related-
+    pages signal on a web graph (Dean & Henzinger WWW'99 use exactly
+    this).  Returns (a, b, n_common) with n_common >= min_count.
+
+    Skew: a source with out-degree d emits C(d,2) pairs — on a real
+    crawl cap hub out-degrees before the self-join (the anchor-agg
+    hub-cap discipline); the synthetic graph's max out-degree is 3.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    e2 = e.select(F.col("src").alias("src"), F.col("dst").alias("dst2"))
+    pairs = e.join(e2, "src").filter(F.col("dst") < F.col("dst2"))
+    return (
+        pairs.groupBy(F.col("dst").alias("a"), F.col("dst2").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_count)
+    )
+
+
+def bibliographic_coupling(edges: DataFrame, min_count: int = 1) -> DataFrame:
+    """Bibliographic coupling (Kessler, "Bibliographic coupling between
+    scientific papers", American Documentation 1963): sources (a < b)
+    are related when they link to the same targets — couple(a,b) =
+    |{t : a->t and b->t}|.  The out-link dual of co-citation: the same
+    self-join shape keyed on dst.  Returns (a, b, n_shared) with
+    n_shared >= min_count; the skew cap here is target IN-degree.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    e2 = e.select(F.col("src").alias("src2"), F.col("dst").alias("dst"))
+    pairs = e.join(e2, "dst").filter(F.col("src") < F.col("src2"))
+    return (
+        pairs.groupBy(F.col("src").alias("a"), F.col("src2").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_count)
+    )
