@@ -645,3 +645,79 @@ def bibliographic_coupling(edges: DataFrame, min_count: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_count)
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman, "Network structure and
+    minimum degree", Social Networks 1983; the distributed
+    one-round-per-superstep peel of Montresor et al., "Distributed
+    k-core decomposition", IEEE TPDS 2013): each round drops every
+    node whose degree in the SURVIVING subgraph is < k.  Returns one
+    row per round: (round, n_remaining) — monotone nonincreasing; when
+    two consecutive rounds agree the set is exactly the k-core.  Fixed
+    ``rounds`` (not run-to-convergence) keeps the plan a finite CTE
+    chain the SQL oracle unrolls identically.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    und = undirected_simple(edges).persist()
+    cur = und
+    out = None
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").persist()
+        cur = (
+            cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .persist()
+        )
+        row = keep.agg(F.count(F.lit(1)).cast("long").alias("n_remaining")).select(
+            F.lit(r).cast("long").alias("round"), "n_remaining"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman, "Assortative mixing in
+    networks", PRL 2002) of the undirected simple graph: do high-degree
+    nodes link to high-degree nodes?  Computed from INTEGER moments
+    over the 2|E| directed stubs (Sjk = Σ j·k, S1 = Σ j, S2 = Σ j²),
+
+        r = (M·Sjk - S1²) / (M·S2 - S1²),   M = 2|E|
+
+    so the only floating-point op is the final division — one row
+    (m_stubs, s1, s2, sjk, r_q9); r_q9 = -10^9..10^9.  Web graphs are
+    famously DISassortative (r < 0) — a property worth auditing before
+    trusting hub-based heuristics.
+    """
+    und = undirected_simple(edges)
+    deg = (
+        und.select(F.col("a").alias("node")).unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    stubs = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    j = (
+        stubs.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("ju")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("jv")), "v")
+    )
+    mo = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m_stubs"),
+        F.sum("ju").cast("long").alias("s1"),
+        F.sum(F.col("ju") * F.col("ju")).cast("long").alias("s2"),
+        F.sum(F.col("ju") * F.col("jv")).cast("long").alias("sjk"),
+    )
+    num = (F.col("m_stubs") * F.col("sjk") - F.col("s1") * F.col("s1")).cast("double")
+    den = (F.col("m_stubs") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    r_q9 = F.when(
+        den != 0.0, F.floor(num / den * F.lit(1e9) + F.lit(0.5)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return mo.select("m_stubs", "s1", "s2", "sjk", r_q9.alias("r_q9"))
