@@ -167,3 +167,60 @@ def sequence_fill_stats(packed: DataFrame, budget: int) -> DataFrame:
             ((F.max(F.col("offset") + F.col("n_tokens")) - 1) % budget) + 1
         ).cast("long").alias("last_fill"),
     )
+
+
+def fim_split_export(
+    docs: DataFrame, min_chars: int = 30, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fill-in-the-middle split export (Bavarian et al., "Efficient
+    Training of Language Models to Fill in the Middle", 2022): each
+    document is cut into (prefix, middle, suffix) for the FIM training
+    objective.  Cut points are DETERMINISTIC character thirds (p1 =
+    len//3, p2 = 2*len//3) rather than sampled — the repo-wide rule
+    that randomness lives in a seeded, oracle-reproducible transform.
+
+    Output per surviving doc (len >= min_chars): (doc_id, n_chars,
+    p1, p2, prefix_md5, middle_md5, suffix_md5) — md5s so the gate
+    hash-compares without shipping text.  Pure Column slicing, no UDF;
+    the PSM re-assembly is concat(prefix, suffix, middle) downstream.
+    """
+    if min_chars < 3:
+        raise ValueError("min_chars must be >= 3 so every part is non-empty")
+    t = F.col(text_col)
+    n = F.length(t)
+    p1 = (n / 3).cast("long")
+    p2 = (n * 2 / 3).cast("long")
+    out = docs.filter(n >= min_chars).select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        p1.alias("p1"),
+        p2.alias("p2"),
+        F.md5(t.substr(F.lit(1), p1)).alias("prefix_md5"),
+        F.md5(t.substr(p1 + 1, p2 - p1)).alias("middle_md5"),
+        F.md5(t.substr(p2 + 1, n - p2)).alias("suffix_md5"),
+    )
+    return out
+
+
+def seq_length_histogram(index, field: str | None = None) -> DataFrame:
+    """Token-length histogram in power-of-two buckets — the packing /
+    context-window planning table (how much of the corpus fits 512?
+    how much needs 4k?).  bucket = 2^ceil(log2(dl)); the float log2 is
+    engine-safe here because log2(n) for a non-power-of-two integer n
+    sits at least ~1/(n ln 2) away from an integer (>> one ulp for any
+    realistic dl), and exact powers of two are exactly representable —
+    so ceil agrees bit-for-bit across engines.  Output rows are exact
+    integers: (bucket, n_docs, total_tokens).
+    """
+    fld = field or index.default_field
+    dl = index.postings.filter(F.col("field") == fld).groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    bucket = F.when(F.col("dl") <= 1, F.lit(1).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("dl").cast("double"))))
+        .cast("long")
+    )
+    return dl.select(bucket.alias("bucket"), "dl").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
