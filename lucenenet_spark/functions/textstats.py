@@ -4,7 +4,7 @@ codegen; zero Python in the hot path)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucenenet_spark.analysis.analyzers import ENGLISH_STOP_WORDS
@@ -757,3 +757,75 @@ def significant_terms_g2(
         .orderBy(F.desc("g2_q6"), F.asc("term"))
         .limit(k)
     )
+
+
+def vocab_coverage_curve(index, vocab_sizes=(100, 500, 1000, 2000),
+                         field: str | None = None) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer/vocab-size planning
+    table: for each candidate vocabulary size V, what fraction of the
+    corpus token mass do the top-V terms (by collection frequency)
+    cover?  The complement is the <unk>/byte-fallback rate a V-entry
+    vocabulary would pay.  One window cumsum over the ttf-sorted
+    dictionary, all exact integers: (vocab_size, n_terms_total,
+    covered_tokens, total_tokens).
+    """
+    sizes = sorted(set(int(v) for v in vocab_sizes))
+    if not sizes or sizes[0] < 1:
+        raise ValueError("vocab_sizes must be positive")
+    fld = field or index.default_field
+    ts = index.term_stats.filter(F.col("field") == fld).select("term", "ttf")
+    w = Window.orderBy(F.desc("ttf"), F.asc("term"))
+    ranked = ts.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("ttf").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = ts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_total"),
+        F.sum("ttf").cast("long").alias("total_tokens"),
+    )
+    vs = index.postings.sparkSession.createDataFrame(
+        [(v,) for v in sizes], "vocab_size long"
+    )
+    # coverage at V = cum at rank min(V, n_terms)
+    best = (
+        vs.crossJoin(F.broadcast(tot))
+        .join(
+            ranked.select("rnk", F.col("cum").alias("covered_tokens")),
+            F.col("rnk") == F.least(F.col("vocab_size"), F.col("n_terms_total")),
+        )
+        .select("vocab_size", "n_terms_total",
+                F.col("covered_tokens").cast("long").alias("covered_tokens"),
+                "total_tokens")
+    )
+    return best
+
+
+def stopword_induction(index, df_ratio_threshold: float = 0.5,
+                       field: str | None = None) -> DataFrame:
+    """Automatic stopword identification by document-frequency ratio
+    (Wilbur & Sirotkin, "The automatic identification of stop words",
+    J. Info. Sci. 1992 frame the statistical version; the df/N
+    threshold is the standard first cut every IR stack applies):
+    terms appearing in more than ``df_ratio_threshold`` of all
+    documents carry little discrimination and are stoplist candidates.
+
+    Exact integer predicate (df * 2 > N for the 0.5 default —
+    cross-multiplied so no float compare) and exact mass accounting:
+    (term, df, ttf, pct_docs_q4) sorted most-common-first.
+    """
+    if not 0.0 < df_ratio_threshold < 1.0:
+        raise ValueError("df_ratio_threshold must be in (0, 1)")
+    fld = field or index.default_field
+    n = int(index.max_doc)
+    # cross-multiplied integer threshold: df / N > r  <=>  df * DEN > r*DEN * N
+    # with r expressed exactly in 1e6ths
+    r_ppm = int(round(df_ratio_threshold * 1_000_000))
+    ts = index.term_stats.filter(F.col("field") == fld)
+    out = ts.filter(F.col("df") * F.lit(1_000_000) > F.lit(r_ppm) * F.lit(n)).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("ttf").cast("long").alias("ttf"),
+        F.floor(F.col("df").cast("double") / F.lit(float(n)) * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("pct_docs_q4"),
+    )
+    return out.orderBy(F.desc("df"), F.asc("term"))
