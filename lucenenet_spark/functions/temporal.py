@@ -111,3 +111,85 @@ def rate_spike_topk(events: DataFrame, k: int = 5, ts_col: str = "ts") -> DataFr
         .orderBy(F.desc("z_q6"), F.asc("hour"))
         .limit(k)
     )
+
+
+def kleinberg_burst(
+    events: DataFrame, s: float = 3.0, gamma: float = 1.0, ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Kleinberg two-state burst detection (Kleinberg, "Bursty and
+    hierarchical structure in streams", KDD 2002) per event class: a
+    base state q0 emits inter-arrival gaps at rate λ0 = n/T, the burst
+    state q1 at rate s·λ0; entering q1 costs γ·ln n.  The optimal state
+    sequence minimizes Σ fit costs + transition costs (Viterbi).
+
+    Determinism: per-gap fit costs −ln λ + λ·gap are each ONE double
+    expression quantized to q6 BIGINTs, the transition cost likewise —
+    the Viterbi min/plus DP then runs entirely on integers inside one
+    sequential F.aggregate fold per key (and a recursive CTE replays the
+    identical integer recurrence in the oracle).  Gaps are integer
+    seconds from timezone-free field extraction (see hourly_counts).
+
+    Output per key: (key, n_gaps, trans_q6, final_cost_q6,
+    burst_steps) — burst_steps counts DP steps where the burst state is
+    strictly cheaper, a backtrack-free burstiness diagnostic.  Keys
+    with fewer than 2 events (no gaps) or zero time span are dropped.
+    """
+    if s <= 1.0 or gamma <= 0.0:
+        raise ValueError("s must be > 1 and gamma > 0")
+    sec = (
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("long") * F.lit(86400)
+        + F.hour(F.col(ts_col)).cast("long") * F.lit(3600)
+        + F.minute(F.col(ts_col)).cast("long") * F.lit(60)
+        + F.second(F.col(ts_col)).cast("long")
+    )
+    base = events.select(F.col(key_col).alias("key"), sec.alias("t"))
+    per = base.groupBy("key").agg(
+        F.array_sort(F.collect_list("t")).alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2)
+    span = (F.element_at("ts", -1) - F.element_at("ts", 1)).cast("double")
+    per = per.withColumn("span", span).filter(F.col("span") > 0)
+    lam0 = F.col("n").cast("double") / F.col("span")
+    lam1 = F.lit(float(s)) * lam0
+    # gaps[i] = ts[i+1] - ts[i]; per-gap integer fit costs for both states
+    gaps = F.expr("transform(slice(ts, 2, size(ts) - 1), (x, i) -> x - element_at(ts, i + 1))")
+    per = per.withColumn("gaps", gaps).withColumn("lam0", lam0).withColumn("lam1", lam1)
+
+    def _fq(lam, gap_col):
+        return F.floor(
+            (-F.log(lam) + lam * gap_col.cast("double")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+
+    costs = F.transform(
+        F.col("gaps"),
+        lambda g: F.struct(
+            _fq(F.col("lam0"), g).alias("f0"), _fq(F.col("lam1"), g).alias("f1")
+        ),
+    )
+    trans_q = F.floor(
+        F.lit(float(gamma)) * F.log(F.col("n").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    per = per.withColumn("costs", costs).withColumn("trans_q6", trans_q)
+    big = F.lit(10**15).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("c0"), big.alias("c1"),
+        F.lit(0).cast("long").alias("b"),
+    )
+
+    def step(acc, x):
+        c0n = F.least(acc.c0, acc.c1) + x.f0
+        c1n = F.least(acc.c0 + F.col("trans_q6"), acc.c1) + x.f1
+        return F.struct(
+            c0n.alias("c0"), c1n.alias("c1"),
+            (acc.b + F.when(c1n < c0n, 1).otherwise(0)).alias("b"),
+        )
+
+    dp = F.aggregate(F.col("costs"), init, step)
+    return per.select(
+        F.col("key").alias(key_col),
+        (F.col("n") - 1).cast("long").alias("n_gaps"),
+        "trans_q6",
+        F.least(dp.c0, dp.c1).cast("long").alias("final_cost_q6"),
+        dp.b.cast("long").alias("burst_steps"),
+    )
