@@ -376,3 +376,57 @@ def sort_search_after(
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", sort_col)
     )
+
+
+def skyline_docs(scored: DataFrame, better_desc: str, better_asc: str) -> DataFrame:
+    """Skyline / Pareto-optimal documents (Börzsönyi, Kossmann &
+    Stocker, "The Skyline Operator", ICDE 2001): keep rows not
+    DOMINATED on two preference dimensions — ``better_desc`` (higher is
+    better, e.g. the quantized score) and ``better_asc`` (lower is
+    better, e.g. document length).  a dominates b when a is >= on the
+    desc dimension, <= on the asc dimension, and strictly better on at
+    least one.
+
+    Plan: the dominance check is one self-join anti-semi (LEFT ANTI on
+    the dominance predicate) — O(n²) pairs at worst, which is fine for
+    a top-k candidate pool; a corpus-wide skyline would pre-partition
+    by a grid on one dimension and merge partial skylines (the paper's
+    divide-and-conquer), same predicate.
+    """
+    a = scored.alias("a")
+    b = scored.alias("b")
+    dom = (
+        (F.col(f"b.{better_desc}") >= F.col(f"a.{better_desc}"))
+        & (F.col(f"b.{better_asc}") <= F.col(f"a.{better_asc}"))
+        & (
+            (F.col(f"b.{better_desc}") > F.col(f"a.{better_desc}"))
+            | (F.col(f"b.{better_asc}") < F.col(f"a.{better_asc}"))
+        )
+    )
+    return a.join(b, dom, "left_anti")
+
+
+def score_percentiles(scored: DataFrame, value_col: str, qs=(50, 90, 99)) -> DataFrame:
+    """EXACT score percentiles by rank selection (nearest-rank
+    definition: the value at rank ceil(q/100 * n) of the ascending
+    sort) — the serving-quality dashboard row, computed without the
+    approximate-quantile sketch so any engine reproduces it.  Output
+    (pct, n, value); one global sort window over the (small) scored
+    frame — for corpus-scale inputs switch to two-pass manual binning,
+    same output contract.
+    """
+    qs = sorted(set(int(q) for q in qs))
+    if not qs or qs[0] < 1 or qs[-1] > 100:
+        raise ValueError("percentiles must be in 1..100")
+    ranked = scored.select(F.col(value_col).alias("v")).withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.asc("v"))).cast("long")
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spark = scored.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in qs], "pct long")
+    tgt = qdf.crossJoin(F.broadcast(tot)).select(
+        "pct", "n", F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long").alias("r")
+    )
+    return tgt.join(ranked, F.col("rnk") == F.col("r")).select(
+        "pct", "n", F.col("v").alias("value")
+    )
