@@ -20,7 +20,7 @@ combinable counts over the raw log, no state beyond the aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["click_entropy"]
@@ -113,3 +113,35 @@ def static_cache_hit_rate(
         .cast("long")
         .alias("hit_rate_q6"),
     )
+
+
+def event_markov_transitions(events: DataFrame, k: int = 15) -> DataFrame:
+    """First-order Markov transition table over each user's event-type
+    sequence — the session-model building block of query-log analysis
+    (chains of the kind Silverstein et al., "Analysis of a very large
+    web search engine query log", SIGIR Forum 1999 tabulate).
+
+    Per user, events ordered by (ts, event_id); each consecutive pair
+    contributes one (src -> dst) transition.  Output the top-k
+    transitions by count: (src, dst, cnt, row_total, prob_q6) with
+    prob = cnt / row_total (all transitions leaving src), one IEEE
+    division then q6-quantized.  One lag window partitioned by user +
+    two counting aggregates — no driver state.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = events.select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    row_tot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("row_total"))
+    out = trans.join(row_tot, "src").select(
+        "src", "dst", "cnt", "row_total",
+        F.floor(
+            F.col("cnt").cast("double") / F.col("row_total").cast("double")
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("prob_q6"),
+    )
+    return out.orderBy(F.desc("cnt"), F.asc("src"), F.asc("dst")).limit(k)

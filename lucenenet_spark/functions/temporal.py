@@ -193,3 +193,63 @@ def kleinberg_burst(
         F.least(dp.c0, dp.c1).cast("long").alias("final_cost_q6"),
         dp.b.cast("long").alias("burst_steps"),
     )
+
+
+def cusum_alarms(
+    events: DataFrame, k_slack_ppm: int = 250_000, h_mult_ppm: int = 4_000_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page, "Continuous
+    inspection schemes", Biometrika 1954) over the hourly count series:
+
+        S_t = max(0, S_{t-1} + (c_t - mu - k))
+
+    alarming when S_t > h, with slack k = k_slack_ppm/1e6 * mu and
+    threshold h = h_mult_ppm/1e6 * mu.  To keep the recurrence EXACT,
+    everything is scaled by n*1e6 (mu = S/n): the integer recurrence
+
+        T_t = max(0, T_{t-1} + 1e6*n*c_t - 1e6*S - k_ppm*S)
+
+    runs in one sequential F.aggregate fold, alarms where
+    T_t > h_ppm * S * ... (same scale).  Output one row per alarm hour:
+    (hour, cnt, cusum_scaled) — empty when the series never drifts.
+    """
+    if k_slack_ppm < 0 or h_mult_ppm <= 0:
+        raise ValueError("k_slack_ppm must be >= 0 and h_mult_ppm > 0")
+    hc = hourly_counts(events, ts_col)
+    mo = hc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    series = hc.orderBy("hour").agg(
+        F.collect_list(F.struct("hour", "cnt")).alias("xs")
+    ).crossJoin(F.broadcast(mo))
+    # per-step increment in the n*1e6 scale; threshold likewise
+    inc = lambda c: (  # noqa: E731
+        F.lit(1_000_000) * F.col("n") * c - F.lit(1_000_000) * F.col("s")
+        - F.lit(int(k_slack_ppm)) * F.col("s")
+    )
+    thr = F.lit(int(h_mult_ppm)) * F.col("s")
+    init = F.expr("CAST(array() AS ARRAY<STRUCT<hour: BIGINT, cnt: BIGINT, cusum_scaled: BIGINT>>)")
+    zero = F.lit(0).cast("long")
+
+    def step(acc, x):
+        prev = F.when(F.size(acc) > 0, F.element_at(acc, -1).cusum_scaled).otherwise(zero)
+        t = F.greatest(zero, prev + inc(x.cnt.cast("long")))
+        return F.concat(
+            acc,
+            F.array(F.struct(
+                x.hour.alias("hour"), x.cnt.cast("long").alias("cnt"),
+                t.alias("cusum_scaled"),
+            )),
+        )
+
+    walked = series.select(
+        F.aggregate(F.expr("xs"), init, step).alias("walk"), thr.alias("thr")
+    )
+    ex = walked.select(F.explode("walk").alias("w"), "thr")
+    return ex.filter(F.col("w.cusum_scaled") > F.col("thr")).select(
+        F.col("w.hour").alias("hour"),
+        F.col("w.cnt").alias("cnt"),
+        F.col("w.cusum_scaled").alias("cusum_scaled"),
+    )
