@@ -721,3 +721,54 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         den != 0.0, F.floor(num / den * F.lit(1e9) + F.lit(0.5)).cast("long")
     ).otherwise(F.lit(0).cast("long"))
     return mo.select("m_stubs", "s1", "s2", "sjk", r_q9.alias("r_q9"))
+
+
+def bfs_distances(
+    edges: DataFrame, source: int = 0, max_hops: int = 6
+) -> DataFrame:
+    """Fixed-round BFS over the directed edge list: (node, dist) for
+    every node reachable from ``source`` within ``max_hops`` — the
+    bulk-synchronous frontier expansion every Pregel-style engine runs
+    (one join + min-aggregate per round; the bound makes the plan a
+    finite chain the SQL oracle unrolls identically).  Distances are
+    exact smallest hop counts within the bound.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select("src", "dst").distinct().persist()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
+    for r in range(1, max_hops + 1):
+        nxt = (
+            e.join(dist.select(F.col("node").alias("src"), "dist"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .persist()
+        )
+    return dist
+
+
+def harmonic_centrality_seed(
+    edges: DataFrame, source: int = 0, max_hops: int = 6
+) -> DataFrame:
+    """Bounded harmonic centrality of ``source`` (Boldi & Vigna,
+    "Axioms for centrality", Internet Mathematics 2014: H(v) =
+    Σ_{u != v} 1/d(v, u), the centrality that handles disconnected
+    graphs gracefully): per-node contributions floor(1e9/d) are exact
+    integers (d is a small hop count), so the sum is engine-stable.
+    One row: (n_reached, harmonic_q9_sum) over nodes within max_hops,
+    source excluded.
+    """
+    d = bfs_distances(edges, source=source, max_hops=max_hops).filter(
+        F.col("dist") > 0
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum(F.floor(F.lit(1_000_000_000) / F.col("dist"))).cast("long").alias(
+            "harmonic_q9_sum"
+        ),
+    )
