@@ -784,3 +784,98 @@ def lsh_quality_audit(
         [(n_truth, n_cand, tp, prec, rec)],
         "n_truth long, n_cand long, tp long, precision_ppm long, recall_ppm long",
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07; Xiao et al. PPJoin, WWW'08) — the exact counterpart to the
+    MinHash-LSH candidate path.
+
+    Every shingle set is ordered by the CANONICAL global order
+    (document frequency ascending, shingle ascending — rarest first);
+    for threshold t = t_num/t_den a pair with J(x,y) >= t must share at
+    least one shingle inside each side's PREFIX of length
+    p = s - ceil(t*s) + 1, so joining ONLY the prefixes loses no true
+    pair.  Because the prefix holds each document's RAREST shingles,
+    the join buckets are the low-df tail of the vocabulary — the
+    "new york times"-class heavy shingles that make a naive shingle
+    self-join quadratic never enter the candidate stream.  A length
+    filter (t*max(sa,sb) <= min(sa,sb), integer cross-multiplied)
+    prunes candidates before the verify.  Verification is the exact
+    intersection count restricted to candidate pairs, so the output is
+    EXACTLY the pairs with J >= t — no banding false negatives.
+
+    All arithmetic is integer-exact: J >= t  <=>  i*(t_den+t_num) >=
+    t_num*(sa+sb), and jacc_q4 = floor(i/u*1e4+0.5) is computed as
+    (20000*i + u) DIV (2*u).
+
+    Scale: the per-doc prefix is computed with a partition-by-doc
+    window (no global sort — the canonical order is the (df, shingle)
+    TUPLE, which needs no dense global rank); the candidate join keys
+    are rare shingles, so bucket sizes stay small by construction.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("s"))
+    sdf = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("sdf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("sdf"), F.asc("shingle"))
+    ranked = (
+        sh.join(sdf, "shingle")
+        .withColumn("idx", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    # p = s - ceil(t*s) + 1, ceil(t*s) = (t_num*s + t_den - 1) DIV t_den
+    p = F.col("s") - F.expr(f"({t_num} * s + {t_den} - 1) DIV {t_den}") + F.lit(1)
+    pref = ranked.filter(F.col("idx") <= p).select("doc_id", "shingle", "s")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("s").alias("sa")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("s").alias("sb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.lit(t_den) * F.least("sa", "sb") >= F.lit(t_num) * F.greatest("sa", "sb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    u = F.col("sa") + F.col("sb") - F.col("inter")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(F.col("inter") * F.lit(t_den + t_num) >= F.lit(t_num) * (F.col("sa") + F.col("sb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            u.cast("long").alias("uni"),
+            F.expr(
+                "(20000 * inter + (sa + sb - inter)) DIV (2 * (sa + sb - inter))"
+            )
+            .cast("long")
+            .alias("jacc_q4"),
+        )
+    )
