@@ -255,3 +255,112 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries, "Finding Repeated Elements",
+# Sci. Comput. Program. 1982; merge rule from Agarwal et al., "Mergeable
+# Summaries", PODS'12) — the deterministic counter-based sketch beside
+# the randomized CMS (cms_sketch above).
+# --------------------------------------------------------------------------
+
+
+def misra_gries_summary(
+    tokens: DataFrame,
+    k: int = 8,
+    n_partitions: int = 4,
+    term_col: str = "term",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Distributed Misra-Gries: per-partition k-counter sketches merged
+    by the PODS'12 rule.
+
+    Each partition (doc_id % n_partitions) folds its token stream in the
+    canonical (doc_id, pos) order through the classic k-counter update
+    (new term on a full table decrements every counter, zeros drop out);
+    the per-partition summaries are then summed per term and reduced
+    back to k entries by subtracting the (k+1)-th largest combined
+    count.  Guarantee (the twin asserts it): every term with true count
+    > N/(k+1) appears in the merged summary, and each kept estimate
+    undercounts by at most N/(k+1).
+
+    Scale: pass one touches each token once inside its partition (the
+    Arrow-batched fold state is k counters, constant memory); the merge
+    moves only n_partitions*k rows.  This is the sketch half of the
+    two-pass heavy-hitter pipeline (certified_heavy_hitters).
+    """
+    import pandas as pd
+
+    def _mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, pos_col])
+        counters: dict[str, int] = {}
+        for t in pdf[term_col]:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < k:
+                counters[t] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        return pd.DataFrame(
+            {"term": list(counters), "cnt": [counters[t] for t in counters]}
+        )
+
+    parts = tokens.withColumn("_pk", F.col(id_col) % n_partitions)
+    summaries = parts.groupBy("_pk").applyInPandas(_mg, "term string, cnt long")
+    combined = summaries.groupBy("term").agg(F.sum("cnt").cast("long").alias("cnt"))
+    # reduce to k entries: subtract the (k+1)-th largest count (0 if <= k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = combined.withColumn("_r", F.row_number().over(w))
+    kth = ranked.filter(F.col("_r") == k + 1).select(
+        F.col("cnt").alias("_sub")
+    )
+    return (
+        ranked.crossJoin(
+            kth.unionByName(
+                ranked.sparkSession.createDataFrame([(0,)], "_sub long")
+            ).agg(F.max("_sub").alias("_sub"))
+        )
+        .select("term", (F.col("cnt") - F.col("_sub")).alias("mg_count"))
+        .filter(F.col("mg_count") > 0)
+    )
+
+
+def certified_heavy_hitters(
+    tokens: DataFrame,
+    k: int = 8,
+    n_partitions: int = 4,
+    term_col: str = "term",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Two-pass exact heavy hitters: Misra-Gries candidates, then an
+    exact recount of ONLY the candidates, keeping terms with true count
+    strictly above N/(k+1) (integer cross-multiplied).
+
+    The output is exactly ``SELECT term, count(*) ... HAVING
+    count*(k+1) > N`` — but pass two counts only the <= k surviving
+    candidate terms instead of the whole vocabulary, which is the
+    point at 10^9 distinct terms.  Completeness rests on the MG
+    guarantee that no heavy term can be evicted from the summary.
+    """
+    cand = misra_gries_summary(
+        tokens, k=k, n_partitions=n_partitions,
+        term_col=term_col, id_col=id_col, pos_col=pos_col,
+    ).select("term")
+    n_total = tokens.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    exact = (
+        tokens.join(F.broadcast(cand), tokens[term_col] == cand["term"])
+        .groupBy(cand["term"])
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    return (
+        exact.crossJoin(n_total)
+        .filter(F.col("true_count") * (k + 1) > F.col("n_total"))
+        .select("term", "true_count", "n_total")
+    )
