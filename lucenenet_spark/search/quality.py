@@ -1165,3 +1165,194 @@ def q_measure(searcher, term: str, k: int = 20, min_tf: int = 2) -> DataFrame:
             "r_total",
         )
     )
+
+
+def randomization_test(
+    searcher_a,
+    searcher_b,
+    terms: list[str],
+    k: int = 10,
+    min_tf: int = 2,
+    n_trials: int = 64,
+) -> DataFrame:
+    """Paired two-sided randomization significance test between two
+    ranking systems (Smucker, Allan & Carterette, "A Comparison of
+    Statistical Significance Tests for Information Retrieval
+    Evaluation", CIKM'07 — their recommended test).
+
+    Per query the exact-integer AP machinery (map_mrr_at_k) runs under
+    both searchers; AP is quantized once to q9 via integer arithmetic
+    ((2*ap_num*1e9 + S*R) DIV (2*S*R)), so the per-query differences
+    d_q and everything downstream are exact BIGINTs.  The null
+    distribution uses n_trials DETERMINISTIC pseudo-random sign
+    assignments — sign(t, q) = +1 iff the first hex digit of
+    md5(t || ':' || q) is 0-7 — the md5-determinism discipline every
+    sketch in this repo uses, so any engine reproduces the same p.
+
+        p = #{t : |Σ_q sign(t,q) · d_q| >= |Σ_q d_q|} / n_trials
+
+    Output one row: (n_queries, n_trials, d_obs_q9, n_extreme, p_ppm).
+    Scale: per-query APs are tiny one-row frames; the trial matrix is
+    n_trials × n_queries rows — evaluation metadata, not corpus data.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct terms")
+    ts = sorted(terms)
+    scale = 1
+    for i in range(2, k + 1):
+        scale = scale * i // math.gcd(scale, i)
+    diffs = None
+    for t in ts:
+        a = map_mrr_at_k(searcher_a, t, k=k, min_tf=min_tf).select(
+            F.col("ap_num_s").alias("an"), F.col("r_total").alias("ar")
+        )
+        b = map_mrr_at_k(searcher_b, t, k=k, min_tf=min_tf).select(
+            F.col("ap_num_s").alias("bn"), F.col("r_total").alias("br")
+        )
+
+        def _q9(numc, rc):
+            return F.when(
+                F.col(rc) > 0,
+                F.expr(
+                    f"(2 * {numc} * 1000000000 + {scale} * {rc})"
+                    f" DIV (2 * {scale} * {rc})"
+                ),
+            ).otherwise(F.lit(0)).cast("long")
+
+        one = a.crossJoin(b).select(
+            F.lit(t).alias("term"), (_q9("an", "ar") - _q9("bn", "br")).alias("d_q9")
+        )
+        diffs = one if diffs is None else diffs.unionByName(one)
+    spark = diffs.sparkSession
+    trials = spark.range(n_trials).select(F.col("id").alias("trial"))
+    signed = trials.crossJoin(diffs).select(
+        "trial",
+        (
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("trial").cast("string"), F.lit(":"), F.col("term"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                < 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.col("d_q9")
+        ).alias("sd"),
+    )
+    per_trial = signed.groupBy("trial").agg(F.sum("sd").cast("long").alias("s"))
+    obs = diffs.agg(F.sum("d_q9").cast("long").alias("d_obs_q9"))
+    return (
+        per_trial.crossJoin(obs)
+        .agg(
+            F.max("d_obs_q9").alias("d_obs_q9"),
+            F.sum(
+                F.when(F.abs(F.col("s")) >= F.abs(F.col("d_obs_q9")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            F.lit(len(ts)).cast("long").alias("n_queries"),
+            F.lit(n_trials).cast("long").alias("n_trials"),
+            "d_obs_q9",
+            "n_extreme",
+            F.expr(f"n_extreme * 1000000 DIV {n_trials}").cast("long").alias("p_ppm"),
+        )
+    )
+
+
+def ips_eval(
+    searcher_logging,
+    searcher_target,
+    terms: list[str],
+    k: int = 10,
+    min_tf: int = 2,
+) -> DataFrame:
+    """Counterfactual (inverse-propensity-scored) evaluation of a target
+    ranker from clicks logged under a different ranker (Joachims,
+    Swaminathan & Schnabel, "Unbiased Learning-to-Rank with Biased
+    Feedback", WSDM'17).
+
+    The logged data is reconstructed deterministically: the logging
+    ranker's top-k is the serving page; a user clicks every RELEVANT
+    document (tf >= min_tf) they EXAMINE, where examination is
+    position-biased — ranks 1-3 always examined, deeper ranks examined
+    iff doc_id is even (the deterministic stand-in for a coin flip, so
+    the examination propensity at rank > 3 is exactly 1/2 and the IPS
+    weight is the exact integer 1 or 2).
+
+    The target ranker's utility per click is the rank discount
+    1/rank_target (0 if the clicked doc misses the target's top-k),
+    kept exact by lcm(1..k) scaling:
+
+        ips_num_s = Σ_clicks  w_click · S / rank_target,   S = lcm(1..k)
+
+    Output one row per query: (term, n_clicks, sum_w, ips_num_s,
+    scale_s).  Scale: per-query top-k frames only — the estimator
+    moves k rows per query regardless of corpus size.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct terms")
+    scale = 1
+    for i in range(2, k + 1):
+        scale = scale * i // math.gcd(scale, i)
+    idx = searcher_logging.index
+    fld = idx.default_field
+    out = None
+    for t in sorted(terms):
+        judged = idx.postings.filter(
+            (F.col("field") == fld) & (F.col("term") == t) & (F.col("tf") >= min_tf)
+        ).select("doc_id")
+
+        def _ranked(s, alias):
+            scored = s.scored(TermQuery(t)).select(
+                "doc_id",
+                F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("score_q"),
+            )
+            w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+            return (
+                scored.withColumn(alias, F.row_number().over(w).cast("long"))
+                .filter(F.col(alias) <= k)
+                .select("doc_id", alias)
+            )
+
+        ra = _ranked(searcher_logging, "rank_log")
+        rb = _ranked(searcher_target, "rank_tgt")
+        clicks = (
+            ra.join(judged, "doc_id")
+            .filter((F.col("rank_log") <= 3) | (F.col("doc_id") % 2 == 0))
+            .withColumn(
+                "w", F.when(F.col("rank_log") <= 3, F.lit(1)).otherwise(F.lit(2)).cast("long")
+            )
+            .join(rb, "doc_id", "left")
+        )
+        one = clicks.agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("sum_w"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rank_tgt").isNotNull(),
+                        F.col("w") * F.expr(f"{scale} DIV rank_tgt"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ips_num_s"),
+        ).select(
+            F.lit(t).alias("term"),
+            "n_clicks",
+            "sum_w",
+            "ips_num_s",
+            F.lit(scale).cast("long").alias("scale_s"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
