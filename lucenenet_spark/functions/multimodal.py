@@ -130,3 +130,140 @@ def media_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.length(F.col(payload_col))).alias("total_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (pHash-style DCT fingerprint) over the opaque binary
+# payload column — the media-side near-duplicate family member beside
+# MinHash (text sets) / SimHash (term profiles) / winnowing (substrings).
+# --------------------------------------------------------------------------
+
+_DCT_N = 8
+_DCT_SCALE = 1000
+
+
+def dct_table() -> list[tuple[int, int, int]]:
+    """Quantized 8x8 DCT-II basis: rows (u, x, w) with
+    w = round(cos(pi*(2x+1)*u/16) * 1000) — integer literals shared
+    verbatim with the SQL oracle (the ann_lsh plane-literal pattern).
+    Normalization (alpha) factors are deliberately omitted: the hash
+    thresholds each coefficient against the pool median, and dropping
+    the per-row scale keeps every coefficient an exact integer."""
+    import math as _m
+
+    return [
+        (u, x, int(round(_m.cos(_m.pi * (2 * x + 1) * u / (2 * _DCT_N)) * _DCT_SCALE)))
+        for u in range(_DCT_N)
+        for x in range(_DCT_N)
+    ]
+
+
+def perceptual_hash(media: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """63-bit pHash-style fingerprint per payload (Zauner, "Implementation
+    and Benchmarking of Perceptual Image Hash Functions", 2010 — the
+    classic DCT hash: low-frequency block thresholded at its median).
+
+    The decode stage is the repo's honest multimodal stand-in: the
+    "image" is the 64-nibble sha256 hex of the payload arranged as an
+    8x8 grid (identical bytes -> identical grid, near-identical bytes ->
+    unrelated grid, exactly like extract_features' fake decoder).  The
+    2-D DCT uses the quantized integer basis (dct_table), each of the
+    63 non-DC coefficients is an exact integer, the threshold is the
+    nearest-rank lower median (32nd smallest of 63), and the fingerprint
+    packs bit (u,v) at position u*8+v-1 — 63 bits, BIGINT-safe.
+
+    Fully JVM-side: sha2 + explode + one broadcast join against the
+    64-row basis + two aggregations; no Python workers.
+    """
+    spark = media.sparkSession
+    tdf = F.broadcast(
+        spark.createDataFrame(dct_table(), "u int, x int, w long")
+    )
+    pix = (
+        media.select(
+            F.col(id_col),
+            F.sha2(F.col(payload_col), 256).alias("hx"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.split(F.col("hx"), ""),
+                    lambda c: F.conv(c, 16, 10).cast("long"),
+                )
+            ).alias("i", "p"),
+        )
+        .filter(F.col("i") < 64)
+        .select(
+            id_col,
+            (F.col("i") / 8).cast("int").alias("x"),
+            (F.col("i") % 8).cast("int").alias("y"),
+            "p",
+        )
+    )
+    tu = tdf.select(F.col("u"), F.col("x"), F.col("w").alias("wu"))
+    tv = tdf.select(F.col("u").alias("v"), F.col("x").alias("y"), F.col("w").alias("wv"))
+    coefs = (
+        pix.join(tu, "x")
+        .join(tv, "y")
+        .groupBy(id_col, "u", "v")
+        .agg(F.sum(F.col("p") * F.col("wu") * F.col("wv")).cast("long").alias("c"))
+        .filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+    )
+    from pyspark.sql import Window
+
+    med = (
+        coefs.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("c"), F.asc("u"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("r") == 32)
+        .select(id_col, F.col("c").alias("med"))
+    )
+    return (
+        coefs.join(med, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") > F.col("med"),
+                    # dynamic bit position: pow(2, k) is exact in double
+                    # for k <= 62 (the F.shiftleft numBits-must-be-static
+                    # gotcha)
+                    F.expr("CAST(pow(2, u * 8 + v - 1) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("phash")
+        )
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N closest payload pairs by pHash Hamming distance
+    (distance asc, ids asc).  Exact all-pairs at audit scale; the
+    production path band-buckets hash prefixes exactly like the MinHash
+    LSH discipline (16-bit bands -> join only bucket collisions).
+    """
+    fp = perceptual_hash(media, payload_col, id_col)
+    a = fp.select(F.col(id_col).alias("doc_a"), F.col("phash").alias("fa"))
+    b = fp.select(F.col(id_col).alias("doc_b"), F.col("phash").alias("fb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(fa ^ fb)").cast("long").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top_n)
+    )

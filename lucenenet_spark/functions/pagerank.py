@@ -772,3 +772,79 @@ def harmonic_centrality_seed(
             "harmonic_q9_sum"
         ),
     )
+
+
+def simrank_pairs(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 2,
+) -> DataFrame:
+    """SimRank structural similarity (Jeh & Widom, "SimRank: A Measure
+    of Structural-Context Similarity", KDD'02) with C = 4/5, run for a
+    bounded number of iterations ENTIRELY in exact integer arithmetic:
+
+        s_{t+1}(a,b) = C / (|I(a)||I(b)|) * sum_{i in I(a), j in I(b)} s_t(i,j)
+
+    Scores are kept q9-quantized BIGINTs; because C = 4/5 is rational,
+    each iteration is one integer rounding
+    ((8*X + 5*D) DIV (10*D) for X = summed q9 mass, D = |I(a)||I(b)|)
+    — no ln, no float, so any engine replays it bit-for-bit.  In-
+    neighbor multisets keep edge multiplicity (the multigraph semantics
+    of build_link_graph).
+
+    Iteration 1 reduces to co-citation (only the diagonal s_0 feeds the
+    sum); iteration t touches only pairs whose in-neighbors connect
+    through the SPARSE support of s_{t-1} — the standard SimRank
+    sparsity, so the pair frame grows with the graph's similarity
+    structure, never materializing N^2.  Returns (a, b, s_q9) for a < b
+    with s_q9 > 0.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    inn = (
+        edges.groupBy(F.col("dst").alias("v"), F.col("src").alias("i"))
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    indeg = inn.groupBy("v").agg(F.sum("m").cast("long").alias("d"))
+    Q9 = 10**9
+
+    # symmetric nonzero score table, diagonal implicit: rows (i, j, s) i<j
+    s_prev: DataFrame | None = None  # None = s_0 (diagonal only)
+    for _ in range(iterations):
+        ia = inn.select(F.col("v").alias("a"), F.col("i").alias("ia"), F.col("m").alias("ma"))
+        ib = inn.select(F.col("v").alias("b"), F.col("i").alias("ib"), F.col("m").alias("mb"))
+        if s_prev is None:
+            # s_0(i,j) = Q9 iff i == j
+            mass = (
+                ia.join(ib, ia["ia"] == ib["ib"])
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.sum(F.col("ma") * F.col("mb") * F.lit(Q9)).cast("long").alias("x"))
+            )
+        else:
+            sym = s_prev.select("i", "j", "s").unionByName(
+                s_prev.select(F.col("j").alias("i"), F.col("i").alias("j"), "s")
+            ).unionByName(
+                inn.select(F.col("i"), F.col("i").alias("j"), F.lit(Q9).cast("long").alias("s")).distinct()
+            )
+            mass = (
+                ia.join(sym, ia["ia"] == sym["i"])
+                .join(ib, sym["j"] == ib["ib"])
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.sum(F.col("ma") * F.col("s") * F.col("mb")).cast("long").alias("x"))
+            )
+        da = indeg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+        db = indeg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+        s_prev = (
+            mass.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.col("a").alias("i"),
+                F.col("b").alias("j"),
+                F.expr("(8 * x + 5 * da * db) DIV (10 * da * db)").cast("long").alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+    return s_prev.select(F.col("i").alias("a"), F.col("j").alias("b"), F.col("s").alias("s_q9"))
