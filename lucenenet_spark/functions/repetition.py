@@ -79,3 +79,61 @@ def repetition_filter(
         & (F.col("top_bigram_q") <= int(max_top_bigram_frac * 10000))
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def lz_window_coverage(
+    docs: DataFrame,
+    gram: int = 8,
+    window: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LZ77-style local-repetition coverage — the dictionary-free proxy
+    for the compression-ratio quality filter (Ziv & Lempel 1977; web
+    pipelines drop documents whose bytes compress too well, e.g. the
+    RefinedWeb/Gopher repetition screens).
+
+    A character position i carries a REPEATED gram iff the ``gram``-char
+    substring starting at i also starts at some earlier j with
+    i - window <= j < i — exactly the "match within the sliding window"
+    test a greedy LZ77 parser performs, minus the length extension.
+    rep_ppm = repeated positions * 1e6 DIV total positions; a document
+    dominated by boilerplate or looped text scores high.
+
+    One narrow self-join on (doc_id, gram text) restricted by the
+    window predicate — per-doc work is O(positions x window collisions),
+    embarrassingly parallel over documents; no UDF.
+    """
+    # sequence(1, 0) in Spark DESCENDS ([1, 0]); guard sub-gram docs to an
+    # empty array so they emit no positions (matching the SQL oracle).
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {gram} THEN"
+                f" transform(sequence(1, length({text_col}) - {gram - 1}),"
+                f" i -> substring({text_col}, i, {gram}))"
+                f" ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("i", "g"),
+    )
+    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("g"))
+    b = pos.select("doc_id", F.col("i").alias("jb"), F.col("g"))
+    rep = (
+        a.join(b, ["doc_id", "g"])
+        .filter((F.col("jb") < F.col("ia")) & (F.col("ia") - F.col("jb") <= window))
+        .select("doc_id", F.col("ia"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_repeated"))
+    )
+    tot = pos.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    return (
+        tot.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+        )
+        .withColumn("rep_ppm", F.expr("n_repeated * 1000000 DIV n_grams").cast("long"))
+    )

@@ -829,3 +829,53 @@ def stopword_induction(index, df_ratio_threshold: float = 0.5,
         .alias("pct_docs_q4"),
     )
     return out.orderBy(F.desc("df"), F.asc("term"))
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch Reading Ease and Flesch-Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975) — the classic readability quality signals a
+    curation pipeline buckets documents by.
+
+    Deterministic sub-measures, all exact integers:
+      * n_sentences = max(1, count of [.!?] runs) — unpunctuated web
+        fragments count as one sentence;
+      * n_words     = whitespace tokens;
+      * n_syllables = per word max(1, count of [aeiouy]+ vowel-group
+        runs) — the standard dictionary-free syllable heuristic.
+
+    The two scores are each ONE double expression over those integers
+    (IEEE-reproducible in any engine), quantized q4:
+      FRE  = 206.835 - 1.015*(W/S) - 84.6*(SYL/W)
+      FKGL = 0.39*(W/S) + 11.8*(SYL/W) - 15.59
+    """
+    toks = F.array_remove(F.split(F.col(text_col), " "), "")
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))),
+    )
+    n_w = F.size(toks).cast("long")
+    n_s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+    ).cast("long")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_w.alias("n_words"),
+        n_s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor((F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+                * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("fre_q4"),
+        F.floor((F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+                * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("fkgl_q4"),
+    )
