@@ -216,3 +216,73 @@ def materialize_mixture(
         .drop("_r_q", "_n")
     )
     return expanded
+
+
+def greedy_set_cover(
+    sets: DataFrame,
+    rounds: int = 8,
+    set_col: str = "doc_id",
+    elem_col: str = "shingle",
+) -> DataFrame:
+    """Greedy maximum-coverage selection (Nemhauser, Wolsey & Fisher
+    1978: the greedy algorithm for submodular maximization achieves
+    1 - 1/e of the optimum) — the coverage-maximizing data-selection
+    primitive: pick, round by round, the document whose element set
+    covers the most still-uncovered elements.  This is the submodular
+    subset-selection shape used for diversity-driven training-data
+    curation.
+
+    Deterministic: gain DESC, set id ASC.  No driver collect — each
+    round's winner stays a one-row DataFrame (the BPE winner pattern)
+    broadcast into the next round's anti-join; the covered-element
+    frame is persisted per round so round r+1 scans rounds, not the
+    corpus.  Output one row per round: (round, doc_id, gain,
+    covered_total).
+
+    Scale: each round is one anti-join + one groupBy over the element
+    table — O(rounds) linear passes; at production scale rounds is the
+    selection budget, the classic lazy-greedy/CELF accelerations slot
+    in front of the same plan.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    # persisted: every round's gain scan AND its winner's coverage
+    # expansion re-read this frame (2 reads x rounds), so the dedup'd
+    # element table materializes once instead of re-exploding the corpus
+    sets = (
+        sets.select(F.col(set_col).alias("sid"), F.col(elem_col).alias("elem"))
+        .distinct()
+        .persist()
+    )
+    covered = None  # DataFrame of ("elem"), None = empty
+    chosen = None   # DataFrame of ("sid")
+    out = None
+    for r in range(1, rounds + 1):
+        remaining = sets if covered is None else sets.join(covered, "elem", "left_anti")
+        if chosen is not None:
+            remaining = remaining.join(chosen, "sid", "left_anti")
+        winner = (
+            remaining.groupBy("sid")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("sid"))
+            .limit(1)
+            .persist()
+        )
+        new_cov = sets.join(F.broadcast(winner.select("sid")), "sid").select("elem")
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov)
+        ).distinct().persist()
+        chosen_row = winner.select("sid")
+        chosen = chosen_row if chosen is None else chosen.unionByName(chosen_row)
+        total = covered.agg(F.count("*").cast("long").alias("covered_total"))
+        row = (
+            winner.crossJoin(total)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("sid").alias("doc_id"),
+                "gain",
+                "covered_total",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

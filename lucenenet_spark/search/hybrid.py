@@ -227,3 +227,70 @@ def borda_fuse(
         .select("rank", "doc_id", "points",
                 *[f"rank_{i}" for i in range(len(rankings))])
     )
+
+
+def condorcet_fuse(rankings: list[DataFrame], topk: int = 10) -> DataFrame:
+    """Condorcet rank fusion scored by the Copeland method (Montague &
+    Aslam, "Condorcet Fusion for Improved Retrieval", CIKM'02 — the
+    pairwise-majority aggregation RRF's own paper benchmarks against).
+
+    Candidates are the union of all input lists; within each system a
+    document absent from the list ranks below every present document
+    (and ties with the other absentees).  For every candidate pair the
+    systems vote by rank; d BEATS e if a strict majority of systems
+    rank d better.  The Copeland score 2*wins + ties is a pure integer
+    — no score normalization, no floats anywhere.
+
+    Input frames carry (doc_id, rank); output (doc_id, copeland_2x,
+    wins, ties) top-`topk` by (copeland_2x DESC, doc_id ASC).  Scale:
+    the pair matrix is |union|^2 * S rows where |union| <= S*k — fusion
+    metadata, independent of corpus size.
+    """
+    if len(rankings) < 2:
+        raise ValueError("condorcet_fuse needs at least 2 rankings")
+    big = 1 << 40
+    u = None
+    for i, r in enumerate(rankings):
+        r = r.select("doc_id", F.col("rank").cast("long").alias("rank"),
+                     F.lit(i).alias("sys"))
+        u = r if u is None else u.unionByName(r)
+    cands = u.select("doc_id").distinct()
+    systems = u.select("sys").distinct()
+    m = (
+        cands.crossJoin(systems)
+        .join(u, ["doc_id", "sys"], "left")
+        .select("doc_id", "sys", F.coalesce("rank", F.lit(big)).alias("r"))
+    )
+    a = m.select(F.col("doc_id").alias("doc_a"), "sys", F.col("r").alias("ra"))
+    b = m.select(F.col("doc_id").alias("doc_b"), "sys", F.col("r").alias("rb"))
+    votes = (
+        a.join(b, "sys")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ra") < F.col("rb"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("rb") < F.col("ra"), 1).otherwise(0)).alias("nb"),
+        )
+    )
+    per = votes.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.sum(F.when(F.col("na") > F.col("nb"), 1).otherwise(0))
+        .cast("long")
+        .alias("wins"),
+        F.sum(F.when(F.col("na") == F.col("nb"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties"),
+    )
+    from pyspark.sql import Window
+
+    out = per.select(
+        "doc_id",
+        (F.lit(2) * F.col("wins") + F.col("ties")).cast("long").alias("copeland_2x"),
+        "wins",
+        "ties",
+    )
+    w = Window.orderBy(F.desc("copeland_2x"), F.asc("doc_id"))
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= topk)
+        .drop("_r")
+    )

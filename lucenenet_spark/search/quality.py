@@ -465,6 +465,124 @@ def kendall_tau(ranking_a: DataFrame, ranking_b: DataFrame, k: int = 10) -> Data
     )
 
 
+def tau_ap(ranking_ref: DataFrame, ranking_obs: DataFrame, k: int = 10) -> DataFrame:
+    """AP rank correlation tau_ap (Yilmaz, Aslam & Robertson, SIGIR'08,
+    "A New Rank Correlation Coefficient for Information Retrieval") over
+    the conjoint documents of two top-k rankings, re-ranked 1..m on each
+    side (the indefinite-list restriction kendall_tau also uses).
+    tau_ap is the AP-weighted variant that penalizes disagreement near
+    the top of the OBSERVED ranking:
+
+        tau_ap = 2/(m-1) * sum_{i=2..m} C(i)/(i-1) - 1
+
+    where C(i) counts, for the item at observed rank i, the items at
+    observed rank < i that the reference also ranks above it.  Exact
+    integer fold: each C(i)/(i-1) is scaled by LCM(1..k-1) so the sum
+    s_lcm is a pure bigint; only the final normalization runs in double
+    (one expression over two exact integers — bit-stable).  Output one
+    row: (n_common, s_lcm, tau_ap_q6), tau_ap_q6 = 0 when m < 2.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    lcm = math.lcm(*range(1, max(k, 2)))
+    a = ranking_ref.select("doc_id", F.col("rank").alias("ra")).filter(F.col("ra") <= k)
+    b = ranking_obs.select("doc_id", F.col("rank").alias("rb")).filter(F.col("rb") <= k)
+    conj = (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("ra")).cast("long").alias("ref"),
+            F.row_number().over(Window.orderBy("rb")).cast("long").alias("obs"),
+        )
+    )
+    x = conj.select(F.col("obs").alias("i"), F.col("ref").alias("refi"))
+    y = conj.select(F.col("obs").alias("j"), F.col("ref").alias("refj"))
+    c = (
+        x.join(y, (F.col("j") < F.col("i")) & (F.col("refj") < F.col("refi")))
+        .filter(F.col("i") >= 2)
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("conc"))
+    )
+    s = c.agg(
+        F.coalesce(F.sum(F.col("conc") * F.expr(f"{lcm} div (i - 1)")), F.lit(0))
+        .cast("long")
+        .alias("s_lcm")
+    )
+    m = conj.agg(F.count("*").cast("long").alias("n_common"))
+    out = m.crossJoin(s)
+    tq6 = F.when(
+        F.col("n_common") >= 2,
+        F.floor(
+            (
+                F.lit(2.0)
+                * F.col("s_lcm")
+                / ((F.col("n_common") - F.lit(1)).cast("double") * F.lit(float(lcm)))
+                - F.lit(1.0)
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select("n_common", "s_lcm", tq6.alias("tau_ap_q6"))
+
+
+def spearman_rho(ranking_a: DataFrame, ranking_b: DataFrame, k: int = 10) -> DataFrame:
+    """Spearman rank correlation (rho) and Spearman footrule between two
+    top-k rankings over their conjoint documents, re-ranked 1..m per
+    side.  Both statistics are exact integers until the single closing
+    normalization: d_i = ra'_i - rb'_i, sum_d2 = sum d_i^2, footrule =
+    sum |d_i|, and
+
+        rho = 1 - 6 * sum_d2 / (m * (m^2 - 1))
+
+    (the no-ties closed form; re-ranked conjoint positions are tie-free
+    by construction).  Output one row:
+    (n_common, sum_d2, footrule, rho_q6), rho_q6 = 0 when m < 2.
+    """
+    from pyspark.sql import Window
+
+    a = ranking_a.select("doc_id", F.col("rank").alias("ra")).filter(F.col("ra") <= k)
+    b = ranking_b.select("doc_id", F.col("rank").alias("rb")).filter(F.col("rb") <= k)
+    conj = (
+        a.join(b, "doc_id")
+        .select(
+            F.row_number().over(Window.orderBy("ra")).cast("long").alias("rra"),
+            F.row_number().over(Window.orderBy("rb")).cast("long").alias("rrb"),
+        )
+    )
+    agg = conj.agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.coalesce(
+            F.sum((F.col("rra") - F.col("rrb")) * (F.col("rra") - F.col("rrb"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_d2"),
+        F.coalesce(F.sum(F.abs(F.col("rra") - F.col("rrb"))), F.lit(0))
+        .cast("long")
+        .alias("footrule"),
+    )
+    rho = F.when(
+        F.col("n_common") >= 2,
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("sum_d2")
+                / (
+                    F.col("n_common")
+                    * (F.col("n_common") * F.col("n_common") - F.lit(1))
+                ).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select("n_common", "sum_d2", "footrule", rho.alias("rho_q6"))
+
+
 def bpref_at_k(searcher, term: str, k: int = 10, min_tf: int = 2) -> DataFrame:
     """bpref (Buckley & Voorhees, SIGIR 2004) — the binary-preference
     metric for INCOMPLETELY judged pools: unlike AvP it only counts
