@@ -668,3 +668,157 @@ def dim_prefix_overlap(
         F.lit(int(prefix_dim)).cast("long").alias("prefix_dim"),
         "overlap",
     )
+
+
+def _quantized_components(
+    emb: DataFrame, id_col: str, vec_col: str, comp_scale: int
+) -> DataFrame:
+    """(vec_id, i, vq): per-component integer quantization vq =
+    floor(v * comp_scale + 0.5) — ONE IEEE op per component, identical
+    in any engine, after which every distance is exact bigint
+    arithmetic (integer sums are aggregation-order-free, unlike double
+    sums).  The determinism workhorse for kcenter_select /
+    loo_1nn_errors."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("i", "v"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v").cast("double") * F.lit(float(comp_scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    comp_scale: int = 1000,
+) -> DataFrame:
+    """Gonzalez (1985) farthest-first traversal — the k-center
+    2-approximation, the classic max-min diversity coreset for
+    training-data selection: seed with the smallest id, then k-1 times
+    add the point whose minimum squared distance to the chosen set is
+    LARGEST (ties: smallest id).  Distances are exact bigints over
+    component-quantized vectors (see _quantized_components), so the
+    selection is bit-deterministic on any engine.
+
+    Output one row per round: (round, vec_id, maxmin_d2) — round 1 is
+    the seed with maxmin_d2 = 0; each later row's maxmin_d2 is the
+    coverage radius just before that center was added (non-increasing,
+    the 2-approximation certificate).
+
+    Scale: each round is one (N x round)-pair distance aggregation —
+    the chosen set (<= k rows) broadcasts, the corpus is scanned k
+    times, never joined with itself.  No driver collect.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    eq = _quantized_components(emb, id_col, vec_col, comp_scale).persist()
+    seed = (
+        eq.groupBy("vec_id")
+        .agg(F.count("*").alias("_n"))
+        .select(F.min("vec_id").cast("long").alias("vec_id"))
+    )
+    chosen = seed
+    out = seed.select(
+        F.lit(1).cast("long").alias("round"),
+        "vec_id",
+        F.lit(0).cast("long").alias("maxmin_d2"),
+    )
+    for r in range(2, k + 1):
+        ch = (
+            eq.join(
+                F.broadcast(chosen.select(F.col("vec_id").alias("cid"))),
+                F.col("vec_id") == F.col("cid"),
+            )
+            .select(F.col("cid"), "i", F.col("vq").alias("cq"))
+        )
+        winner = (
+            eq.join(chosen.select("vec_id"), "vec_id", "left_anti")
+            .join(F.broadcast(ch), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("vq") - F.col("cq")) * (F.col("vq") - F.col("cq")))
+                .cast("long")
+                .alias("d2")
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d2").cast("long").alias("maxmin_d2"))
+            .orderBy(F.desc("maxmin_d2"), F.asc("vec_id"))
+            .limit(1)
+            .persist()
+        )
+        chosen = chosen.unionByName(winner.select("vec_id"))
+        out = out.unionByName(
+            winner.select(
+                F.lit(r).cast("long").alias("round"), "vec_id", "maxmin_d2"
+            )
+        )
+    return out
+
+
+def loo_1nn_errors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    comp_scale: int = 1000,
+) -> DataFrame:
+    """Leave-one-out 1-nearest-neighbour label error per class (Cover &
+    Hart 1967's classifier as an embedding-quality probe): each vector's
+    nearest OTHER vector by exact squared distance over quantized
+    components (ties: smallest id); an error when the labels differ.
+    Output per label: (label, n, errors, err_ppm) — all exact integers.
+
+    Scale: this is the brute-force all-pairs twin (the banded-LSH / IVF
+    gates are the production path); the pair frame is the exploded
+    component join, integer-summed, so the result is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    eq = _quantized_components(emb, id_col, vec_col, comp_scale)
+    a = eq.select(F.col("vec_id").alias("va"), "i", F.col("vq").alias("qa"))
+    b = eq.select(F.col("vec_id").alias("vb"), "i", F.col("vq").alias("qb"))
+    d2 = (
+        a.join(b, "i")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.asc("d2"), F.asc("vb"))
+    nn = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("va", "vb")
+    )
+    lab = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("long").alias("label")
+    )
+    pairs = (
+        nn.join(lab.withColumnRenamed("vec_id", "va").withColumnRenamed("label", "la"), "va")
+        .join(lab.withColumnRenamed("vec_id", "vb").withColumnRenamed("label", "lb"), "vb")
+    )
+    return (
+        pairs.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("la") != F.col("lb"), 1).otherwise(0))
+            .cast("long")
+            .alias("errors"),
+        )
+        .select(
+            "label",
+            "n",
+            "errors",
+            F.expr("errors * 1000000 div n").cast("long").alias("err_ppm"),
+        )
+        .orderBy(F.asc("label"))
+    )
