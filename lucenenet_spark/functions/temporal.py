@@ -253,3 +253,144 @@ def cusum_alarms(
         F.col("w.cnt").alias("cnt"),
         F.col("w.cusum_scaled").alias("cusum_scaled"),
     )
+
+
+def ewma_residual_topk(
+    events: DataFrame, k: int = 10, alpha_num: int = 1, alpha_den: int = 4,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EWMA (exponentially-weighted moving average, the Roberts 1959
+    control-chart smoother) over the dense hourly count series, with the
+    k largest one-step-ahead residuals — the standard ops anomaly feed.
+
+    Quantize-before-fold: the smoothed state is held in q6 integers and
+    advanced by the DEFINED recurrence
+
+        s_t = (alpha_num * cnt_t * 10^6 + (alpha_den - alpha_num) * s_{t-1})
+              // alpha_den         (s_0 = cnt_0 * 10^6)
+
+    so the whole curve is exact bigint arithmetic on any engine (the
+    Kleinberg-burst / Kaplan-Meier pattern).  The residual at t is
+    cnt_t*10^6 - s_{t-1} (actual minus prior prediction).  Output
+    (hour, cnt, pred_q6, resid_q6) for the top-k hours by
+    (|resid| DESC, hour ASC); hour 0 (no prior state) is excluded.
+    """
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    hc = hourly_counts(events, ts_col=ts_col)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("hour").alias("h"), F.col("cnt").alias("c")))
+    )
+    q = 1_000_000
+    init = F.struct(
+        F.lit(-1).cast("long").alias("s"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<h: BIGINT, c: BIGINT, p: BIGINT, r: BIGINT>>)"
+        ).alias("rows"),
+    )
+
+    def _step(acc, x):
+        first = acc["s"] < 0
+        a = (
+            F.lit(alpha_num) * x["c"] * F.lit(q)
+            + F.lit(alpha_den - alpha_num) * acc["s"]
+        )
+        nxt = F.when(first, x["c"] * F.lit(q)).otherwise(
+            ((a - F.pmod(a, F.lit(alpha_den))) / F.lit(alpha_den)).cast("long")
+        )
+        row = F.struct(
+            x["h"].alias("h"),
+            x["c"].alias("c"),
+            acc["s"].alias("p"),
+            (x["c"] * F.lit(q) - acc["s"]).alias("r"),
+        )
+        rows = F.when(first, acc["rows"]).otherwise(
+            F.concat(acc["rows"], F.array(row))
+        )
+        return F.struct(nxt.alias("s"), rows.alias("rows"))
+
+    folded = hc.agg(arr.alias("arr")).select(
+        F.explode(F.aggregate(F.col("arr"), init, _step)["rows"]).alias("r")
+    )
+    return (
+        folded.select(
+            F.col("r.h").alias("hour"),
+            F.col("r.c").alias("cnt"),
+            F.col("r.p").alias("pred_q6"),
+            F.col("r.r").alias("resid_q6"),
+        )
+        .orderBy(F.desc(F.abs(F.col("resid_q6"))), F.asc("hour"))
+        .limit(k)
+    )
+
+
+def daily_trend_ols(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Ordinary-least-squares linear trend of the daily event-count
+    series: x = day offset from the first observed day, y = count.
+    All moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact integer sums; the
+    slope, intercept and r² close in ONE double expression each from
+    those integers:
+
+        slope     = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)
+        intercept = (ΣyΣx² - ΣxΣxy) / (nΣx² - (Σx)²)
+        r²        = (nΣxy - ΣxΣy)² / ((nΣx² - (Σx)²)(nΣy² - (Σy)²))
+
+    Output one row: (n_days, slope_q6, intercept_q6, r2_q6) — missing
+    days count as zero (dense series), so the trend is over the true
+    calendar axis.
+    """
+    days = events.select(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day")
+    )
+    cnt = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    rng = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(cnt, "day", "left")
+        .select(
+            "day", F.coalesce("cnt", F.lit(0)).cast("long").alias("y")
+        )
+        .crossJoin(F.broadcast(rng.select(F.col("lo"))))
+        .select((F.col("day") - F.col("lo")).cast("long").alias("x"), "y")
+    )
+    m = dense.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+
+    def _q6(expr):
+        return F.floor(expr * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    slope = F.when(dx > 0, _q6(num.cast("double") / dx.cast("double"))).otherwise(
+        F.lit(0).cast("long")
+    )
+    intercept = F.when(
+        dx > 0,
+        _q6(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / dx.cast("double")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    r2 = F.when(
+        (dx > 0) & (dy > 0),
+        _q6(
+            num.cast("double")
+            * num.cast("double")
+            / (dx * dy).cast("double")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return m.select(
+        F.col("n").alias("n_days"),
+        slope.alias("slope_q6"),
+        intercept.alias("intercept_q6"),
+        r2.alias("r2_q6"),
+    )
