@@ -116,6 +116,7 @@ from lucenenet_spark.plans import gate_round5zzzh as _gate_round5zzzh  # noqa: E
 from lucenenet_spark.plans import gate_round5zzzi as _gate_round5zzzi  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzzj as _gate_round5zzzj  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzzk as _gate_round5zzzk  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5zzzl as _gate_round5zzzl  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 
