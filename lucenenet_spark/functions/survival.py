@@ -179,3 +179,86 @@ def ab_chi2(
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     return cells.select("a", "b", "c", "d", chi2.alias("chi2_q6"))
+
+
+def mann_whitney_u(
+    events: DataFrame,
+    event_type: str = "purchase",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum, 1947) comparing the `value`
+    distribution of one event type between the two pseudo-arms
+    (user parity) — the nonparametric companion to ab_chi2.
+
+    Exact integer core: values quantize to cents; tied ranks use the
+    DOUBLED midrank r2 = min_rank + max_rank of the tie group (always
+    integer), so 2*R1, 2*U1 and the tie-correction term
+    T = sum(t^3 - t) are all bigints.  The normal-approximation z with
+    tie-corrected variance
+
+        z = (2*U1 - n1*n2) / (2 * sqrt(n1*n2/12 * ((n+1) - T/(n*(n-1)))))
+
+    closes in ONE double expression, q6-quantized.  Output one row:
+    (n1, n2, r1_x2, u1_x2, z_q6), arm 0 = even user ids.
+    """
+    from pyspark.sql import Window
+
+    vals = events.filter(F.col(type_col) == event_type).select(
+        (F.col(user_col) % 2).alias("arm"),
+        F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.orderBy("cents")
+    ranked = vals.withColumn("rk", F.rank().over(w).cast("long")).withColumn(
+        "cnt_eq", F.count("*").over(Window.partitionBy("cents")).cast("long")
+    )
+    # doubled midrank of a tie group starting at rank rk with t members:
+    # r2 = rk + (rk + t - 1) = 2*rk + t - 1
+    r2 = (F.lit(2) * F.col("rk") + F.col("cnt_eq") - F.lit(1)).alias("r2")
+    ranked = ranked.select("arm", "cents", r2)
+    ties = (
+        vals.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    m = ranked.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r1_x2"),
+    ).crossJoin(ties)
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + F.lit(1))
+    n = F.col("n1") + F.col("n2")
+    var = (
+        (F.col("n1") * F.col("n2")).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("tsum").cast("double") / (n * (n - F.lit(1))).cast("double")
+        )
+    )
+    # var > 0  <=>  n(n-1)(n+1) - tsum > 0 (exact integer condition; var
+    # is 0 when EVERY value is tied, and ANSI mode raises on z's /0)
+    var_pos = (n * (n - F.lit(1)) * (n + F.lit(1)) - F.col("tsum")) > 0
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1) & var_pos,
+        F.floor(
+            (u1_x2 - F.col("n1") * F.col("n2")).cast("double")
+            / (F.lit(2.0) * F.sqrt(var))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return m.select(
+        "n1", "n2", "r1_x2", u1_x2.cast("long").alias("u1_x2"), z.alias("z_q6")
+    )

@@ -394,3 +394,79 @@ def daily_trend_ols(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         intercept.alias("intercept_q6"),
         r2.alias("r2_q6"),
     )
+
+
+def mann_kendall_trend(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945; Kendall 1975) over
+    the dense daily event-count series — the nonparametric companion to
+    daily_trend_ols (no linearity assumption, robust to outliers).
+
+        S = sum_{i<j} sign(y_j - y_i)            (exact integer)
+        var*18 = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)   (exact integer)
+        z = (S -/+ 1) / sqrt(var)  (continuity-corrected; 0 when S = 0)
+
+    Output one row: (n_days, s_stat, var18, z_q6) — only the closing z
+    runs in double (one expression over two exact integers).
+    """
+    days = events.select(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day")
+    )
+    cnt = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(cnt, "day", "left")
+        .select("day", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+    )
+    a = dense.select(F.col("day").alias("di"), F.col("y").alias("yi"))
+    b = dense.select(F.col("day").alias("dj"), F.col("y").alias("yj"))
+    s = (
+        a.join(b, F.col("di") < F.col("dj"))
+        .agg(
+            F.coalesce(F.sum(F.signum(F.col("yj") - F.col("yi"))), F.lit(0.0))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nrow = dense.agg(F.count("*").cast("long").alias("n"))
+    tie = (
+        dense.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - F.lit(1))
+                    * (F.lit(2) * F.col("t") + F.lit(5))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    m = nrow.crossJoin(s).crossJoin(tie)
+    var18 = (
+        F.col("n") * (F.col("n") - F.lit(1)) * (F.lit(2) * F.col("n") + F.lit(5))
+        - F.col("tt")
+    )
+    corrected = F.when(F.col("s_stat") > 0, F.col("s_stat") - F.lit(1)).otherwise(
+        F.when(F.col("s_stat") < 0, F.col("s_stat") + F.lit(1)).otherwise(F.lit(0))
+    )
+    z = F.when(
+        (var18 > 0) & (F.col("s_stat") != 0),
+        F.floor(
+            corrected.cast("double")
+            / F.sqrt(var18.cast("double") / F.lit(18.0))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return m.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        var18.cast("long").alias("var18"),
+        z.alias("z_q6"),
+    )
