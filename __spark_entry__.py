@@ -118,6 +118,7 @@ from lucenenet_spark.plans import gate_round5zzzj as _gate_round5zzzj  # noqa: E
 from lucenenet_spark.plans import gate_round5zzzk as _gate_round5zzzk  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzzl as _gate_round5zzzl  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzzm as _gate_round5zzzm  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5zzzn as _gate_round5zzzn  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

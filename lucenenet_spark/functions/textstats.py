@@ -879,3 +879,88 @@ def readability_scores(docs: DataFrame, text_col: str = "text",
         F.floor((F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
                 * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("fkgl_q4"),
     )
+
+
+def vocab_richness(
+    docs: DataFrame, text_col: str = "text", ngram: int = 1
+) -> DataFrame:
+    """Nonparametric vocabulary-richness estimators over the unigram
+    frequency histogram — "how much vocabulary haven't we crawled yet":
+
+    * Chao1 (Chao, Scand. J. Statist. 1984): V + f1^2 / (2 f2), the
+      abundance-based lower bound on true vocabulary size (f1 = hapax
+      legomena, f2 = dis legomena; bias-corrected f1(f1-1)/2 form when
+      f2 = 0).
+    * First-order jackknife (Burnham & Overton 1978): V + f1.
+    * Simpson concentration (Simpson, Nature 1949):
+      sum n_i(n_i - 1) / (N(N - 1)) — repeat-probability of two drawn
+      tokens being the same type (diversity = 1 - concentration).
+
+    Every moment (V, f1, f2, N, sum n(n-1)) is an exact integer; each
+    estimator closes in ONE double expression.  Output one row:
+    (v_obs, f1, f2, n_tokens, chao1_q2, jack1, simpson_q9).
+
+    ``ngram=2`` counts adjacent-token bigram events instead (the
+    good_turing_counts convention) — on a closed small vocabulary the
+    unigram histogram has no hapax mass and every estimator collapses
+    to V; the bigram table is where the rare head lives.
+    """
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+    if ngram == 1:
+        toks = docs.select(
+            F.explode(F.array_remove(F.split(F.col(text_col), " "), "")).alias("w")
+        )
+    else:
+        arr = docs.select(
+            F.array_remove(F.split(F.col(text_col), " "), "").alias("t")
+        ).filter(F.size("t") >= 2)
+        toks = arr.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 2, size(t) - 1),"
+                    " (w, i) -> concat(t[i], ' ', w))"
+                )
+            ).alias("w")
+        )
+    freqs = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = freqs.agg(
+        F.count("*").cast("long").alias("v_obs"),
+        F.coalesce(F.sum(F.when(F.col("n") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("n") == 2, 1)), F.lit(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * (F.col("n") - F.lit(1))).cast("long").alias("rep2"),
+    )
+    chao = F.when(
+        F.col("f2") > 0,
+        F.col("v_obs").cast("double")
+        + F.col("f1").cast("double")
+        * F.col("f1").cast("double")
+        / (F.lit(2.0) * F.col("f2").cast("double")),
+    ).otherwise(
+        F.col("v_obs").cast("double")
+        + F.col("f1").cast("double") * (F.col("f1") - F.lit(1)).cast("double")
+        / F.lit(2.0)
+    )
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.floor(
+            F.col("rep2").cast("double")
+            / (F.col("n_tokens") * (F.col("n_tokens") - F.lit(1))).cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return m.select(
+        "v_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.floor(chao * F.lit(100.0) + F.lit(0.5)).cast("long").alias("chao1_q2"),
+        (F.col("v_obs") + F.col("f1")).cast("long").alias("jack1"),
+        simpson.alias("simpson_q9"),
+    )
