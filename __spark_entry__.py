@@ -119,6 +119,7 @@ from lucenenet_spark.plans import gate_round5zzzk as _gate_round5zzzk  # noqa: E
 from lucenenet_spark.plans import gate_round5zzzl as _gate_round5zzzl  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzzm as _gate_round5zzzm  # noqa: E402  (registers entries)
 from lucenenet_spark.plans import gate_round5zzzn as _gate_round5zzzn  # noqa: E402  (registers entries)
+from lucenenet_spark.plans import gate_round5zzzo as _gate_round5zzzo  # noqa: E402  (registers entries)
 
 GATE = _gate.GATE_QUERIES
 

@@ -145,3 +145,49 @@ def event_markov_transitions(events: DataFrame, k: int = 15) -> DataFrame:
         ).cast("long").alias("prob_q6"),
     )
     return out.orderBy(F.desc("cnt"), F.asc("src"), F.asc("dst")).limit(k)
+
+
+def markov_conditional_entropy(events: DataFrame) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event-type
+    Markov chain (Shannon 1948's entropy rate for a first-order chain)
+    — how predictable the next action is given the current one; the
+    sequence-level companion of event_markov_transitions.
+
+        H = sum_xy (c_xy / N) * ln(rowtotal_x / c_xy)
+
+    Determinism: per transition cell the scaled contribution
+    floor(c_xy * ln(rt_x / c_xy) * 1e9 + 0.5) is quantized FIRST, the
+    bigints are summed (order-free), and the final normalization is the
+    exact integer division sum // N (the unigram_entropy discipline).
+    Output one row: (n_transitions, n_states, h_sum_q9, h_cond_q9).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    rt = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("row_total"))
+    j = trans.join(rt, "src")
+    contrib = F.floor(
+        F.col("cnt").cast("double")
+        * F.log(F.col("row_total").cast("double") / F.col("cnt").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    m = j.select(contrib.alias("c_q9"), "cnt", "src").agg(
+        F.sum("cnt").cast("long").alias("n_transitions"),
+        F.count_distinct("src").cast("long").alias("n_states"),
+        F.sum("c_q9").cast("long").alias("h_sum_q9"),
+    )
+    return m.select(
+        "n_transitions",
+        "n_states",
+        "h_sum_q9",
+        F.expr("h_sum_q9 div n_transitions").cast("long").alias("h_cond_q9"),
+    )

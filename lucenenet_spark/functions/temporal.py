@@ -470,3 +470,47 @@ def mann_kendall_trend(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         var18.cast("long").alias("var18"),
         z.alias("z_q6"),
     )
+
+
+def dow_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Day-of-week seasonality audit: event counts per weekday (0 =
+    Monday .. 6 = Sunday, from the tz-free epoch-day arithmetic
+    (day + 3) % 7 — 1970-01-01 was a Thursday) with the chi-square
+    contribution against the uniform expectation total/7.  Counts are
+    exact bigints; expected and contribution close in one double
+    expression each.  Output rows dow 0..6:
+    (dow, cnt, expected_q6, chi2_contrib_q6), zero-filled.
+    """
+    days = events.select(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day")
+    )
+    per = days.select(((F.col("day") + F.lit(3)) % 7).alias("dow")).groupBy(
+        "dow"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = days.agg(F.count("*").cast("long").alias("n"))
+    base = (
+        tot.select(
+            F.explode(F.array(*[F.lit(d) for d in range(7)])).alias("dow"), "n"
+        )
+        .join(per, "dow", "left")
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+            "n",
+        )
+    )
+    exp = F.col("n").cast("double") / F.lit(7.0)
+    chi = (F.col("cnt").cast("double") - exp) * (F.col("cnt").cast("double") - exp) / exp
+    return base.select(
+        "dow",
+        "cnt",
+        F.floor(exp * F.lit(1e6) + F.lit(0.5)).cast("long").alias("expected_q6"),
+        F.when(
+            F.col("n") > 0,
+            F.floor(chi * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("chi2_contrib_q6"),
+    ).orderBy(F.asc("dow"))
