@@ -2,9 +2,11 @@
 
 The driver records only the FIRST 50 ``queries()`` entries into each
 round's CORRECTNESS file, so the window ordering is load-bearing: these
-tests freeze it (round 5 final hand-ranked ordering) so an accidental
-import-order or priority-list edit cannot silently rotate a
-never-verified gate out of — or a duplicate into — the graded slots.
+tests assert the window's PROPERTIES (never-driver-verified gates first,
+the 10-gate core canary always inside, no duplicates, deterministic
+order) rather than a literal list — the driver's own grading legitimately
+rotates fresh gates into the window every round, so a pinned list would
+go stale by construction each time it did its job (r5 verdict #1).
 """
 
 from __future__ import annotations
@@ -16,34 +18,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
 
-# the exact 50 names the round-5 driver window must grade, in order:
-# 7 never-driver-verified gates, the r5 headliners, the language-pack
-# spread, the LLM-pipeline ops, then the 10-gate core canary (41-50)
-WINDOW_50 = [
-    "common_grams_phrase", "ngram_phrase_query", "nrt_topk",
-    "multi_passage_highlight", "compound_word_query",
-    "snowball3_term_query", "cjk_bigram_query", "ja_analysis",
-    "payload_term", "trec_quality", "geo_bbox", "geo_distance_topk",
-    "astral_term_query", "add_indexes_term", "docvalues_update_sort",
-    "leading_wildcard_query", "xml_parser_query", "expression_sort",
-    "expression_rescore", "slow_fuzzy_query", "terms_filter",
-    "icu_folding_term", "phonetic_term_query", "get_term_info",
-    "function_recip_scale", "russian_term_query", "turkish_term_query",
-    "thai_term_query", "hunspell_term_query", "classic_analysis",
-    "word_delimiter_phrase", "dedup_embedding_cosine", "pii_scrub",
-    "gopher_repetition", "url_canonical_dedup", "line_dedup_strip",
-    "html_extract_roundtrip", "lm_unigram_quality", "decontam_overlap",
-    "stratified_sample",
-    # core canary, slots 41-50
-    "term_query_topk", "boolean_or", "boolean_and", "phrase_query",
-    "dedup_minhash_lsh", "search_after", "ann_ivf_topk",
-    "sort_by_field", "group_topk", "facet_lang",
-]
+
+def _window():
+    return list(entry.queries().keys())[:50]
 
 
-def test_window_50_is_frozen():
-    names = list(entry.queries().keys())[:50]
-    assert names == WINDOW_50
+def test_window_50_has_canary_and_no_duplicates():
+    names = _window()
+    assert len(names) == 50
+    assert len(set(names)) == 50
+    # the 10-gate core canary must sit inside the graded window every round
+    for c in entry._CORE_CANARY:
+        assert c in names, f"canary gate {c} rotated out of the window"
+
+
+def test_window_50_is_never_verified_first():
+    """Every non-canary slot in the window must be a gate with no prior
+    fully-green driver verification — the rotation's whole purpose — unless
+    the fresh queue has drained below 40 (then verified gates backfill)."""
+    verified = entry._driver_verified()
+    canary = set(entry._CORE_CANARY)
+    names = _window()
+    all_names = list(entry.queries().keys())
+    n_fresh_available = sum(
+        1 for n in all_names if n not in verified and n not in canary
+    )
+    fresh_in_window = [n for n in names if n not in canary]
+    expect_fresh = min(50 - len(canary & set(names)), n_fresh_available)
+    actually_fresh = sum(1 for n in fresh_in_window if n not in verified)
+    assert actually_fresh >= min(expect_fresh, len(fresh_in_window)), (
+        "verified gates displaced never-verified gates from the window"
+    )
+
+
+def test_window_50_is_deterministic():
+    assert _window() == _window()
+    # priority-listed fresh gates keep their hand-ranked relative order
+    names = _window()
+    verified = entry._driver_verified()
+    prio = [
+        n for n in entry._FRESH_PRIORITY
+        if n in names and n not in verified and n not in set(entry._CORE_CANARY)
+    ]
+    in_window_order = [n for n in names if n in set(prio)]
+    assert in_window_order == prio
 
 
 def test_every_query_has_a_full_duckdb_oracle():
@@ -51,7 +69,7 @@ def test_every_query_has_a_full_duckdb_oracle():
     missing = sorted(set(q) - set(o))
     assert not missing, f"rows-only gates appeared: {missing}"
     extra = sorted(set(o) - set(q))
-    assert not extra, f"oracles without queries: {extra}"
+    assert extra == [], f"oracles without queries: {extra}"
 
 
 def test_registry_has_no_duplicate_slots_and_expected_size():
