@@ -289,15 +289,19 @@ def pack_postings(
         )
     if mode == "columnar":
         return _pack_postings_jvm(postings, with_positions, norm_cache, num_partitions)
-    emit_packed = mode != "columnar_py"
     cols = ["field", "term", "doc_id", "tf", "norm_byte"] + (
         ["positions"] if with_positions else []
     )
     df = postings.select(*cols).withColumn(
         "range_id", (F.col("doc_id") / F.lit(RANGE_DOCS)).cast("long")
     )
-    n = num_partitions or min(
-        16, max(1, postings.sparkSession.sparkContext.defaultParallelism)
+    # scale-adaptive width: at least the cluster's parallelism, and never
+    # fewer partitions than the input already has (the old min(16, cores)
+    # cap throttled the pack shuffle on any cluster wider than 16 cores)
+    n = num_partitions or max(
+        1,
+        postings.sparkSession.sparkContext.defaultParallelism,
+        postings.rdd.getNumPartitions(),
     )
     # sortWithinPartitions makes each group contiguous, so a group can only
     # straddle an Arrow-batch boundary as (last of batch k, first of k+1) —
@@ -305,6 +309,13 @@ def pack_postings(
     df = df.repartition(n, "field", "term", "range_id").sortWithinPartitions(
         "field", "term", "range_id", "doc_id"
     )
+    if mode == "columnar_py":
+        # whole-batch vectorized Arrow pack: the per-group pandas loop was
+        # ~0.1 ms x #(field, term, range) groups of pure Python/numpy call
+        # overhead — the dominant pack cost once groups are small
+        return df.mapInArrow(
+            _pack_partition_arrow(norm_cache, with_positions), BLOCKS_SCHEMA
+        )
     keys = ["field", "term", "range_id"]
 
     def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -326,14 +337,202 @@ def pack_postings(
             if len(body):
                 rows = _new_rows()
                 for _, g in body.groupby(keys, sort=False):
-                    _pack_group_into(rows, g, norm_cache, emit_packed)
+                    _pack_group_into(rows, g, norm_cache, emit_packed=True)
                 yield pd.DataFrame(rows)
         if carry is not None and len(carry):
             rows = _new_rows()
-            _pack_group_into(rows, carry, norm_cache, emit_packed)
+            _pack_group_into(rows, carry, norm_cache, emit_packed=True)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(pack_partition, BLOCKS_SCHEMA)
+
+
+def _pack_partition_arrow(norm_cache: np.ndarray | None, with_positions: bool):
+    """mapInArrow kernel: one partition's sorted postings -> block rows,
+    with every step vectorized over the WHOLE batch (no per-group loop).
+
+    Input batches arrive sorted by (field, term, range_id, doc_id) with a
+    group possibly straddling a batch boundary (re-joined via carry).
+    Block-for-block identical to the pandas/group path: same block ids,
+    same columnar arrays, same impact pair selection (counts per distinct
+    (tf, norm_byte) pair computed exactly; pairs ordered by the identical
+    float64 proxy utf/(utf + cache[unb]) with ties keeping ascending
+    (tf, nb) key order — np.unique ascending + stable sort, reproduced
+    here by a segmented lexsort)."""
+    import pyarrow as pa
+
+    out_fields = [
+        pa.field("field", pa.string()),
+        pa.field("term", pa.string()),
+        pa.field("block_id", pa.int64()),
+        pa.field("n_docs", pa.int32()),
+        pa.field("min_doc", pa.int64()),
+        pa.field("max_doc", pa.int64()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("max_norm_byte", pa.int32()),
+        pa.field("imp_tf", pa.list_(pa.int32())),
+        pa.field("imp_nb", pa.list_(pa.int32())),
+        pa.field("imp_cnt", pa.list_(pa.int32())),
+        pa.field("doc_offs", pa.list_(pa.int32())),
+        pa.field("tfs", pa.list_(pa.int32())),
+        pa.field("nbs", pa.list_(pa.int32())),
+        pa.field("poss", pa.list_(pa.list_(pa.int32()))),
+        pa.field("packed", pa.binary()),
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def _arr(tbl: "pa.Table", name: str) -> "pa.Array":
+        col = tbl.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            if col.num_chunks == 1:
+                return col.chunk(0)
+            if col.num_chunks == 0:
+                return pa.array([], type=col.type)
+            return pa.concat_arrays(col.chunks)
+        return col
+
+    def _group_codes(tbl: "pa.Table") -> np.ndarray:
+        """int codes whose adjacent-change boundaries = (field, term,
+        range_id) group boundaries (input is group-sorted, so only
+        ADJACENT equality matters — dictionary codes give it O(n))."""
+        import pyarrow.compute as pc
+
+        f = pc.dictionary_encode(_arr(tbl, "field")).indices.to_numpy(
+            zero_copy_only=False
+        )
+        t = pc.dictionary_encode(_arr(tbl, "term")).indices.to_numpy(
+            zero_copy_only=False
+        )
+        r = tbl.column("range_id").to_numpy(zero_copy_only=False)
+        change = np.zeros(len(f), dtype=bool)
+        if len(f):
+            change[0] = True
+            change[1:] = (np.diff(f) != 0) | (np.diff(t) != 0) | (np.diff(r) != 0)
+        return np.cumsum(change) - 1
+
+    def _emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        import pyarrow.compute as pc
+
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = tbl.column("norm_byte").to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = tbl.column("range_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        gidx = _group_codes(tbl)
+        # defensive: re-sort by doc within groups if a producer skipped the
+        # sortWithinPartitions (matches _pack_group_into's fallback)
+        if n > 1 and np.any((np.diff(doc) < 0) & (np.diff(gidx) == 0)):
+            order = np.lexsort((doc, gidx))
+            tbl = tbl.take(pa.array(order, type=pa.int64())).combine_chunks()
+            doc, tf, nb, rng = doc[order], tf[order], nb[order], rng[order]
+        gstarts = np.r_[0, np.flatnonzero(np.diff(gidx)) + 1]
+        glens = np.diff(np.r_[gstarts, n])
+        pos_in_group = np.arange(n, dtype=np.int64) - np.repeat(gstarts, glens)
+        bmask = (pos_in_group % BLOCK_SIZE) == 0
+        bstarts = np.flatnonzero(bmask)
+        bends = np.r_[bstarts[1:], n]
+        blens = bends - bstarts
+        nblk = len(bstarts)
+
+        min_doc = doc[bstarts]
+        max_doc = doc[bends - 1]
+        max_tf = np.maximum.reduceat(tf, bstarts)
+        max_nb = np.maximum.reduceat(nb, bstarts)
+        block_id = rng[bstarts] * BLOCKS_PER_RANGE + pos_in_group[bstarts] // BLOCK_SIZE
+
+        # ---- impacts: distinct (tf, nb) pairs + counts per block ----
+        bidx = np.repeat(np.arange(nblk, dtype=np.int64), blens)
+        key = tf * np.int64(512) + nb
+        order = np.lexsort((key, bidx))
+        kb, ks = bidx[order], key[order]
+        pstart = np.r_[0, np.flatnonzero((np.diff(kb) != 0) | (np.diff(ks) != 0)) + 1]
+        pcnt = np.diff(np.r_[pstart, n])
+        pblk = kb[pstart]
+        pkey = ks[pstart]
+        utf = pkey // 512
+        unb = pkey % 512
+        c = norm_cache[unb] if norm_cache is not None else (256.0 - unb)
+        proxy = utf / (utf + c)
+        # per-block: proxy desc, ties keep ascending-key order (stable)
+        sel = np.lexsort((np.arange(len(pblk)), -proxy, pblk))
+        sblk = pblk[sel]
+        sstarts = np.r_[0, np.flatnonzero(np.diff(sblk)) + 1]
+        slens = np.diff(np.r_[sstarts, len(sblk)])
+        rank = np.arange(len(sblk), dtype=np.int64) - np.repeat(sstarts, slens)
+        keep = rank < IMPACT_CAP
+        ksel = sel[keep]
+        imp_lens = np.minimum(slens, IMPACT_CAP)
+        # blocks are never empty, so every block has >= 1 pair: sstarts
+        # aligns 1:1 with block order
+        imp_offs = np.r_[0, np.cumsum(imp_lens)].astype(np.int32)
+        imp_tf = pa.ListArray.from_arrays(
+            pa.array(imp_offs), pa.array(utf[ksel].astype(np.int32))
+        )
+        imp_nb = pa.ListArray.from_arrays(
+            pa.array(imp_offs), pa.array(unb[ksel].astype(np.int32))
+        )
+        imp_cnt = pa.ListArray.from_arrays(
+            pa.array(imp_offs), pa.array(pcnt[ksel].astype(np.int32))
+        )
+
+        # ---- columnar in-block arrays: re-slice, no copies of values ----
+        loffs = pa.array(np.r_[bstarts, n].astype(np.int32))
+        doc_offs = pa.ListArray.from_arrays(
+            loffs, pa.array((doc - np.repeat(min_doc, blens)).astype(np.int32))
+        )
+        tfs_arr = pa.ListArray.from_arrays(loffs, pa.array(tf.astype(np.int32)))
+        nbs_arr = pa.ListArray.from_arrays(loffs, pa.array(nb.astype(np.int32)))
+        if with_positions:
+            pos_col = _arr(tbl, "positions")
+            if pos_col.type != pa.list_(pa.int32()):
+                pos_col = pos_col.cast(pa.list_(pa.int32()))
+            poss = pa.ListArray.from_arrays(loffs, pos_col)
+        else:
+            poss = pa.nulls(nblk, type=pa.list_(pa.list_(pa.int32())))
+
+        take_idx = pa.array(bstarts, type=pa.int64())
+        cols = [
+            pc.take(_arr(tbl, "field"), take_idx),
+            pc.take(_arr(tbl, "term"), take_idx),
+            pa.array(block_id, type=pa.int64()),
+            pa.array(blens.astype(np.int32)),
+            pa.array(min_doc, type=pa.int64()),
+            pa.array(max_doc, type=pa.int64()),
+            pa.array(max_tf.astype(np.int32)),
+            pa.array(max_nb.astype(np.int32)),
+            imp_tf,
+            imp_nb,
+            imp_cnt,
+            doc_offs,
+            tfs_arr,
+            nbs_arr,
+            poss,
+            pa.nulls(nblk, type=pa.binary()),
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        carry: "pa.Table | None" = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            carry = None
+            if not tbl.num_rows:
+                continue
+            gidx = _group_codes(tbl)
+            last_start = int(np.flatnonzero(np.r_[True, np.diff(gidx) != 0])[-1])
+            carry = tbl.slice(last_start)
+            body = tbl.slice(0, last_start)
+            if body.num_rows:
+                yield _emit(body)
+        if carry is not None and carry.num_rows:
+            yield _emit(carry)
+
+    return run
 
 
 def _pack_postings_jvm(

@@ -436,11 +436,21 @@ def build_index(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
     )
 
-    totals = doclens.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sttf")
-    ).collect()
+    # Collection stats WITHOUT touching doclens: sumTotalTermFreq per field
+    # is the sum of each (doc, field)'s denormalized dl (token-free docs
+    # contribute 0, so postings alone determine it), and maxDoc is the
+    # corpus row count. The old doclens-based aggregate re-scanned the
+    # corpus and paid the corpus⋈postings join a second time in the build
+    # critical path (guide §2.4: remove shuffles outright).
+    totals = (
+        postings.groupBy("field", "doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .groupBy("field")
+        .agg(F.sum("dl").alias("sttf"))
+        .collect()
+    )
     by_field = {r["field"]: int(r["sttf"] or 0) for r in totals}
-    max_doc = max((int(r["n"]) for r in totals), default=0)
+    max_doc = corpus.count()
     return InvertedIndex(
         postings=postings,
         doclens=doclens,
