@@ -40,6 +40,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lucenenet_spark.functions._tracked import RoundScope
+
+_KCORE_SCOPE = RoundScope()
+_BFS_SCOPE = RoundScope()
+
 KNUTH = 2654435761
 STRIDE = 40503
 
@@ -660,7 +665,8 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
-    und = undirected_simple(edges).persist()
+    _KCORE_SCOPE.begin()
+    und = _KCORE_SCOPE.track(undirected_simple(edges))
     cur = und
     out = None
     for r in range(1, rounds + 1):
@@ -670,11 +676,10 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("node").persist()
-        cur = (
+        keep = _KCORE_SCOPE.track(deg.filter(F.col("deg") >= k).select("node"))
+        cur = _KCORE_SCOPE.track(
             cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .persist()
         )
         row = keep.agg(F.count(F.lit(1)).cast("long").alias("n_remaining")).select(
             F.lit(r).cast("long").alias("round"), "n_remaining"
@@ -735,7 +740,8 @@ def bfs_distances(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    e = edges.select("src", "dst").distinct().persist()
+    _BFS_SCOPE.begin()
+    e = _BFS_SCOPE.track(edges.select("src", "dst").distinct())
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
     for r in range(1, max_hops + 1):
@@ -743,11 +749,10 @@ def bfs_distances(
             e.join(dist.select(F.col("node").alias("src"), "dist"), "src")
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        dist = (
+        dist = _BFS_SCOPE.track(
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .persist()
         )
     return dist
 

@@ -30,6 +30,10 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lucenenet_spark.functions._tracked import RoundScope
+
+_SETCOVER_SCOPE = RoundScope()
+
 __all__ = [
     "sample_hash",
     "deterministic_sample",
@@ -246,13 +250,13 @@ def greedy_set_cover(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    _SETCOVER_SCOPE.begin()
     # persisted: every round's gain scan AND its winner's coverage
     # expansion re-read this frame (2 reads x rounds), so the dedup'd
     # element table materializes once instead of re-exploding the corpus
-    sets = (
+    sets = _SETCOVER_SCOPE.track(
         sets.select(F.col(set_col).alias("sid"), F.col(elem_col).alias("elem"))
         .distinct()
-        .persist()
     )
     covered = None  # DataFrame of ("elem"), None = empty
     chosen = None   # DataFrame of ("sid")
@@ -266,12 +270,12 @@ def greedy_set_cover(
             .agg(F.count("*").cast("long").alias("gain"))
             .orderBy(F.desc("gain"), F.asc("sid"))
             .limit(1)
-            .persist()
         )
+        winner = _SETCOVER_SCOPE.track(winner)
         new_cov = sets.join(F.broadcast(winner.select("sid")), "sid").select("elem")
-        covered = (
-            new_cov if covered is None else covered.unionByName(new_cov)
-        ).distinct().persist()
+        covered = _SETCOVER_SCOPE.track(
+            (new_cov if covered is None else covered.unionByName(new_cov)).distinct()
+        )
         chosen_row = winner.select("sid")
         chosen = chosen_row if chosen is None else chosen.unionByName(chosen_row)
         total = covered.agg(F.count("*").cast("long").alias("covered_total"))

@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lucenenet_spark.functions._tracked import RoundScope
+
+_KCENTER_SCOPE = RoundScope()
+
 
 def _exploded(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return emb.select(
@@ -717,7 +721,10 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    eq = _quantized_components(emb, id_col, vec_col, comp_scale).persist()
+    _KCENTER_SCOPE.begin()
+    eq = _KCENTER_SCOPE.track(
+        _quantized_components(emb, id_col, vec_col, comp_scale)
+    )
     seed = (
         eq.groupBy("vec_id")
         .agg(F.count("*").alias("_n"))
@@ -750,8 +757,8 @@ def kcenter_select(
             .agg(F.min("d2").cast("long").alias("maxmin_d2"))
             .orderBy(F.desc("maxmin_d2"), F.asc("vec_id"))
             .limit(1)
-            .persist()
         )
+        winner = _KCENTER_SCOPE.track(winner)
         chosen = chosen.unionByName(winner.select("vec_id"))
         out = out.unionByName(
             winner.select(

@@ -221,8 +221,12 @@ def cusum_alarms(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("s"),
     )
-    series = hc.orderBy("hour").agg(
-        F.collect_list(F.struct("hour", "cnt")).alias("xs")
+    # array_sort(collect_list(struct)) — NOT orderBy + collect_list, whose
+    # order is not guaranteed once partial-agg buffers merge (struct sort
+    # keys on its first field, hour); same discipline as every other
+    # sequential fold in this module (ewma/kleinberg/kaplan_meier)
+    series = hc.agg(
+        F.array_sort(F.collect_list(F.struct("hour", "cnt"))).alias("xs")
     ).crossJoin(F.broadcast(mo))
     # per-step increment in the n*1e6 scale; threshold likewise
     inc = lambda c: (  # noqa: E731
@@ -486,6 +490,13 @@ def dow_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .cast("long")
         .alias("day")
     )
+    # Domain: POST-EPOCH timestamps only. (day + 3) % 7 with Spark's
+    # truncated % mirrors the DuckDB oracle's identical expression; for
+    # pre-1970 days both engines would produce negative remainders outside
+    # the 0..6 buckets (counted in n but not in cnt). pmod would fix the
+    # engine alone but diverge from the frozen oracle, so the domain is
+    # documented instead. Same domain note applies to cohort_retention's
+    # (day / period_days) truncation.
     per = days.select(((F.col("day") + F.lit(3)) % 7).alias("dow")).groupBy(
         "dow"
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))

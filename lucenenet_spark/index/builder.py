@@ -208,6 +208,17 @@ class InvertedIndex:
     fields: tuple[str, ...] = ("text",)
     sum_ttf_by_field: dict[str, int] | None = None  # None -> {default: sum_ttf}
     analyzers: dict[str, StandardAnalyzer] | None = None  # per-field override
+    n_terms: int | None = None  # dictionary size; persisted by save(), else counted once
+
+    def count_terms(self) -> int:
+        """Dictionary row count, memoized ON THE INDEX so the many
+        searchers a long-lived session opens over one index never repeat
+        the full term_stats scan (r5 verdict: the per-searcher count()
+        was per-instance overhead at scale); save()/load() persist it so
+        a loaded index never runs the job at all."""
+        if self.n_terms is None:
+            self.n_terms = int(self.term_stats.count())
+        return self.n_terms
 
     @property
     def default_field(self) -> str:
@@ -323,6 +334,10 @@ class InvertedIndex:
                     "fields": list(self.fields),
                     "sum_ttf_by_field": self.sum_ttf_by_field
                     or {self.default_field: self.sum_ttf},
+                    # persisted so a loaded index's first query never runs
+                    # a full dictionary count (searcher dict-vs-pushdown
+                    # decision reads it)
+                    "n_terms": self.count_terms(),
                 },
                 f,
             )
@@ -342,6 +357,9 @@ class InvertedIndex:
             sum_ttf_by_field={
                 k: int(v) for k, v in stats.get("sum_ttf_by_field", {}).items()
             } or None,
+            n_terms=(
+                int(stats["n_terms"]) if stats.get("n_terms") is not None else None
+            ),
         )
 
 

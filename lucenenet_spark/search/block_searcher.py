@@ -78,14 +78,42 @@ class BlockIndexSearcher:
     blocks carry the quantized norm byte, exactly what BM25 needs)."""
 
     def __init__(self, index: InvertedIndex, blocks: DataFrame | None = None,
-                 collect_stats: bool = False, meta_cache_max_rows: int = 2_000_000):
+                 collect_stats: bool = False, meta_cache_max_rows: int = 2_000_000,
+                 seed_min_blocks: int = 512, enable_nextword: bool = True,
+                 nextword_firstwords: list[str] | None = None):
         """collect_stats matters only on the distributed fallback path,
         where pruning stats cost extra count() actions; the driver-metadata
         path fills last_stats for free. False (serving-latency mode) is the
-        default. Every query kind returns ONE lazy pruned plan — the
-        caller's action is the query's only Spark job."""
+        default. Single-term queries return ONE lazy pruned plan — the
+        caller's action is the query's only Spark job.
+
+        seed_min_blocks: multi-term OR/AND queries whose candidate set has
+        at least this many blocks run a SEED pass first (score the highest-
+        upper-bound ranges, collect the k-th ACHIEVED score) and prune with
+        that exact theta — the distributed MaxScore/WAND discipline (Ding &
+        Suel SIGIR'11; Turtle & Flood max-score), since per-term metadata
+        alone cannot bound a SUM of contributions tightly (the k-th best
+        single-term score is the only sound metadata theta, and with 3+
+        terms ub_sum(range) ~ n_terms x any single-term bound, so nothing
+        prunes). The seed pass is one extra small job; below the threshold
+        the single-job metadata path is cheaper than any pruning it could
+        buy. Results stay exactly identical: a pruned block's upper bound
+        is strictly below an ACHIEVED k-th total score, so no top-k doc
+        (ties included) can live there."""
         self.index = index
         self.inner = IndexSearcher(index, mode="lucene")
+        self.seed_min_blocks = seed_min_blocks
+        # lazily built per-field next-word pair tables (Williams, Zobel &
+        # Bahle TOIS'04 combined index): (w1, w2, doc_id, pair_tf,
+        # norm_byte), built once per searcher on the first two-word phrase
+        # and persisted — the reader-open cost tier, like the block
+        # metadata dict. nextword_firstwords restricts the build to hot
+        # lead words (the TOIS'04 §4 partial tier — the production
+        # configuration at web scale, where a full pair table is
+        # corpus-token-sized); None builds the full table.
+        self.enable_nextword = enable_nextword
+        self.nextword_firstwords = nextword_firstwords
+        self._nextword: dict[str, DataFrame] = {}
         if blocks is None:
             blocks = pack_postings(
                 index.postings,
@@ -385,18 +413,113 @@ class BlockIndexSearcher:
     def _empty(self) -> DataFrame:
         return self.inner._empty_scored()
 
+    def _per_term_guarantee(self, meta: dict[str, dict],
+                            weights: dict[str, float], fld: str,
+                            k: int) -> dict[str, float]:
+        """{term: g_t} where g_t = a score that >= k distinct docs are
+        guaranteed to reach from term t alone (see _meta_theta)."""
+        cache = self._cache_np(fld).astype(np.float64)
+        out: dict[str, float] = {}
+        for t, m in meta.items():
+            if len(m["itf"]) == 0:
+                continue
+            s = weights[t] * m["itf"] / (m["itf"] + cache[m["inb"]])
+            order = np.argsort(-s, kind="stable")
+            covered = np.cumsum(m["icnt"][order])
+            hit = np.searchsorted(covered, k)
+            if hit < len(order):
+                out[t] = float(s[order[hit]])
+        return out
+
+    def _seed_theta(self, meta: dict[str, dict], ubs: dict[str, np.ndarray],
+                    terms: list[str], weights: dict[str, float], fld: str,
+                    k: int, mode: str, n_terms: int,
+                    after: tuple[float, int] | None,
+                    masks: dict[str, np.ndarray] | None = None,
+                    ) -> tuple[float | None, int]:
+        """Seed pass (distributed MaxScore/WAND discipline): score a SMALL
+        block subset likely to contain the winners — the LEAD term's
+        top-upper-bound blocks plus, for every other query term, the
+        blocks whose doc intervals overlap them (a doc appears in exactly
+        one block per term, so the overlapping set makes those docs'
+        totals EXACT) — then take the k-th achieved score as theta.
+
+        Soundness needs no completeness: a doc's score over ANY block
+        subset only omits contributions, so every achieved score is a
+        lower bound on that doc's true total; k rows >= theta therefore
+        guarantee k true scores >= theta.  For AND the nt >= n_terms
+        filter only passes docs whose every term-block was scanned, so
+        emitted AND scores are exact.  SearchAfter pages stay sound: the
+        keyset filter applies to the seed scoring too, so theta is the
+        k-th ACHIEVED score among page-eligible docs."""
+        # lead = the term whose guaranteed k-th single-term score is
+        # highest (the metadata theta's own term); fallback: biggest ub
+        g = self._per_term_guarantee(meta, weights, fld, k)
+        if mode == "and":
+            live = {t for t, mk in (masks or {}).items() if mk.any()}
+            g = {t: v for t, v in g.items() if t in live}
+        if g:
+            lead = max(g, key=g.get)
+        else:
+            lead = max(meta, key=lambda t: float(ubs[t].max()) if len(ubs[t]) else -1.0)
+        m_lead = meta[lead]
+        cand = np.arange(len(m_lead["bid"]))
+        if mode == "and" and masks is not None:
+            cand = cand[masks[lead][cand]]
+        if len(cand) == 0:
+            return None, 0
+        order = cand[np.argsort(-ubs[lead][cand], kind="stable")]
+        covered, n_lead = 0, 0
+        cap = max(8, len(order) // 16)
+        for i in order:
+            n_lead += 1
+            covered += int(m_lead["nd"][i])
+            if (covered >= k and n_lead >= 2) or n_lead >= cap:
+                break
+        lead_idx = order[:n_lead]
+        seed_blocks: dict[str, np.ndarray] = {lead: m_lead["bid"][lead_idx]}
+        lo = m_lead["mind"][lead_idx]
+        hi = m_lead["maxd"][lead_idx]
+        for s, ms in meta.items():
+            if s == lead:
+                continue
+            # blocks of s overlapping any lead interval: doc-sorted,
+            # disjoint blocks make each interval a contiguous run
+            i0 = np.searchsorted(ms["maxd"], lo, side="left")
+            i1 = np.searchsorted(ms["mind"], hi, side="right")
+            take = np.zeros(len(ms["bid"]), dtype=bool)
+            for a, b in zip(i0, i1):
+                if a < b:
+                    take[a:b] = True
+            if take.any():
+                seed_blocks[s] = ms["bid"][take]
+        n_blocks = sum(len(b) for b in seed_blocks.values())
+        total = sum(len(m["bid"]) for m in meta.values())
+        if n_blocks >= total:
+            return None, 0  # seeding everything = the unpruned scan
+        rows = self._scan_plan(
+            list(seed_blocks), weights, fld, seed_blocks, k, mode, n_terms, after
+        ).collect()
+        if len(rows) < k:
+            return None, n_blocks
+        return float(rows[-1]["score"]), n_blocks
+
     def _driver_two_phase(self, meta: dict[str, dict], terms: list[str],
                           weights: dict[str, float], fld: str, k: int,
                           mode: str, n_terms: int,
                           after: tuple[float, int] | None = None) -> DataFrame:
-        """Driver-arithmetic WAND: metadata-only theta + ub pruning, then
-        ONE lazy plan over the surviving blocks. No Spark action happens
-        here — serving cost is exactly the caller's single job.
+        """Driver-arithmetic WAND: theta + ub pruning, then ONE lazy plan
+        over the surviving blocks.
 
-        Single-term queries prune at BLOCK granularity (ub_t(b) < theta);
-        multi-term queries prune at the shared RANGE grid, where bounds
-        of different terms compose (ub_sum(range) < theta) — plus, for
-        AND, the range-intersection candidate set (skip-list Advance)."""
+        Single-term queries prune at BLOCK granularity (ub_t(b) < theta)
+        with a metadata-only theta — zero pre-actions, serving cost is
+        exactly the caller's single job.  Multi-term queries compose
+        bounds on the shared RANGE grid; when the candidate set is large
+        enough (seed_min_blocks) they first run the SEED pass
+        (_seed_theta) whose ACHIEVED k-th score is a far tighter theta
+        than any per-term metadata bound — this is what makes a
+        stopword-class OR prune at scale.  AND additionally intersects
+        block doc-intervals (the skip-list Advance analogue)."""
         ubs = self._block_ubs(meta, weights, fld)
         total = sum(len(m["bid"]) for m in meta.values())
         if total == 0:
@@ -404,12 +527,8 @@ class BlockIndexSearcher:
             return self._empty()
         theta = None
         if mode != "and":
-            # AND: a range containing all terms still guarantees no single
-            # doc matches them all, so metadata gives no safe theta — the
-            # candidate intersection below is the pruning.
-            # SearchAfter pages: a sound truncated-impact theta exists only
-            # for single-term queries (see _meta_theta); multi-term OR
-            # pages scan all candidate blocks with the keyset filter.
+            # metadata theta: sound for first pages (k-th best single-term
+            # contribution); SearchAfter truncation is single-term only.
             if after is None:
                 theta = self._meta_theta(meta, weights, fld, k)
             elif n_terms == 1:
@@ -424,41 +543,140 @@ class BlockIndexSearcher:
                 surviving = {t: m["bid"]}
             else:
                 surviving = {t: m["bid"][ubs[t] >= theta * (1.0 - _EPS)]}
-        elif mode == "and":
+            scored = sum(len(v) for v in surviving.values())
+            self.last_stats = {"blocks_total": total, "blocks_scored": scored}
+            use = None if scored == total else surviving
+            return self._scan_plan(terms, weights, fld, use, k, mode, n_terms, after)
+
+        # ---- multi-term: interval-composed bounds + optional seed pass ----
+        masks = None
+        if mode == "and":
             # conjunction candidate set: per-block doc-interval
             # intersection across terms (the skip-list Advance analogue)
             masks = self._interval_intersect(meta)
             if any(not masks[t].any() for t in meta):
                 self.last_stats = {"blocks_total": total, "blocks_scored": 0}
                 return self._empty()
-            surviving = {t: m["bid"][masks[t]] for t, m in meta.items()}
-        else:
-            all_r, ub_sum, present = self._range_compose(meta, ubs)
-            if theta is None:
-                surviving = {t: m["bid"] for t, m in meta.items()}
+        bounds = self._composed_bounds(meta, ubs)
+        seed_blocks = 0
+        if total >= self.seed_min_blocks and self._prunable(bounds):
+            achieved, seed_blocks = self._seed_theta(
+                meta, ubs, terms, weights, fld, k, mode, n_terms, after, masks
+            )
+            if achieved is not None and (theta is None or achieved > theta):
+                theta = achieved
+
+        if theta is None:
+            if masks is not None:
+                surviving = {t: m["bid"][masks[t]] for t, m in meta.items()}
             else:
-                # mixed-granularity bound, strictly tighter than the range
-                # grid alone: a doc in block b of term t scores at most
-                # ub_t(b) + sum over OTHER terms of their range max, i.e.
-                # ub_sum(range) - rmax_t(range) + ub_t(b). Blocks below
-                # theta are pruned even when their range as a whole is not.
-                surviving = {}
-                for t, m in meta.items():
-                    rng = m["rng"]
-                    starts = np.r_[0, np.flatnonzero(np.diff(rng)) + 1]
-                    counts = np.diff(np.r_[starts, len(rng)])
-                    r_ub = np.maximum.reduceat(ubs[t], starts)
-                    rmax_per_block = np.repeat(r_ub, counts)
-                    idx = np.searchsorted(all_r, rng)
-                    bound = ub_sum[idx] - rmax_per_block + ubs[t]
-                    surviving[t] = m["bid"][bound >= theta * (1.0 - _EPS)]
-                if all(len(v) == 0 for v in surviving.values()):
-                    self.last_stats = {"blocks_total": total, "blocks_scored": 0}
-                    return self._empty()
+                surviving = {t: m["bid"] for t, m in meta.items()}
+        else:
+            surviving = self._prune_by_bound(meta, bounds, theta, masks)
+        if all(len(v) == 0 for v in surviving.values()):
+            self.last_stats = {"blocks_total": total, "blocks_scored": 0,
+                               **({"seed_blocks": seed_blocks} if seed_blocks else {})}
+            return self._empty()
         scored = sum(len(v) for v in surviving.values())
         self.last_stats = {"blocks_total": total, "blocks_scored": scored}
+        if seed_blocks:
+            self.last_stats["seed_blocks"] = seed_blocks
         use = None if scored == total else surviving
         return self._scan_plan(terms, weights, fld, use, k, mode, n_terms, after)
+
+    @staticmethod
+    def _sparse_max_table(a: np.ndarray) -> list[np.ndarray]:
+        """Sparse table for O(1) range-max queries over `a`."""
+        tables = [a]
+        j = 1
+        while (1 << j) <= len(a):
+            prev = tables[-1]
+            half = 1 << (j - 1)
+            tables.append(np.maximum(prev[: len(a) - (1 << j) + 1],
+                                     prev[half: len(a) - half + 1]))
+            j += 1
+        return tables
+
+    @staticmethod
+    def _window_max(tables: list[np.ndarray], i0: np.ndarray,
+                    i1: np.ndarray) -> np.ndarray:
+        """max(a[i0:i1]) per row, 0.0 where the window is empty."""
+        out = np.zeros(len(i0), dtype=np.float64)
+        w = i1 - i0
+        nz = w > 0
+        if not nz.any():
+            return out
+        lev = np.zeros(len(i0), dtype=np.int64)
+        lev[nz] = np.floor(np.log2(w[nz])).astype(np.int64)
+        for j in range(int(lev.max()) + 1 if nz.any() else 0):
+            sel = nz & (lev == j)
+            if not sel.any():
+                continue
+            T = tables[j]
+            left = i0[sel]
+            right = i1[sel] - (1 << j)
+            out[sel] = np.maximum(T[left], T[right])
+        return out
+
+    def _composed_bounds(self, meta: dict[str, dict],
+                         ubs: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        """Block-interval composed bound (the BlockMaxWAND alignment of
+        Ding & Suel SIGIR'11 §5): a doc in block b of term t lies, for
+        every other term s, inside at most one s-block whose doc interval
+        OVERLAPS b's — so score(doc in b) <= ub_t(b) + sum over s != t of
+        max ub_s among s-blocks overlapping [min_doc(b), max_doc(b)].
+        Blocks of one term are doc-sorted and disjoint, so each overlap
+        set is one contiguous run (two searchsorted) and the max is an
+        O(1) sparse-table query — O(B log B) driver arithmetic total,
+        far tighter than any fixed coarse grid."""
+        tables = {s: self._sparse_max_table(ubs[s]) for s in meta}
+        bounds = {}
+        for t, m in meta.items():
+            bound = ubs[t].copy()
+            for s, ms in meta.items():
+                if s == t:
+                    continue
+                i0 = np.searchsorted(ms["maxd"], m["mind"], side="left")
+                i1 = np.searchsorted(ms["mind"], m["maxd"], side="right")
+                bound += self._window_max(tables[s], i0, i1)
+            bounds[t] = bound
+        return bounds
+
+    # Seed-gate heuristic (affects only WHEN the seed job runs, never
+    # correctness): theta can never exceed the largest composed bound, so
+    # if too few blocks sit below seed_bound_frac x max_bound, even a
+    # near-perfect theta could not prune enough to pay for the seed job —
+    # the uniform-corpus regime where "blocks_scored == blocks_total is
+    # the data, not the engine".  Measured separation at sf1.0: uniform
+    # 3-term OR has 0% of bounds below 0.8 x max (true theta prunes 0
+    # blocks); a length-skewed corpus has >20% below 0.5 x max and the
+    # true theta prunes 98%.
+    seed_bound_frac = 0.8
+    seed_min_prunable = 0.10
+
+    def _prunable(self, bounds: dict[str, np.ndarray]) -> bool:
+        allb = np.concatenate(list(bounds.values())) if bounds else np.array([])
+        if len(allb) == 0:
+            return False
+        return float(
+            (allb < self.seed_bound_frac * allb.max()).mean()
+        ) >= self.seed_min_prunable
+
+    def _prune_by_bound(self, meta: dict[str, dict],
+                        bounds: dict[str, np.ndarray], theta: float,
+                        masks: dict[str, np.ndarray] | None) -> dict[str, np.ndarray]:
+        """Threshold the composed bounds: blocks whose bound is below
+        theta cannot hold any top-k doc (ties included).  `masks` (AND)
+        pre-restricts to the interval-intersection candidate set; using
+        every overlapping s-block for the maxima only weakens — never
+        unsafes — the bound."""
+        surviving = {}
+        for t, m in meta.items():
+            keep = bounds[t] >= theta * (1.0 - _EPS)
+            if masks is not None:
+                keep &= masks[t]
+            surviving[t] = m["bid"][keep]
+        return surviving
 
     # ---------------------------------------------- distributed fallback
     def _metas(self, terms: list[str], weights: dict[str, float], fld: str) -> DataFrame:
@@ -602,13 +820,59 @@ class BlockIndexSearcher:
         return self._driver_two_phase(live, list(live), weights, fld, k, mode,
                                       n_terms, after)
 
+    def _nextword_table(self, fld: str) -> DataFrame:
+        """(w1, w2, doc_id, pair_tf, norm_byte) adjacency table derived
+        from the positional postings (holes from stop-word removal behave
+        identically to the positional intersect: no adjacency across a
+        hole). Built once per searcher per field and persisted — the same
+        reader-open tier as the block metadata dict."""
+        if fld not in self._nextword:
+            p = self.index.postings.filter(F.col("field") == fld).select(
+                "doc_id", "term", "positions", "norm_byte"
+            )
+            lead = p
+            if self.nextword_firstwords is not None:
+                lead = p.filter(F.col("term").isin(list(self.nextword_firstwords)))
+            a = lead.select(
+                "doc_id", F.col("term").alias("w1"),
+                F.explode("positions").alias("pos"), "norm_byte",
+            )
+            b = p.select(
+                "doc_id", F.col("term").alias("w2"),
+                F.explode("positions").alias("pos2"),
+            ).select("doc_id", "w2", (F.col("pos2") - F.lit(1)).alias("pos"))
+            pairs = (
+                a.join(b, ["doc_id", "pos"])
+                .groupBy("w1", "w2", "doc_id")
+                .agg(
+                    F.count(F.lit(1)).cast("int").alias("pair_tf"),
+                    F.first("norm_byte").alias("norm_byte"),
+                )
+            )
+            n = max(
+                1, self.index.postings.sparkSession.sparkContext.defaultParallelism
+            )
+            self._nextword[fld] = (
+                pairs.repartition(n, "w1", "w2")
+                .sortWithinPartitions("w1", "w2")
+                .persist()
+            )
+        return self._nextword[fld]
+
     def topk_phrase(self, terms: tuple[str, ...], k: int = 10,
                     field: str | None = None) -> DataFrame:
-        """Exact phrase over packed blocks: candidate blocks = block_ids
-        where ALL phrase terms are present (block-range intersection,
-        computed from the driver metadata dict — zero extra actions);
-        decode positions only for those; then the usual shifted-positions
-        intersect (ExactPhraseScorer.cs) scored with summed idf."""
+        """Exact phrase over packed blocks.
+
+        Two-word phrases are served from the NEXT-WORD pair table
+        (Williams, Zobel & Bahle TOIS'04: phrase freq == adjacency count,
+        so the query is a single (w1, w2) lookup scored with the same
+        summed-idf BM25 kernel — rank- and score-identical to the
+        positional path, twin-tested).  Longer phrases: candidate blocks =
+        block_ids where ALL phrase terms are present (block doc-interval
+        intersection, computed from the driver metadata dict — zero extra
+        actions); decode positions only for those; then the usual
+        shifted-positions intersect (ExactPhraseScorer.cs) scored with
+        summed idf."""
         fld = field or self.index.default_field
         stats = self.inner._term_stats([(fld, t) for t in terms])
         if any((fld, t) not in stats for t in terms):
@@ -618,6 +882,30 @@ class BlockIndexSearcher:
         for t in terms:
             idf_sum = _f32(idf_sum + _f32(self.inner._idf(stats[(fld, t)][0])))
         wv = self.inner._weight_value(float(idf_sum), 1.0, 1.0)
+
+        if (
+            self.enable_nextword
+            and len(terms) == 2
+            and (
+                self.nextword_firstwords is None
+                or terms[0] in self.nextword_firstwords
+            )
+        ):
+            meta = self._load_meta(fld, sorted(set(terms)))
+            total = sum(len(m["bid"]) for m in meta.values() if m is not None)
+            nw = self._nextword_table(fld)
+            hits = nw.filter(
+                (F.col("w1") == terms[0]) & (F.col("w2") == terms[1])
+            )
+            scored = hits.select(
+                "doc_id",
+                self.inner._score_col(wv, F.col("pair_tf"), fld).alias("score"),
+            )
+            # zero blocks touched: the pair table IS the posting list here
+            self.last_stats = {
+                "blocks_total": total, "blocks_scored": 0, "nextword": True,
+            }
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         uniq = sorted(set(terms))
         meta = self._load_meta(fld, uniq)

@@ -104,7 +104,7 @@ class IndexSearcher:
         mode: str = "lucene",
         k1: float = K1,
         b: float = B,
-        stats_cache_max_terms: int = 2_000_000,
+        stats_cache_max_terms: int = 100_000,
         similarity: str = "bm25",
     ):
         """`similarity` is the Similarity seam (Search/Similarities/):
@@ -267,11 +267,22 @@ class IndexSearcher:
         term-sorted stats table (O(|terms|) rows either way)."""
         if not self._stats_dict_checked:
             self._stats_dict_checked = True
-            n_terms = self.index.term_stats.count()
+            # dictionary size comes from the index (memoized / persisted by
+            # save()), so opening a searcher over a loaded index costs no
+            # full term_stats action; the 100k default keeps the driver
+            # dict tens-of-MB class — larger dictionaries use the pushdown
+            # path below (O(|query terms|) rows read per query)
+            n_terms = self.index.count_terms()
             if n_terms <= self._stats_cache_max_terms:
+                # Arrow transfer (columnar, no per-row pickling)
+                tbl = self.index.term_stats.toArrow()
+                flds = tbl.column("field").to_pylist()
+                terms_l = tbl.column("term").to_pylist()
+                dfs = tbl.column("df").to_pylist()
+                ttfs = tbl.column("ttf").to_pylist()
                 self._stats_dict = {
-                    (r["field"], r["term"]): (int(r["df"]), int(r["ttf"]))
-                    for r in self.index.term_stats.collect()
+                    (f, t): (int(d), int(tt))
+                    for f, t, d, tt in zip(flds, terms_l, dfs, ttfs)
                 }
         if self._stats_dict is not None:
             return {k: self._stats_dict[k] for k in set(terms) if k in self._stats_dict}
