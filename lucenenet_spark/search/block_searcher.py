@@ -68,9 +68,19 @@ from lucenenet_spark.index.smallfloat import bm25_norm_cache
 from lucenenet_spark.search.searcher import IndexSearcher, _f32
 
 _EPS = 1e-6
-# above this many surviving block ids an IN-list predicate stops paying for
-# itself — scan all candidate blocks instead (pruning that weak saves nothing)
-_MAX_INLIST = 20_000
+# Pushdown-predicate representation thresholds.  Surviving block ids on any
+# layout where pruning bites (impact-ordered, skewed) are contiguous RUNS,
+# which compress into a handful of BETWEEN predicates — tiny to analyze and
+# prunable against cached-batch min/max stats.  Dispersed id sets fall back
+# to an IN-list only while small: a many-thousand-literal In expression
+# costs SECONDS of Catalyst analysis per query (measured 5.4 s vs 0.9 s at
+# a 6.6k-id list on the 1M probe), far more than the scan it saves.
+_MAX_RANGES = 512
+_MAX_INLIST = 2_048
+# dispersed survivor sets ride as DATA, not plan literals: a driver-local
+# (term, block_id) frame broadcast into a semi-join — O(1) plan size at any
+# survivor count, bounded by driver memory for the local rows
+_MAX_SEMIJOIN = 200_000
 
 
 class BlockIndexSearcher:
@@ -360,33 +370,93 @@ class BlockIndexSearcher:
                 theta = g
         return theta
 
-    def _scan_plan(self, terms: list[str], weights: dict[str, float], fld: str,
-                   surviving: dict[str, np.ndarray] | None, k: int, mode: str,
-                   n_terms: int, after: tuple[float, int] | None = None) -> DataFrame:
-        """The returned (lazy) plan: pushdown-filter surviving blocks
-        (per-term IN-lists — block ids are per-term ordinals), decode,
-        score, top-k. No joins, no extra actions."""
-        pred = (F.col("field") == fld) & F.col("term").isin(terms)
-        applied = False
-        if surviving is not None and sum(len(v) for v in surviving.values()) <= _MAX_INLIST:
-            tpred = None
+    @staticmethod
+    def _id_runs(bids: np.ndarray) -> list[tuple[int, int]]:
+        """Sorted ids -> maximal contiguous [lo, hi] runs."""
+        ids = np.sort(np.asarray(bids, dtype=np.int64))
+        if len(ids) == 0:
+            return []
+        starts = np.r_[0, np.flatnonzero(np.diff(ids) != 1) + 1]
+        ends = np.r_[starts[1:], len(ids)]
+        return [(int(ids[s]), int(ids[e - 1])) for s, e in zip(starts, ends)]
+
+    def _semi_join_pushdown(self, surviving: dict[str, np.ndarray]):
+        """Driver-local (term, block_id) survivor frame for a broadcast
+        semi-join, or None when it exceeds _MAX_SEMIJOIN rows.  Used when
+        the survivor set is too dispersed for run-BETWEENs and too large
+        for an IN-list (a many-thousand-literal In costs seconds of
+        Catalyst analysis; a 6.6k-row LocalRelation costs nothing)."""
+        n_ids = sum(len(v) for v in surviving.values())
+        if n_ids == 0 or n_ids > _MAX_SEMIJOIN:
+            return None
+        spark = self.blocks.sparkSession
+        rows = [(t, int(b)) for t, bids in surviving.items() for b in bids]
+        return spark.createDataFrame(rows, "term string, block_id long")
+
+    @classmethod
+    def _blocks_pred(cls, surviving: dict[str, np.ndarray]):
+        """Per-term block predicate, or None when no compact representation
+        exists (see _MAX_RANGES/_MAX_INLIST).  Runs-of-BETWEEN preferred:
+        identical set semantics, O(runs) plan size, and cached-batch
+        min/max stats can prune on a range where they cannot on a set."""
+        per_term = {t: cls._id_runs(bids) for t, bids in surviving.items()}
+        n_runs = sum(len(r) for r in per_term.values())
+        n_ids = sum(len(v) for v in surviving.values())
+        tpred = None
+        if n_runs <= _MAX_RANGES:
+            for t, runs in per_term.items():
+                rp = None
+                for lo, hi in runs:
+                    c = (
+                        (F.col("block_id") == lo)
+                        if lo == hi
+                        else F.col("block_id").between(lo, hi)
+                    )
+                    rp = c if rp is None else (rp | c)
+                if rp is not None:
+                    c = (F.col("term") == t) & rp
+                    tpred = c if tpred is None else (tpred | c)
+        elif n_ids <= _MAX_INLIST:
             for t, bids in surviving.items():
                 c = (F.col("term") == t) & F.col("block_id").isin(
                     [int(b) for b in bids]
                 )
                 tpred = c if tpred is None else (tpred | c)
+        return tpred
+
+    def _scan_plan(self, terms: list[str], weights: dict[str, float], fld: str,
+                   surviving: dict[str, np.ndarray] | None, k: int, mode: str,
+                   n_terms: int, after: tuple[float, int] | None = None) -> DataFrame:
+        """The returned (lazy) plan: pushdown-filter surviving blocks
+        (per-term contiguous-run BETWEENs, IN-list fallback — block ids
+        are per-term ordinals), decode, score, top-k. No joins, no extra
+        actions."""
+        pred = (F.col("field") == fld) & F.col("term").isin(terms)
+        src = self.blocks
+        applied = False
+        if surviving is not None:
+            tpred = self._blocks_pred(surviving)
             if tpred is not None:
                 pred = pred & tpred
                 applied = True
+            else:
+                surv_df = self._semi_join_pushdown(surviving)
+                if surv_df is not None:
+                    src = src.filter(pred).join(
+                        F.broadcast(surv_df), ["term", "block_id"], "left_semi"
+                    )
+                    pred = None
+                    applied = True
         if surviving is not None and not applied:
-            # IN-list skipped (too weak to pay for itself): every candidate
-            # block is scanned, so report that honestly — pruning stats are
-            # bench evidence and must not overstate pruning in this regime.
+            # pushdown skipped (survivor set too large even for the
+            # semi-join): every candidate block is scanned, so report that
+            # honestly — pruning stats are bench evidence and must not
+            # overstate pruning in this regime.
             self.last_stats["blocks_scored"] = self.last_stats.get(
                 "blocks_total", self.last_stats.get("blocks_scored")
             )
             self.last_stats["inlist_applied"] = False
-        decoded = self._explode_cols(self.blocks.filter(pred))
+        decoded = self._explode_cols(src.filter(pred) if pred is not None else src)
         wmap = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))])
         per_term = decoded.select(
             "doc_id",
@@ -469,13 +539,20 @@ class BlockIndexSearcher:
         if len(cand) == 0:
             return None, 0
         order = cand[np.argsort(-ubs[lead][cand], kind="stable")]
-        covered, n_lead = 0, 0
-        cap = max(8, len(order) // 16)
+        # lead coverage: enough blocks for k docs, deepened to ~1/16 of
+        # the lead's candidate blocks (capped at 256) — on tf-dispersed
+        # corpora the true top-k sit beyond the first couple of blocks,
+        # and a few percent of blocks seeded buys a theta within ~1% of
+        # the oracle's (measured: 2/8/32/92-block lead seeds achieved
+        # 0/5/24/~37% of blocks pruned vs ~50% for the oracle theta on an
+        # impact-ordered iid corpus; skewed corpora saturate at 2 blocks)
+        covered, n_cov = 0, 0
         for i in order:
-            n_lead += 1
+            n_cov += 1
             covered += int(m_lead["nd"][i])
-            if (covered >= k and n_lead >= 2) or n_lead >= cap:
+            if covered >= k and n_cov >= 2:
                 break
+        n_lead = min(len(order), max(n_cov, min(256, len(order) // 16)))
         lead_idx = order[:n_lead]
         seed_blocks: dict[str, np.ndarray] = {lead: m_lead["bid"][lead_idx]}
         lo = m_lead["mind"][lead_idx]
@@ -559,7 +636,8 @@ class BlockIndexSearcher:
                 return self._empty()
         bounds = self._composed_bounds(meta, ubs)
         seed_blocks = 0
-        if total >= self.seed_min_blocks and self._prunable(bounds):
+        theta_est = sum(self._per_term_guarantee(meta, weights, fld, k).values())
+        if self._seed_pays(meta, bounds, theta_est, total):
             achieved, seed_blocks = self._seed_theta(
                 meta, ubs, terms, weights, fld, k, mode, n_terms, after, masks
             )
@@ -642,25 +720,53 @@ class BlockIndexSearcher:
             bounds[t] = bound
         return bounds
 
-    # Seed-gate heuristic (affects only WHEN the seed job runs, never
-    # correctness): theta can never exceed the largest composed bound, so
-    # if too few blocks sit below seed_bound_frac x max_bound, even a
-    # near-perfect theta could not prune enough to pay for the seed job —
-    # the uniform-corpus regime where "blocks_scored == blocks_total is
-    # the data, not the engine".  Measured separation at sf1.0: uniform
-    # 3-term OR has 0% of bounds below 0.8 x max (true theta prunes 0
-    # blocks); a length-skewed corpus has >20% below 0.5 x max and the
-    # true theta prunes 98%.
-    seed_bound_frac = 0.8
-    seed_min_prunable = 0.10
+    # Seed cost model (affects only WHEN the seed job runs, never
+    # correctness).  Pruning power depends on where the achieved theta
+    # LANDS inside the composed-bound distribution, not on the bounds'
+    # spread; the driver-side estimate of the achievable theta is
+    # theta_est = sum over terms of g_t (each term's guaranteed k-th
+    # single-term score from its impact lists) — the total the top docs
+    # reach when the query terms co-occur.  The seed pass is then worth
+    # one extra Spark job iff its estimated saving, in block-scan
+    # equivalents, beats its cost:
+    #
+    #   frac(bounds < theta_est) x total x DISCOUNT
+    #       >= seed_block_estimate + seed_overhead_blocks
+    #
+    # DISCOUNT=0.5 deflates the optimistic co-occurrence estimate
+    # (measured realization ~0.4-1.0 of the estimate across layouts);
+    # seed_overhead_blocks expresses the WHOLE seed pass's fixed cost in
+    # block-scan equivalents.  Calibrated from an interleaved same-window
+    # A/B at 1M docs / 16 cores (impact-ordered layout, 22.9k candidate
+    # blocks): the seeded path pruned 71% of blocks yet ran ~1.0 s
+    # SLOWER per query than the plain scan (seed job scan+score+shuffle+
+    # collect, driver bound arithmetic, survivor-pushdown build), i.e.
+    # ~23k block-equivalents at that scan rate — hence the 24k default:
+    # the seed engages only where the avoided scan clearly dominates an
+    # extra job (>= several-M-doc candidate sets, or deeply skewed
+    # corpora at >= ~50k blocks where frac_est ~ 1).  Other measured
+    # calibration points: uniform sf1.0 3-term OR has theta_est BELOW
+    # every composed bound (the true theta prunes 0 of 910 —
+    # co-occurrence never reaches the per-block maxima) -> skip; an
+    # impact-ordered 200k-doc corpus estimates 98% but realizes 39% over
+    # only 4.6k blocks -> skip (a seeded run measured 2.2 s vs 0.36 s).
+    seed_discount = 0.5
+    seed_overhead_blocks = 24_576
 
-    def _prunable(self, bounds: dict[str, np.ndarray]) -> bool:
-        allb = np.concatenate(list(bounds.values())) if bounds else np.array([])
+    def _seed_pays(self, meta: dict[str, dict], bounds: dict[str, np.ndarray],
+                   theta_est: float, total: int) -> bool:
+        if total < self.seed_min_blocks or theta_est <= 0.0 or not bounds:
+            return False
+        allb = np.concatenate(list(bounds.values()))
         if len(allb) == 0:
             return False
-        return float(
-            (allb < self.seed_bound_frac * allb.max()).mean()
-        ) >= self.seed_min_prunable
+        frac_est = float((allb < theta_est * (1.0 - _EPS)).mean())
+        lead_len = max(len(m["bid"]) for m in meta.values())
+        seed_est = len(meta) * min(256, max(2, lead_len // 16))
+        return (
+            frac_est * total * self.seed_discount
+            >= seed_est + self.seed_overhead_blocks
+        )
 
     def _prune_by_bound(self, meta: dict[str, dict],
                         bounds: dict[str, np.ndarray], theta: float,
@@ -923,14 +1029,12 @@ class BlockIndexSearcher:
             surviving = {t: m["bid"][masks[t]] for t, m in meta.items()}
             scored = sum(len(v) for v in surviving.values())
             self.last_stats = {"blocks_total": total, "blocks_scored": scored}
-            if scored < total and scored <= _MAX_INLIST:
-                tpred = None
-                for t, bids in surviving.items():
-                    c = (F.col("term") == t) & F.col("block_id").isin(
-                        [int(b) for b in bids]
-                    )
-                    tpred = c if tpred is None else (tpred | c)
-                pred = pred & tpred
+            if scored < total:
+                tpred = self._blocks_pred(surviving)
+                if tpred is not None:
+                    pred = pred & tpred
+                else:
+                    self.last_stats["blocks_scored"] = total
             survivors = self.blocks.filter(pred).select(*cols)
         else:
             # fallback: distributed candidate-range intersection

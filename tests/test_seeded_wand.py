@@ -36,6 +36,7 @@ def skew_setup(spark):
     idx = build_index(docs).cache()
     idx.postings.count()
     seeded = BlockIndexSearcher(idx, seed_min_blocks=8)
+    seeded.seed_overhead_blocks = 0  # cost model: always engage in tests
     seeded.blocks = seeded.blocks.cache()
     seeded.blocks.count()
     unseeded = BlockIndexSearcher(idx, seed_min_blocks=1 << 60)
