@@ -11,13 +11,14 @@ block-max WAND — Lucene 4.8 itself has no max-score metadata).
 
 Layout (see index/blocks.py): a block is a run of <= 128 CONSECUTIVE
 postings of one term (Lucene's own block shape — full utilization at any
-df), chunked inside a shared RANGE_DOCS doc-id grid. Bounds compose at
-two granularities:
+df), chunked inside a shared RANGE_DOCS doc-id grid. Bounds compose per
+BLOCK over doc-interval-overlapping blocks (r6):
 
   single term: per-block ub_t(b) prunes directly against theta.
-  OR : per RANGE r, score(doc in r) <= sum over terms t of
-       (max ub over t's blocks inside r) — the shared grid is the
-       cross-term alignment grain.
+  OR/AND: score(doc in block b of t) <= ub_t(b) + sum over s != t of
+       (max ub_s among s-blocks overlapping b's doc interval) — the
+       true BlockMaxWAND alignment (sparse-table range-max, driver
+       arithmetic; see _composed_bounds).
   AND/phrase: candidate blocks via per-block (min_doc, max_doc)
        doc-interval intersection across terms — the skip-list Advance()
        analogue, vectorized in the driver.
@@ -34,12 +35,16 @@ before the caller's own:
      its top distinct (tf, norm_byte) pairs WITH exact doc counts — the
      term's per-doc score distribution. Sorting a term's impact scores
      descending and accumulating counts to k yields g_t, a score >= k
-     distinct docs are guaranteed to reach; theta = max_t g_t.
-  2. PRUNE: surviving block_ids = {b : ub_sum(b) >= theta*(1-eps)} —
-     driver arithmetic, applied as an IN-list pushdown filter; the
-     returned LAZY plan explodes + scores only surviving blocks, fully
-     inside whole-stage codegen (the columnar in-block arrays, not the
-     varint bytes, feed the query path — no Python decode per query).
+     distinct docs are guaranteed to reach; theta = max_t g_t. Large
+     prunable multi-term candidate sets additionally run a SEED job
+     (_seed_theta) whose k-th ACHIEVED score is a far tighter theta,
+     gated by an explicit cost model (_seed_pays).
+  2. PRUNE: surviving block_ids = {b : composed bound >= theta*(1-eps)}
+     — driver arithmetic, applied as a contiguous-run BETWEEN pushdown
+     (IN-list / broadcast semi-join for dispersed sets); the returned
+     LAZY plan explodes + scores only surviving blocks, fully inside
+     whole-stage codegen (the columnar in-block arrays, not the varint
+     bytes, feed the query path — no Python decode per query).
 
 Cost per query: driver arithmetic + the caller's ONE action on the
 returned top-k plan (the same single-job shape as the exploded path, but
@@ -98,9 +103,11 @@ class BlockIndexSearcher:
         caller's action is the query's only Spark job.
 
         seed_min_blocks: multi-term OR/AND queries whose candidate set has
-        at least this many blocks run a SEED pass first (score the highest-
-        upper-bound ranges, collect the k-th ACHIEVED score) and prune with
-        that exact theta — the distributed MaxScore/WAND discipline (Ding &
+        at least this many blocks MAY run a SEED pass first (score the
+        lead term's highest-upper-bound blocks + the other terms'
+        overlapping blocks, collect the k-th ACHIEVED score; the final
+        engage decision is the _seed_pays cost model) and prune with
+        that theta — the distributed MaxScore/WAND discipline (Ding &
         Suel SIGIR'11; Turtle & Flood max-score), since per-term metadata
         alone cannot bound a SUM of contributions tightly (the k-th best
         single-term score is the only sound metadata theta, and with 3+
@@ -279,26 +286,6 @@ class BlockIndexSearcher:
                 mask &= self._overlaps_any(m["mind"], m["maxd"], ms["mind"], ms["maxd"])
             out[t] = mask
         return out
-
-    @staticmethod
-    def _range_compose(meta: dict[str, dict], ubs: dict[str, np.ndarray]):
-        """Compose per-term bounds on the shared RANGE_DOCS grid (blocks
-        of different terms only align at range granularity):
-        (range_ids, ub_sum, terms_present) where ub_sum[r] = sum over
-        terms of (max ub among the term's blocks inside range r) — an
-        upper bound on any doc's OR score within the range."""
-        all_r = np.unique(np.concatenate([m["rng"] for m in meta.values()]))
-        ub_sum = np.zeros(len(all_r), dtype=np.float64)
-        present = np.zeros(len(all_r), dtype=np.int64)
-        for t, m in meta.items():
-            rng = m["rng"]  # nondecreasing (blocks sorted by block_id)
-            starts = np.r_[0, np.flatnonzero(np.diff(rng)) + 1]
-            r_ids = rng[starts]
-            r_ub = np.maximum.reduceat(ubs[t], starts)
-            idx = np.searchsorted(all_r, r_ids)
-            ub_sum[idx] += r_ub
-            present[idx] += 1
-        return all_r, ub_sum, present
 
     @staticmethod
     def _explode_cols(surv: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -591,8 +578,9 @@ class BlockIndexSearcher:
         Single-term queries prune at BLOCK granularity (ub_t(b) < theta)
         with a metadata-only theta — zero pre-actions, serving cost is
         exactly the caller's single job.  Multi-term queries compose
-        bounds on the shared RANGE grid; when the candidate set is large
-        enough (seed_min_blocks) they first run the SEED pass
+        per-block bounds over doc-interval-overlapping blocks
+        (_composed_bounds); when the seed cost model clears
+        (_seed_pays) they first run the SEED pass
         (_seed_theta) whose ACHIEVED k-th score is a far tighter theta
         than any per-term metadata bound — this is what makes a
         stopword-class OR prune at scale.  AND additionally intersects
